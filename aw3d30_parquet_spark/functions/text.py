@@ -1,0 +1,201 @@
+"""Text-analysis operators over the ``documents`` table.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM
+whole-stage codegen; no Python UDFs): tokenization via ``split``,
+stopword hits via higher-order ``filter``, BPE-ish token counting via
+``regexp_extract_all``. Language-ID is a stopword-profile argmax — also
+pure built-ins, verified against a pandas reimplementation in pytest
+(too dialect-fiddly for a shared SQL oracle, so the driver records a
+rows-only check for it).
+
+At 100 TB these are embarrassingly parallel map-side ops: no shuffle at
+all except the final aggregates, which do partial map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aw3d30_parquet_spark.session import register_views
+
+#: Tiny per-language stopword profiles for the heuristic language-ID.
+#: Deterministic, dependency-free; tie order pinned (list order wins).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es": ("el", "la", "los", "las", "es", "de", "que", "para"),
+    "fr": ("le", "la", "les", "est", "et", "une", "que", "pour"),
+    "zh": ("de", "shi", "le", "wo", "ni", "ta", "men", "zai"),
+}
+
+#: English stopwords used by the quality score.
+STOPWORDS = LANG_STOPWORDS["en"]
+
+BPE_ISH_PATTERN = r"\w+|[^\w\s]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.table("documents")
+
+
+def _tokens(col):
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc char/token counts + mean token length (whitespace tokens)."""
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            n_tokens.alias("n_tokens"),
+            # floor(x*100 + 0.5)/100 instead of round(): ratios like
+            # 189/40 = 4.725 sit exactly on the .005 boundary, where
+            # Spark (HALF_UP on decimal string) and DuckDB (binary
+            # double) disagree; this formula is pure IEEE arithmetic and
+            # bit-identical in both engines.
+            (
+                F.floor(
+                    F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                    / n_tokens.cast("double")
+                    * 100
+                    + 0.5
+                ).cast("bigint")
+                / 100.0
+            ).alias("avg_tok_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio quality signal (LLM-corpus filtering primitive)."""
+    toks = _tokens(F.col("text"))
+    stop_cnt = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    )
+    n_tokens = F.size(toks)
+    # floor-based rounding — see avg_tok_len note (0.125-style halfway
+    # ratios round differently between Spark and DuckDB otherwise).
+    ratio = (
+        F.floor(stop_cnt / n_tokens.cast("double") * 100 + 0.5).cast("bigint")
+        / 100.0
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            stop_cnt.alias("stop_cnt"),
+            ratio.alias("stop_ratio"),
+            ((n_tokens >= 5) & (stop_cnt > 0)).cast("int").alias("is_quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: words + isolated punctuation marks."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
+            ).alias("n_bpe"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: argmax of per-language stopword hits.
+
+    Pure built-ins — one ``filter``+``size`` per language profile, then
+    a ``greatest``/``when`` argmax with pinned tie order. Returns the
+    prediction next to the labeled lang for agreement analysis.
+    """
+    df = _docs(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    langs = list(LANG_STOPWORDS)
+    def _hits(words):
+        # NB: the HOF lambda must be unary — a second parameter would be
+        # interpreted as the element index by F.filter.
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    for lang in langs:
+        df = df.withColumn(f"hits_{lang}", _hits(LANG_STOPWORDS[lang]))
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("unk")
+    # Reverse order so earlier langs win ties (en first).
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), lang
+        ).otherwise(pred)
+    return df.select(
+        "doc_id", "lang", pred.alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 of the sorted token
+    bag — the exact-dedup key that also catches token permutations."""
+    toks = F.array_sort(_tokens(F.col("text")))
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id", F.md5(F.concat_ws(" ", toks)).alias("fp")
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES = {
+    "t01_token_stats": token_stats,
+    "t02_quality_score": quality_score,
+    "t03_token_count_bpe": token_count_bpe,
+    "t04_lang_id": lang_id,
+    "t05_doc_fingerprint": doc_fingerprint,
+}
+
+ORACLE_SQL = {
+    "t01_token_stats": """
+SELECT doc_id, length(text) AS n_chars,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       CAST(floor(length(replace(text, ' ', ''))
+             / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+             * 100 + 0.5) AS BIGINT) / 100.0 AS avg_tok_len
+FROM documents ORDER BY doc_id
+""",
+    "t02_quality_score": """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that','for'))) AS stop_cnt,
+         len(toks) AS n_tokens
+  FROM tok
+)
+SELECT doc_id, stop_cnt,
+       CAST(floor(stop_cnt / CAST(n_tokens AS DOUBLE) * 100 + 0.5) AS BIGINT) / 100.0 AS stop_ratio,
+       CAST(n_tokens >= 5 AND stop_cnt > 0 AS INTEGER) AS is_quality
+FROM scored ORDER BY doc_id
+""",
+    "t03_token_count_bpe": """
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe
+FROM documents ORDER BY doc_id
+""",
+    # t04_lang_id: no SQL oracle (argmax heuristic verified in pytest
+    # against a pandas reimplementation) — driver records rows-only.
+    "t05_doc_fingerprint": """
+SELECT doc_id,
+       md5(array_to_string(list_sort(regexp_split_to_array(trim(text), '\\s+')), ' ')) AS fp
+FROM documents ORDER BY doc_id
+""",
+}

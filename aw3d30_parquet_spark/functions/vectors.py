@@ -1,0 +1,198 @@
+"""Vector-similarity operators over the ``embeddings`` table.
+
+Exact cosine math stays in built-in higher-order functions
+(``zip_with`` + ``aggregate`` over doubles — JVM-side, no Python in the
+hot path). The brute-force top-k broadcasts the (small) query set
+against the full corpus — at 100 TB the corpus side streams, only the
+queries are broadcast, so there is no shuffle at all. The scale path is
+``BucketedRandomProjectionLSH`` over L2-normalized vectors (euclidean
+distance on unit vectors is monotone in cosine), verified by recall
+against the exact operator in pytest (V2/V3) — approximate results are
+rows-only for the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from aw3d30_parquet_spark.session import register_views
+
+DEFAULT_K = 5
+DEFAULT_N_QUERIES = 20
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.table("embeddings")
+
+
+def embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column sanity profile: row count, dim bounds, label card."""
+    return _emb(spark, sf_dir).agg(
+        F.count("*").alias("cnt"),
+        F.min(F.size("embedding")).alias("min_dim"),
+        F.max(F.size("embedding")).alias("max_dim"),
+        F.countDistinct("label").alias("n_labels"),
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a, b):
+    """Cosine similarity between two array<float> columns, in doubles."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def ann_topk_bruteforce(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
+
+    Broadcast the query set; the corpus side is a single streaming scan
+    (no shuffle for the join — only the final per-query top-k, which is
+    a partial TakeOrdered per partition under AQE).
+    """
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _normalized_features(emb: DataFrame) -> DataFrame:
+    """L2-normalize embeddings into an MLlib dense vector column."""
+    from pyspark.ml.functions import array_to_vector
+
+    arr = F.col("embedding")
+    unit = F.transform(
+        arr, lambda x: x.cast("double") / _norm(arr)
+    )
+    return emb.withColumn("features", array_to_vector(unit))
+
+
+def ann_topk_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k via random-projection LSH on unit vectors.
+
+    The LSH banded join prunes candidate pairs to same-bucket vectors —
+    O(n·tables) instead of the brute-force O(n·q). Euclidean distance d
+    on unit vectors maps to cosine = 1 - d²/2.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    feats = _normalized_features(_emb(spark, sf_dir))
+    queries = feats.filter(F.col("vec_id") < n_queries)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(feats)
+    # Distance 2.0 admits every pair on the unit sphere; pruning comes
+    # from the LSH buckets, not the radius.
+    pairs = model.approxSimilarityJoin(queries, feats, 2.0, distCol="dist")
+    scored = pairs.select(
+        F.col("datasetA.vec_id").alias("query_id"),
+        F.col("datasetB.vec_id").alias("neighbor_id"),
+        (1.0 - F.col("dist") * F.col("dist") / 2.0).alias("cos"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    cos_threshold: float = 0.999,
+    bucket_length: float = 0.1,
+    num_hash_tables: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH similarity join."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    import math
+
+    feats = _normalized_features(_emb(spark, sf_dir))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(feats)
+    max_dist = math.sqrt(2.0 * (1.0 - cos_threshold))
+    pairs = model.approxSimilarityJoin(feats, feats, max_dist, distCol="dist")
+    return (
+        pairs.select(
+            F.col("datasetA.vec_id").alias("id_a"),
+            F.col("datasetB.vec_id").alias("id_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+QUERIES = {
+    "v01_embedding_dims": embedding_dims,
+    "v02_ann_topk_bruteforce": ann_topk_bruteforce,
+    "v03_ann_topk_lsh": ann_topk_lsh,
+    "v04_embedding_neardup": embedding_neardup_pairs,
+}
+
+ORACLE_SQL = {
+    "v01_embedding_dims": """
+SELECT count(*) AS cnt, min(len(embedding)) AS min_dim,
+       max(len(embedding)) AS max_dim, count(DISTINCT label) AS n_labels
+FROM embeddings
+""",
+    # v02–v04: float cosine rank order is not bit-stable across engines
+    # (SURVEY §2.3 exclusions) — verified in pytest against a numpy
+    # brute-force oracle (V2) and by recall (V3/V4); driver rows-only.
+}

@@ -1,0 +1,404 @@
+"""Relational operator surface, Q1–Q28, as idiomatic DataFrame ops.
+
+Each function takes ``(spark, sf_dir)`` and returns a DataFrame whose
+result hash-matches the same-named oracle SQL in ``queries.ORACLE_SQL``
+(column names aligned via ``.alias``). Everything is declarative —
+Catalyst picks physical strategies; explicit ``broadcast()`` hints mark
+the dimension sides of star joins (region/nation/supplier are tiny at
+every scale factor, reference analogue: the region predicate tables at
+``src/main.rs:68-88`` are constants).
+
+Scale notes (100 TB posture):
+- no ``collect()`` anywhere; all results stay DataFrames
+- dims broadcast → star joins are shuffle-free on the fact side
+- the as-of join (q28) is a window over a union, not a range join —
+  one shuffle by user_id instead of an O(n·m) non-equi join
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aw3d30_parquet_spark.session import register_views
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.table(name)
+
+
+def q01_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "region")
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")
+    )
+
+
+def q02_filter_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").between(5, 10) & (F.col("c_acctbal") > 1000.0))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q03_filter_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(
+            ((F.col("event_type") == "error") | (F.col("value") > 150.0))
+            & (F.col("user_id") < 20)
+        )
+        .select("event_id")
+        .orderBy("event_id")
+    )
+
+
+def q04_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select(
+            "doc_id", F.regexp_extract("source", "[0-9]+", 0).alias("src_num")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q05_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    nation = spark.table("nation")
+    return (
+        customer.join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+            "inner",
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("n_name")
+    )
+
+
+def q06_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = spark.table("customer")
+    nation = spark.table("nation")
+    region = spark.table("region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("r_name")
+    )
+
+
+def q07_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    customer = spark.table("customer")
+    return (
+        nation.join(customer, nation.n_nationkey == customer.c_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("cnt"))
+        .orderBy("n_name")
+    )
+
+
+def q08_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    lineitem = spark.table("lineitem").filter(F.col("l_quantity") > 45.0)
+    return part.join(
+        lineitem, part.p_partkey == lineitem.l_partkey, "left_semi"
+    ).agg(F.count("*").alias("cnt"))
+
+
+def q09_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = spark.table("orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).agg(F.count("*").alias("cnt"))
+
+
+def q10_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Equi component (nationkey) keeps this a hash/sort-merge join; the
+    # inequality rides along as a post-join predicate — never a
+    # cartesian product.
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = spark.table("customer")
+    return F.broadcast(supplier).join(
+        customer,
+        (supplier.s_nationkey == customer.c_nationkey)
+        & (supplier.s_acctbal > customer.c_acctbal),
+    ).agg(F.count("*").alias("cnt"))
+
+
+def q11_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q12_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.countDistinct("user_id").alias("cnt"))
+    )
+
+
+def q13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .rollup("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .orderBy(F.col("event_type").asc_nulls_first())
+    )
+
+
+def q14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents")
+    return (
+        df.groupingSets([["lang"], ["source"]], "lang", "source")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(
+            F.col("lang").asc_nulls_first(), F.col("source").asc_nulls_first()
+        )
+    )
+
+
+def q15_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+def q16_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") == 1)
+        .select(
+            "event_id",
+            F.round(
+                F.col("value") - F.lag("value", 1, 0.0).over(w), 2
+            ).alias("delta"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q17_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 3)
+        .select("event_id", F.round(F.sum("value").over(w), 2).alias("run3"))
+        .orderBy("event_id")
+    )
+
+
+def q18_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # orderBy().limit() plans as TakeOrderedAndProject — no global sort.
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey", F.round("o_totalprice", 2).alias("price")
+        )
+    )
+
+
+def q19_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    supplier = spark.table("supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("k"))
+        .intersect(supplier.select(F.col("s_nationkey").alias("k")))
+        .orderBy("k")
+    )
+
+
+def q20_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    supplier = spark.table("supplier")
+    # DataFrame.subtract == SQL EXCEPT (distinct semantics).
+    return (
+        nation.select("n_nationkey")
+        .subtract(supplier.select(F.col("s_nationkey").alias("n_nationkey")))
+        .orderBy("n_nationkey")
+    )
+
+
+def q21_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    supplier = spark.table("supplier")
+    return (
+        customer.select(F.col("c_custkey").alias("k"))
+        .unionAll(supplier.select(F.col("s_suppkey").alias("k")))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q22_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select(
+            "doc_id",
+            F.upper("lang").alias("lang_u"),
+            F.length("text").alias("n"),
+            F.substring("text", 1, 10).alias("head"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q23_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(d)
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("d")
+    )
+
+
+def q24_cond_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    value = F.col("value")
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.when(value > 100.0, value).otherwise(0.0)), 2
+            ).alias("big"),
+            F.round(F.sum(F.sqrt(F.abs(value))), 2).alias("rooted"),
+            F.sum(F.floor(value).cast("bigint")).alias("floored"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q25_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 25)
+        .select(
+            "event_id",
+            F.regexp_extract("props", "[0-9]+", 0).cast("int").alias("k"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q26_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Batch analogue of the streaming tumbling window (streaming/ has the
+    # readStream form); date_trunc rather than window() so the output
+    # column is a plain timestamp the oracle can reproduce.
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("w")
+    )
+
+
+def q27_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("lang", "source")
+        .distinct()
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q28_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest signup ts at-or-before each purchase, per user.
+
+    Implemented as a window over the event stream rather than the
+    oracle's correlated range subquery: one shuffle by user_id, O(n)
+    state — this is the plan that survives 100 TB (a range join is
+    O(n·m) per user). Signups sort before purchases at equal ts so a
+    same-instant signup is visible, matching ``s.ts <= e.ts``.
+    """
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    is_purchase = (F.col("event_type") == "purchase").cast("int")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", is_purchase, "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    signup_ts = F.when(F.col("event_type") == "signup", F.col("ts"))
+    return (
+        events.withColumn(
+            "last_signup", F.last(signup_ts, ignorenulls=True).over(w)
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "last_signup")
+        .orderBy("event_id")
+    )
+
+
+RELATIONAL_QUERIES = {
+    "q01_scan_project": q01_scan_project,
+    "q02_filter_conjunction": q02_filter_conjunction,
+    "q03_filter_disjunction": q03_filter_disjunction,
+    "q04_regex_extract": q04_regex_extract,
+    "q05_inner_join": q05_inner_join,
+    "q06_star_join": q06_star_join,
+    "q07_left_outer_join": q07_left_outer_join,
+    "q08_semi_join": q08_semi_join,
+    "q09_anti_join": q09_anti_join,
+    "q10_theta_join": q10_theta_join,
+    "q11_group_agg": q11_group_agg,
+    "q12_count_distinct": q12_count_distinct,
+    "q13_rollup": q13_rollup,
+    "q14_grouping_sets": q14_grouping_sets,
+    "q15_rank_topk": q15_rank_topk,
+    "q16_lag": q16_lag,
+    "q17_window_frame": q17_window_frame,
+    "q18_topk": q18_topk,
+    "q19_intersect": q19_intersect,
+    "q20_except": q20_except,
+    "q21_union_all": q21_union_all,
+    "q22_string_funcs": q22_string_funcs,
+    "q23_date_trunc": q23_date_trunc,
+    "q24_cond_math": q24_cond_math,
+    "q25_json_extract": q25_json_extract,
+    "q26_tumbling_window": q26_tumbling_window,
+    "q27_distinct": q27_distinct,
+    "q28_asof": q28_asof,
+}

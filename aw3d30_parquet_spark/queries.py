@@ -1,0 +1,188 @@
+"""The declared query contract (SURVEY.md §2.3): oracle SQL, Q1–Q28.
+
+These strings are the t2 correctness contract — each was validated to
+hash-match between Spark SQL and DuckDB on sf0.01 (SURVEY §2.3,
+"Empirically validated"). They are deliberately dialect-shared and
+deterministic (total ORDER BY or pure aggregate, floats rounded,
+NULLS FIRST pinned). Do not reword casually.
+
+The engine's own implementations are DataFrame-API (operators/
+relational.py); the SQL here is what the DuckDB oracle runs.
+Extended (LLM-pipeline) oracle SQL lives in functions/ next to its
+implementation and may use DuckDB dialect — the contract is matching
+results + column names, not shared text.
+"""
+
+from __future__ import annotations
+
+ORACLE_SQL: dict[str, str] = {
+    # -- scan + projection
+    "q01_scan_project": """
+SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey
+""",
+    # -- conjunctive range filter (mirrors Set::filter Netherlands,
+    #    reference src/main.rs:71-74)
+    "q02_filter_conjunction": """
+SELECT c_custkey, c_name FROM customer
+WHERE c_nationkey BETWEEN 5 AND 10 AND c_acctbal > 1000.0
+ORDER BY c_custkey
+""",
+    # -- disjunctive filter (mirrors Set::filter France, src/main.rs:75-79)
+    "q03_filter_disjunction": """
+SELECT event_id FROM events
+WHERE (event_type = 'error' OR value > 150.0) AND user_id < 20
+ORDER BY event_id
+""",
+    # -- regex extraction (mirrors the tile-key parser, src/main.rs:298)
+    "q04_regex_extract": """
+SELECT doc_id, regexp_extract(source, '[0-9]+', 0) AS src_num
+FROM documents WHERE lang = 'en' ORDER BY doc_id
+""",
+    # -- inner equi join + agg
+    "q05_inner_join": """
+SELECT n_name, count(*) AS cnt
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+""",
+    # -- multi-way star join (broadcast-dim shape)
+    "q06_star_join": """
+SELECT r_name, round(sum(o_totalprice), 2) AS total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+""",
+    # -- left outer join
+    "q07_left_outer_join": """
+SELECT n_name, count(c_custkey) AS cnt
+FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+GROUP BY n_name ORDER BY n_name
+""",
+    # -- semi join via EXISTS
+    "q08_semi_join": """
+SELECT count(*) AS cnt FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45.0)
+""",
+    # -- anti join via NOT EXISTS
+    "q09_anti_join": """
+SELECT count(*) AS cnt FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    # -- theta (non-equi) join
+    "q10_theta_join": """
+SELECT count(*) AS cnt
+FROM supplier s JOIN customer c
+ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+""",
+    # -- grouped aggregation suite (TPC-H Q1 shape)
+    "q11_group_agg": """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(avg(l_extendedprice), 2) AS avg_price,
+       min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    # -- distinct aggregate
+    "q12_count_distinct": """
+SELECT count(DISTINCT user_id) AS cnt FROM events WHERE event_type = 'purchase'
+""",
+    # -- rollup
+    "q13_rollup": """
+SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total
+FROM events GROUP BY ROLLUP (event_type)
+ORDER BY event_type NULLS FIRST
+""",
+    # -- grouping sets
+    "q14_grouping_sets": """
+SELECT lang, source, count(*) AS cnt
+FROM documents GROUP BY GROUPING SETS ((lang), (source))
+ORDER BY lang NULLS FIRST, source NULLS FIRST
+""",
+    # -- ranking window, top-k per group (deterministic tie-break)
+    "q15_rank_topk": """
+SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer) t
+WHERE rn <= 3 ORDER BY c_mktsegment, c_custkey
+""",
+    # -- analytic window (lag)
+    "q16_lag": """
+SELECT event_id, round(value - lag(value, 1, 0.0)
+       OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+FROM events WHERE user_id = 1 ORDER BY event_id
+""",
+    # -- window frame spec
+    "q17_window_frame": """
+SELECT event_id, round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS run3
+FROM events WHERE user_id <= 3 ORDER BY event_id
+""",
+    # -- global sort + limit (top-k)
+    "q18_topk": """
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+    # -- intersect
+    "q19_intersect": """
+SELECT c_nationkey AS k FROM customer
+INTERSECT SELECT s_nationkey FROM supplier ORDER BY k
+""",
+    # -- except
+    "q20_except": """
+SELECT n_nationkey FROM nation
+EXCEPT SELECT s_nationkey FROM supplier ORDER BY n_nationkey
+""",
+    # -- union all
+    "q21_union_all": """
+SELECT count(*) AS cnt FROM (
+  SELECT c_custkey AS k FROM customer
+  UNION ALL SELECT s_suppkey FROM supplier) t
+""",
+    # -- string functions
+    "q22_string_funcs": """
+SELECT doc_id, upper(lang) AS lang_u, length(text) AS n, substr(text, 1, 10) AS head
+FROM documents WHERE doc_id < 20 ORDER BY doc_id
+""",
+    # -- date functions (explicit DATE cast unifies DuckDB DATE vs Spark TS)
+    "q23_date_trunc": """
+SELECT cast(date_trunc('day', ts) AS DATE) AS d, count(*) AS cnt
+FROM events GROUP BY cast(date_trunc('day', ts) AS DATE) ORDER BY d
+""",
+    # -- conditional + math functions
+    "q24_cond_math": """
+SELECT event_type,
+       round(sum(CASE WHEN value > 100.0 THEN value ELSE 0.0 END), 2) AS big,
+       round(sum(sqrt(abs(value))), 2) AS rooted,
+       sum(cast(floor(value) AS BIGINT)) AS floored
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    # -- semi-structured extraction from JSON-ish string column
+    "q25_json_extract": """
+SELECT event_id, cast(regexp_extract(props, '[0-9]+', 0) AS INTEGER) AS k
+FROM events WHERE event_id < 25 ORDER BY event_id
+""",
+    # -- tumbling-window aggregation, batch form (streaming analogue in S-tests)
+    "q26_tumbling_window": """
+SELECT date_trunc('hour', ts) AS w, count(*) AS cnt
+FROM events WHERE event_type = 'click'
+GROUP BY date_trunc('hour', ts) ORDER BY w
+""",
+    # -- exact dedup
+    "q27_distinct": """
+SELECT count(*) AS cnt FROM (SELECT DISTINCT lang, source FROM documents) t
+""",
+    # -- as-of semantics (latest signup at-or-before each purchase)
+    "q28_asof": """
+SELECT e.event_id,
+       (SELECT max(s.ts) FROM events s
+        WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts <= e.ts)
+       AS last_signup
+FROM events e WHERE e.event_type = 'purchase' ORDER BY e.event_id
+""",
+}

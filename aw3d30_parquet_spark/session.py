@@ -1,0 +1,116 @@
+"""SparkSession factory and testdata catalog registration.
+
+The reference's "catalog" is an S3 key listing (reference
+``src/main.rs:265-331``); ours is a set of Parquet-backed temp views over
+the driver testdata, registered once per (session, sf_dir).
+
+Scale posture: every config here is chosen to survive a 1000-executor
+cluster, not just local[32] — AQE on (runtime re-planning, skew joins,
+partition coalescing), broadcast threshold left at default so small dims
+(region/nation/supplier) broadcast, Arrow enabled for the Pandas-UDF
+paths, shuffle partitions sized for local test scale but overridable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+#: events.parquet stores ``ts`` as Parquet TIMESTAMP(NANOS, NTZ), which
+#: Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL) unless
+#: ``spark.sql.legacy.parquet.nanosAsLong=true`` — the int64 nanos then
+#: surface as a plain BIGINT which we truncate to micros exactly like
+#: DuckDB does (integer ``div``, not float division).
+_EVENTS_VIEW_SQL = """
+SELECT event_id,
+       CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ) AS ts,
+       user_id, event_type, value, props
+FROM {raw}
+"""
+
+# Confs that are safe / required at runtime on an externally-provided
+# session (the driver hands queries() its own SparkSession).
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def get_spark(
+    app_name: str = "aw3d30-parquet-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    local[*] by default; override with SPARK_GRAFT_CPUS. Shuffle
+    partitions default to the local core count — at cluster scale the
+    caller sets this (or relies on AQE coalescing, which is on).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def apply_runtime_confs(spark: SparkSession) -> None:
+    """Apply required runtime confs to an externally-created session."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf may be static on some builds; registration still
+            # proceeds — the reads below will surface a real error.
+            pass
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register the ten testdata Parquet tables as temp views.
+
+    ``events`` is registered through the nanos→micros converting
+    projection (see _EVENTS_VIEW_SQL); everything else is a direct scan
+    so Catalyst keeps full pushdown/pruning into the Parquet source.
+    """
+    apply_runtime_confs(spark)
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        if name == "events":
+            df.createOrReplaceTempView("events_raw")
+            spark.sql(
+                _EVENTS_VIEW_SQL.format(raw="events_raw")
+            ).createOrReplaceTempView("events")
+        else:
+            df.createOrReplaceTempView(name)

@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the declared query suite at $SPARK_GRAFT_SF_DIR
+(default sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line.
+
+Per query: 1 warm-up run, then median of N (default 3) timed runs.
+Results are materialized through the noop sink — full execution, no
+driver-side collect. ``value`` is the sum of per-query medians.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+
+def _materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    os.environ.setdefault("TZ", "UTC")
+    from aw3d30_parquet_spark.session import get_spark
+
+    import __spark_entry__ as contract
+
+    spark = get_spark(app_name="aw3d30-bench")
+    qs = contract.queries()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    per_query: dict[str, float] = {}
+    for name in sorted(qs):
+        fn = qs[name]
+        _materialize(fn(spark, SF_DIR))  # warm-up
+        times = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            _materialize(fn(spark, SF_DIR))
+            times.append(time.perf_counter() - t0)
+        per_query[name] = round(statistics.median(times), 4)
+
+    total = round(sum(per_query.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

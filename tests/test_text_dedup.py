@@ -1,0 +1,81 @@
+"""V-tests for text + dedup ops without a SQL oracle: lang-ID vs a pandas
+reimplementation, SimHash invariants, MinHash recall vs exact Jaccard."""
+
+import re
+
+import pandas as pd
+import pytest
+
+from aw3d30_parquet_spark.functions.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from aw3d30_parquet_spark.functions.text import LANG_STOPWORDS, lang_id
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    return pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_lang_id_matches_pandas(spark, docs_pdf):
+    got = {
+        row.doc_id: row.pred_lang
+        for row in lang_id(spark, SF_SMOKE).collect()
+    }
+    langs = list(LANG_STOPWORDS)
+    for _, rec in docs_pdf.iterrows():
+        toks = re.split(r"\s+", rec["text"].strip())
+        hits = {
+            lang: sum(t in set(words) for t in toks)
+            for lang, words in LANG_STOPWORDS.items()
+        }
+        best = max(hits.values())
+        pred = "unk"
+        if best > 0:
+            pred = next(l for l in langs if hits[l] == best)
+        assert got[rec["doc_id"]] == pred, rec["doc_id"]
+
+
+def test_simhash_invariants(spark, docs_pdf):
+    rows = simhash(spark, SF_SMOKE).collect()
+    sigs = {row.doc_id: row.simhash_bits for row in rows}
+    assert all(len(s) == 64 for s in sigs.values())
+    # deterministic: recompute → identical signatures
+    again = {r.doc_id: r.simhash_bits for r in simhash(spark, SF_SMOKE).collect()}
+    assert sigs == again
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(sigs[a], sigs[b]))
+
+    # near-dup (high-Jaccard) pairs must be far closer in Hamming space
+    # than arbitrary pairs (~32 expected for independent docs)
+    near = [
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(spark, SF_SMOKE).collect()
+        if r.jaccard >= 0.8
+    ]
+    assert near, "fixture should contain high-Jaccard near-duplicates"
+    near_mean = sum(ham(a, b) for a, b in near) / len(near)
+    ids = sorted(sigs)
+    rand_pairs = [(ids[i], ids[(i * 7 + 13) % len(ids)]) for i in range(100)]
+    rand_pairs = [(a, b) for a, b in rand_pairs if a != b]
+    rand_mean = sum(ham(a, b) for a, b in rand_pairs) / len(rand_pairs)
+    assert near_mean < rand_mean / 2, f"near {near_mean} vs random {rand_mean}"
+
+
+def test_minhash_recall_vs_exact(spark):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(spark, SF_SMOKE).collect()
+        if r.jaccard >= 0.7  # comfortably above the LSH threshold
+    }
+    approx = {
+        (r.id_a, r.id_b) for r in minhash_lsh_pairs(spark, SF_SMOKE).collect()
+    }
+    assert exact, "fixture should contain near-duplicates"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"MinHash recall {recall:.2f} < 0.9"

@@ -1,0 +1,87 @@
+"""V-tests: vector ops against numpy oracles (SURVEY §5.2)."""
+
+import numpy as np
+import pytest
+
+from aw3d30_parquet_spark.functions.vectors import (
+    ann_topk_bruteforce,
+    ann_topk_lsh,
+    embedding_neardup_pairs,
+)
+
+from tests.conftest import SF_SMOKE
+
+K = 5
+NQ = 20
+
+
+@pytest.fixture(scope="module")
+def emb_np():
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_SMOKE}/embeddings.parquet")
+    ids = tbl.column("vec_id").to_numpy()
+    mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def _numpy_topk(ids, mat, k=K, nq=NQ):
+    """Exact cosine top-k oracle."""
+    norms = np.linalg.norm(mat, axis=1)
+    unit = mat / norms[:, None]
+    out = {}
+    for qi in range(len(ids)):
+        if ids[qi] >= nq:
+            continue
+        cos = unit @ unit[qi]
+        # exclude self; sort by (-cos, id) for the deterministic tie-break
+        cand = [(float(-cos[j]), int(ids[j])) for j in range(len(ids)) if j != qi]
+        cand.sort()
+        out[int(ids[qi])] = [nid for _, nid in cand[:k]]
+    return out
+
+
+def test_v2_bruteforce_matches_numpy(spark, emb_np):
+    ids, mat = emb_np
+    oracle = _numpy_topk(ids, mat)
+    got = ann_topk_bruteforce(spark, SF_SMOKE, k=K, n_queries=NQ).collect()
+    got_map = {}
+    for row in got:
+        got_map.setdefault(row.query_id, []).append(row.neighbor_id)
+    assert set(got_map) == set(oracle)
+    for q in oracle:
+        assert got_map[q] == oracle[q], f"query {q}: {got_map[q]} != {oracle[q]}"
+
+
+def test_v3_lsh_recall(spark, emb_np):
+    ids, mat = emb_np
+    oracle = _numpy_topk(ids, mat)
+    got = ann_topk_lsh(spark, SF_SMOKE, k=K, n_queries=NQ).collect()
+    got_map = {}
+    for row in got:
+        got_map.setdefault(row.query_id, set()).add(row.neighbor_id)
+    hits = total = 0
+    for q, truth in oracle.items():
+        hits += len(set(truth) & got_map.get(q, set()))
+        total += len(truth)
+    recall = hits / total
+    assert recall >= 0.8, f"LSH recall {recall:.2f} < 0.8"
+
+
+def test_v4_neardup_pairs_exact_subset(spark, emb_np):
+    ids, mat = emb_np
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    cos = unit @ unit.T
+    truth = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if cos[i, j] > 0.9995:  # margin above the 0.999 threshold
+                truth.add((int(ids[i]), int(ids[j])))
+    got = {
+        (row.id_a, row.id_b)
+        for row in embedding_neardup_pairs(spark, SF_SMOKE).collect()
+    }
+    # every comfortably-above-threshold pair must be found
+    missed = truth - got
+    assert not missed, f"near-dup pairs missed: {sorted(missed)[:5]}"
