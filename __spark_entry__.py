@@ -43,6 +43,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from aw3d30_parquet_spark.functions import EXTENDED_QUERIES
 
     out.update(EXTENDED_QUERIES)
+
+    from aw3d30_parquet_spark.sources import demo
+
+    out.update(demo.QUERIES)
     return out
 
 
@@ -57,4 +61,8 @@ def oracle_sql() -> dict[str, str]:
     from aw3d30_parquet_spark.functions import EXTENDED_ORACLE_SQL
 
     out.update(EXTENDED_ORACLE_SQL)
+
+    from aw3d30_parquet_spark.sources import demo
+
+    out.update(demo.ORACLE_SQL)
     return out

@@ -1,0 +1,100 @@
+"""Deterministic demo tiles + the driver-checkable ingest query (g01).
+
+DuckDB cannot read GeoTIFF, but the demo tiles carry a pure elevation
+ramp (``1000*y + x`` on a 64×64 grid), so every aggregate of the decoded
+point table is computable in closed form — the oracle is a constant
+``VALUES`` relation. This gives the GeoTIFF pipeline (binaryFile scan →
+key parse/region filter → mapInPandas decode → aggregate) a full
+hash-checked entry in the driver contract instead of a rows-only check.
+
+Tile fabrication replaces the reference's S3 download (``src/main.rs:
+136-161``) — same skip-if-exists semantics, network-free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aw3d30_parquet_spark.sources.geotiff import read_tiles, tile_key
+
+DEMO_SIZE = 64
+DEMO_COORDS = ((51, 4), (52, 5))  # netherlands tiles (src/main.rs:71-74)
+_DEMO_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".demo_tiles",
+)
+
+
+def demo_band():
+    import numpy as np
+
+    y = np.arange(DEMO_SIZE, dtype=np.int32)[:, None]
+    x = np.arange(DEMO_SIZE, dtype=np.int32)[None, :]
+    return 1000 * y + x
+
+
+def demo_geotransform(lat: int, lon: int):
+    """North-up 1°×1° tile scaled to DEMO_SIZE px; gt3 = top edge."""
+    return (float(lon), 1.0 / DEMO_SIZE, 0.0, float(lat + 1), 0.0, -1.0 / DEMO_SIZE)
+
+
+def ensure_demo_tiles(tif_dir: str = _DEMO_DIR, coords=DEMO_COORDS, size: int = DEMO_SIZE) -> str:
+    """Write demo tiles if absent (idempotent, like src/main.rs:144-146)."""
+    from aw3d30_parquet_spark.sources.tiff import encode_geotiff
+
+    os.makedirs(tif_dir, exist_ok=True)
+    band = demo_band() if size == DEMO_SIZE else None
+    if band is None:
+        import numpy as np
+
+        yy = np.arange(size, dtype=np.int32)[:, None]
+        xx = np.arange(size, dtype=np.int32)[None, :]
+        band = 1000 * yy + xx
+    for lat, lon in coords:
+        path = os.path.join(tif_dir, f"{tile_key(lat, lon)}.tif")
+        if not os.path.exists(path):
+            gt = (float(lon), 1.0 / size, 0.0, float(lat + 1), 0.0, -1.0 / size)
+            with open(path, "wb") as f:
+                f.write(encode_geotiff(band, gt))
+    return tif_dir
+
+
+def g01_geotiff_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile aggregate of the decoded demo tiles (ignores sf_dir —
+    the input is the raster fixture, not the relational testdata)."""
+    ensure_demo_tiles()
+    pts = read_tiles(spark, _DEMO_DIR, "netherlands")
+    return (
+        pts.groupBy("tile_lat", "tile_lon")
+        .agg(
+            F.count("*").alias("points"),
+            F.sum("elevation").alias("sum_elev"),
+            F.round(F.min("lat"), 2).alias("min_lat"),
+            F.round(F.max("lat"), 2).alias("max_lat"),
+            F.round(F.min("lon"), 2).alias("min_lon"),
+            F.round(F.max("lon"), 2).alias("max_lon"),
+        )
+        .orderBy("tile_lat", "tile_lon")
+    )
+
+
+# ramp sum: Σ(1000y+x) over 64×64 = 1000·2016·64 + 2016·64 = 129_153_024
+_G01_ROWS = ",\n".join(
+    f"  (CAST({la} AS INTEGER), CAST({lo} AS INTEGER), CAST(4096 AS BIGINT),"
+    f" CAST(129153024 AS BIGINT), CAST({la}.02 AS DOUBLE), CAST({la + 1}.0 AS DOUBLE),"
+    f" CAST({lo}.0 AS DOUBLE), CAST({lo}.98 AS DOUBLE))"
+    for la, lo in DEMO_COORDS
+)
+
+QUERIES = {"g01_geotiff_ingest": g01_geotiff_ingest}
+ORACLE_SQL = {
+    "g01_geotiff_ingest": f"""
+SELECT * FROM (VALUES
+{_G01_ROWS}
+) AS t(tile_lat, tile_lon, points, sum_elev, min_lat, max_lat, min_lon, max_lon)
+ORDER BY tile_lat, tile_lon
+"""
+}

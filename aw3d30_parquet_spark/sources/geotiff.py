@@ -1,0 +1,197 @@
+"""GeoTIFF tile ingest: the reference's entire capability, Spark-first.
+
+Reference pipeline (``src/main.rs``): list S3 keys (R1, ``:265-331``) →
+regex-parse tile coordinate from key (R2, ``:298``, ``:108-133``) → region
+predicate (R3, ``:68-88``) → download (R4, ``:136-161``) → flatten raster
+to ``(lat, lon, elevation)`` rows (R5, ``:172-191``) → one Parquet file
+per tile (R6, ``:193-225``).
+
+Spark mapping (SURVEY §1.3/§3.4): the *work list* is metadata (≤ 64 800
+one-degree tiles for the whole world — kilobytes, never data-plane), so
+region → key enumeration happens in plain Python, implementing the
+reference's own ``todo(mb)`` (``src/main.rs:299``: generate keys from the
+set instead of list-then-filter). The data plane is a ``binaryFile`` scan
+(one Spark task per tile, no shuffle anywhere in the pipeline) fused with
+a ``mapInPandas`` decode that yields bounded Arrow batches, then a
+partitioned Parquet sink. At 100 TB (~31 000 real tiles × 13M rows) this
+is a single embarrassingly-parallel stage: scan → decode → write, with
+partition pruning on ``tile_lat``/``tile_lon`` replacing the reference's
+filename-encoded partitioning.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Iterable, Iterator
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+from aw3d30_parquet_spark.sources.tiff import decode_geotiff, flatten_raster
+
+#: Key regex — byte-for-byte the reference's (``src/main.rs:298``), plus
+#: anchors so mutated keys ("ALPSMLC30_X051E004_DSM", truncations) reject
+#: exactly like the reference's TryFrom parse (``src/main.rs:131``).
+TILE_KEY_RE = re.compile(r"ALPSMLC30_(?P<y>[NS])(?P<lat>\d{3})(?P<x>[EW])(?P<lon>\d{3})_DSM")
+_TILE_STEM_RE = re.compile(r"^ALPSMLC30_(?P<y>[NS])(?P<lat>\d{3})(?P<x>[EW])(?P<lon>\d{3})_DSM$")
+
+#: Output schema of the flatten — the reference's fixed REQUIRED Parquet
+#: group schema (``src/main.rs:273-293``), plus the two tile partition
+#: columns (strictly better than the reference's name-encoded partitioning).
+POINT_SCHEMA = StructType(
+    [
+        StructField("tile_lat", IntegerType(), False),
+        StructField("tile_lon", IntegerType(), False),
+        StructField("lat", DoubleType(), False),
+        StructField("lon", DoubleType(), False),
+        StructField("elevation", IntegerType(), False),
+    ]
+)
+
+#: Region predicates over signed tile degrees — transliteration of
+#: ``Set::filter`` (``src/main.rs:68-88``). Signed form is equivalent to
+#: the reference's hemisphere-tagged ranges: Netherlands/France/Europe all
+#: require Lat::North, and "West(x) if x <= k OR East(x) if x <= m"
+#: is exactly lon ∈ [-k, m].
+REGION_SETS: dict[str, tuple[tuple[int, int], tuple[int, int]]] = {
+    "netherlands": ((50, 53), (3, 7)),
+    "france": ((42, 51), (-6, 9)),
+    "europe": ((23, 80), (-25, 49)),
+    "world": ((-90, 89), (-180, 179)),
+}
+
+
+def tile_key(lat: int, lon: int) -> str:
+    """Signed tile degrees → AW3D30 object-key stem (``N``/``E`` at 0)."""
+    if not (-90 <= lat <= 89 and -180 <= lon <= 179):
+        raise ValueError(f"tile out of range: ({lat}, {lon})")
+    ns = "N" if lat >= 0 else "S"
+    ew = "E" if lon >= 0 else "W"
+    return f"ALPSMLC30_{ns}{abs(lat):03d}{ew}{abs(lon):03d}_DSM"
+
+
+def parse_tile_key(key: str) -> tuple[int, int] | None:
+    """Key (or path containing one) → signed (lat, lon); None if malformed.
+
+    Mirrors the reference's parse-reject behavior (``src/main.rs:131``):
+    a key that doesn't match the pattern is silently excluded upstream.
+    """
+    m = TILE_KEY_RE.search(key)
+    if m is None:
+        return None
+    lat = int(m["lat"])
+    lon = int(m["lon"])
+    if lat > 90 or lon > 180:
+        return None
+    return (-lat if m["y"] == "S" else lat, -lon if m["x"] == "W" else lon)
+
+
+def in_region(set_name: str, lat: int, lon: int) -> bool:
+    """``Set::filter`` (``src/main.rs:68-88``) over signed tile degrees."""
+    (lat0, lat1), (lon0, lon1) = REGION_SETS[set_name]
+    return lat0 <= lat <= lat1 and lon0 <= lon <= lon1
+
+
+def tiles_for_set(set_name: str) -> list[tuple[int, int]]:
+    """Region → enumerated tile coordinates (implements the reference's
+    ``todo(mb)`` at ``src/main.rs:299``: generate the work list from the
+    set definition instead of list-then-filter).
+
+    ``world`` enumerates the full 1°×1° grid (64 800 keys) — the actual
+    AW3D30 catalog is land-only (~24 000 objects); fetch-time skip handles
+    the gaps, like the reference's per-object error path.
+    """
+    (lat0, lat1), (lon0, lon1) = REGION_SETS[set_name]
+    return [(lat, lon) for lat in range(lat0, lat1 + 1) for lon in range(lon0, lon1 + 1)]
+
+
+def keys_for_set(set_name: str, prefix: str = "AW3D30/AW3D30_global/") -> list[str]:
+    """Region → full object keys (``{prefix}{stem}.tif``)."""
+    return [f"{prefix}{tile_key(la, lo)}.tif" for la, lo in tiles_for_set(set_name)]
+
+
+def _decode_partition(batches: Iterable, chunk_rows: int) -> Iterator:
+    """mapInPandas kernel: (path, content) rows → point-table Arrow batches.
+
+    One input row per tile file; output yielded in ≤ chunk_rows batches so
+    a 3600² tile (13M rows ≈ 260 MB) never materializes at once
+    (SURVEY §7.3 item 2). All math is vectorized numpy — the JVM↔Python
+    boundary carries only columnar Arrow buffers.
+    """
+    import pandas as pd
+
+    for pdf in batches:
+        for path, content in zip(pdf["path"], pdf["content"]):
+            coord = parse_tile_key(os.path.basename(str(path)))
+            if coord is None:  # malformed key: reject like src/main.rs:131
+                continue
+            band, gt = decode_geotiff(bytes(content))
+            for lat, lon, elev in flatten_raster(band, gt, chunk_rows):
+                yield pd.DataFrame(
+                    {
+                        "tile_lat": np.full(len(lat), coord[0], dtype="int32"),
+                        "tile_lon": np.full(len(lat), coord[1], dtype="int32"),
+                        "lat": lat,
+                        "lon": lon,
+                        "elevation": elev.astype("int32"),
+                    }
+                )
+
+
+
+def read_tiles(
+    spark: SparkSession,
+    tif_dir: str,
+    set_name: str = "world",
+    chunk_rows: int = 512_000,
+    exclude_tiles: Iterable[tuple[int, int]] = (),
+) -> DataFrame:
+    """Scan a directory of ``ALPSMLC30_*.tif`` tiles → point DataFrame.
+
+    Plan shape: ``binaryFile`` scan (with ``pathGlobFilter`` so non-tile
+    files never load) → *file-level* region pruning on the parsed key —
+    the Spark analogue of the reference applying R2+R3 during the S3
+    listing (``src/main.rs:316-321``), before any byte of raster data is
+    read — → fused ``mapInPandas`` decode. No shuffle; one task per tile.
+    """
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "ALPSMLC30_*_DSM.tif")
+        .load(tif_dir)
+        .select("path", "content")
+    )
+    # Region predicate on the key, evaluated on file metadata (cheap,
+    # JVM-side) — mirrors list-time filtering in the reference. Java-regex
+    # variant of TILE_KEY_RE (positional groups; Java lacks (?P<name>)).
+    jpat = r"ALPSMLC30_([NS])(\d{3})([EW])(\d{3})_DSM"
+    (lat0, lat1), (lon0, lon1) = REGION_SETS[set_name]
+    path = F.col("path")
+    sign_lat = F.when(F.regexp_extract(path, jpat, 1) == "S", -1).otherwise(1)
+    sign_lon = F.when(F.regexp_extract(path, jpat, 3) == "W", -1).otherwise(1)
+    key_lat = sign_lat * F.regexp_extract(path, jpat, 2).cast("int")
+    key_lon = sign_lon * F.regexp_extract(path, jpat, 4).cast("int")
+    files = files.filter(
+        (F.regexp_extract(path, jpat, 0) != "")
+        & key_lat.between(lat0, lat1)
+        & key_lon.between(lon0, lon1)
+    )
+    # Skip-if-exists subtraction, still at the file level (before any
+    # raster byte is decoded) — the reference's idempotency check
+    # (src/main.rs:144-146,171) lifted into the scan's metadata filter.
+    exclude = {la * 1000 + lo for la, lo in exclude_tiles}
+    if exclude:
+        files = files.filter(
+            ~(key_lat.cast("long") * 1000 + key_lon).isin(sorted(exclude))
+        )
+    return files.mapInPandas(
+        lambda it: _decode_partition(it, chunk_rows), schema=POINT_SCHEMA
+    )

@@ -1,0 +1,237 @@
+"""G-tests: GeoTIFF ingest (SURVEY §5.2) + codec/affine property tests.
+
+Oracle is analytic: fixture tiles carry a deterministic elevation ramp
+(``1000*y + x`` with pinned extremes — FIXTURES.md §B), so every output
+row ``(lat, lon, elevation)`` is computable in closed form with numpy.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aw3d30_parquet_spark.sources.geotiff import (
+    REGION_SETS,
+    in_region,
+    parse_tile_key,
+    read_tiles,
+    tile_key,
+    tiles_for_set,
+)
+from aw3d30_parquet_spark.sources.sink import existing_tiles, ingest_tiles, write_tiles
+from aw3d30_parquet_spark.sources.tiff import (
+    decode_geotiff,
+    encode_geotiff,
+    flatten_raster,
+)
+
+SIZE = 64  # 64×64 fixture tiles (FIXTURES.md §B), not 3600² — speed
+
+
+def _fixture_band() -> np.ndarray:
+    band = (1000 * np.arange(SIZE)[:, None] + np.arange(SIZE)[None, :]).astype(np.int32)
+    band[0, 0] = -9999  # pinned extremes: void value and a high peak
+    band[SIZE - 1, SIZE - 1] = 8848
+    return band
+
+
+def _gt(lat: int, lon: int):
+    # north-up 1° tile scaled to SIZE px; gt3 is the tile's top edge
+    return (float(lon), 1.0 / SIZE, 0.0, float(lat + 1), 0.0, -1.0 / SIZE)
+
+
+def _write_fixture_tiles(tif_dir, coords):
+    band = _fixture_band()
+    for lat, lon in coords:
+        path = os.path.join(tif_dir, f"{tile_key(lat, lon)}.tif")
+        with open(path, "wb") as f:
+            f.write(encode_geotiff(band, _gt(lat, lon)))
+
+
+FIXTURE_COORDS = [(51, 4), (52, 5), (-10, -60), (0, 0)]
+
+
+@pytest.fixture(scope="module")
+def tif_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiles")
+    _write_fixture_tiles(str(d), FIXTURE_COORDS)
+    # decoys that must be ignored by pathGlobFilter / key parse
+    (d / "README.txt").write_text("not a tile")
+    (d / "ALPSMLC30_X051E004_DSM.tif").write_bytes(b"malformed key, bad magic")
+    return str(d)
+
+
+# ---------------------------------------------------------------- G1: decode golden
+
+
+def test_g1_decode_golden(spark, tif_dir):
+    """Full analytic check of one decoded tile: every (lat, lon, elevation)."""
+    df = read_tiles(spark, tif_dir, "netherlands").filter("tile_lat = 51")
+    pdf = df.toPandas().sort_values(["lat", "lon"], ignore_index=True)
+    assert len(pdf) == SIZE * SIZE
+
+    band = _fixture_band()
+    y, x = np.mgrid[0:SIZE, 0:SIZE]
+    exp_lon = 4.0 + x / SIZE
+    exp_lat = 52.0 - y / SIZE  # gt3 = lat+1, negative y step
+    exp = np.rec.fromarrays(
+        [exp_lat.ravel(), exp_lon.ravel(), band.ravel()], names="lat,lon,elevation"
+    )
+    exp.sort(order=["lat", "lon"])
+    np.testing.assert_array_equal(pdf["lat"].to_numpy(), exp.lat)
+    np.testing.assert_array_equal(pdf["lon"].to_numpy(), exp.lon)
+    np.testing.assert_array_equal(pdf["elevation"].to_numpy(), exp.elevation)
+    # pinned extremes: void at (0,0); ramp max at (63,62) since (63,63)=8848
+    assert pdf["elevation"].min() == -9999 and pdf["elevation"].max() == 63062
+
+
+def test_g1_schema_non_null(spark, tif_dir):
+    df = read_tiles(spark, tif_dir, "netherlands")
+    assert [f.name for f in df.schema.fields] == [
+        "tile_lat",
+        "tile_lon",
+        "lat",
+        "lon",
+        "elevation",
+    ]
+    assert df.filter("lat IS NULL OR lon IS NULL OR elevation IS NULL").count() == 0
+
+
+# ---------------------------------------------------------------- G2: idempotent sink
+
+
+def test_g2_idempotent_ingest(spark, tif_dir, tmp_path):
+    out = str(tmp_path / "points")
+    first = ingest_tiles(spark, tif_dir, out, "netherlands")
+    assert sorted(first) == [(51, 4), (52, 5)]
+    assert existing_tiles(out) == {(51, 4), (52, 5)}
+
+    snapshot = {
+        os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(out)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    second = ingest_tiles(spark, tif_dir, out, "netherlands")
+    assert second == []  # zero new work, mirrors src/main.rs:144-146,171
+    after = {
+        os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(out)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert after == snapshot  # no file rewritten
+
+    # partition pruning works on the produced layout
+    got = spark.read.parquet(out).filter("tile_lat = 51 AND tile_lon = 4")
+    assert got.count() == SIZE * SIZE
+
+
+def test_g2_partial_resume(spark, tif_dir, tmp_path):
+    """Pre-existing partition is skipped; only missing tiles are decoded."""
+    out = str(tmp_path / "points")
+    df = read_tiles(spark, tif_dir, "netherlands").filter("tile_lat = 51")
+    write_tiles(df, out)
+    assert existing_tiles(out) == {(51, 4)}
+    ingested = ingest_tiles(spark, tif_dir, out, "netherlands")
+    assert sorted(ingested) == [(52, 5)]
+    assert spark.read.parquet(out).count() == 2 * SIZE * SIZE
+
+
+# ---------------------------------------------------------------- G3: region filter
+
+
+def test_g3_region_filter(spark, tif_dir):
+    """Netherlands predicate keeps exactly the 2 in-region fixture tiles."""
+    tiles = (
+        read_tiles(spark, tif_dir, "netherlands")
+        .select("tile_lat", "tile_lon")
+        .distinct()
+        .collect()
+    )
+    assert sorted((r.tile_lat, r.tile_lon) for r in tiles) == [(51, 4), (52, 5)]
+
+
+def test_g3_world_reads_all_valid(spark, tif_dir):
+    tiles = (
+        read_tiles(spark, tif_dir, "world").select("tile_lat", "tile_lon").distinct().collect()
+    )
+    assert sorted((r.tile_lat, r.tile_lon) for r in tiles) == sorted(FIXTURE_COORDS)
+
+
+def test_region_set_semantics():
+    """Transliteration check against Set::filter (src/main.rs:68-88)."""
+    assert in_region("netherlands", 51, 4) and not in_region("netherlands", 51, 8)
+    assert in_region("france", 45, -6) and in_region("france", 45, 9)
+    assert not in_region("france", 45, -7) and not in_region("france", 41, 0)
+    assert in_region("europe", 23, -25) and in_region("europe", 80, 49)
+    assert not in_region("europe", 22, 0) and not in_region("europe", 50, 50)
+    assert in_region("world", -90, -180)
+    # netherlands = 4 lats × 5 lons
+    assert len(tiles_for_set("netherlands")) == 20
+    assert all(in_region("netherlands", la, lo) for la, lo in tiles_for_set("netherlands"))
+
+
+# ---------------------------------------------------------------- g01 contract
+
+
+def test_g01_ingest_oracle(spark, duck_t2):
+    """Driver-contract ingest query hash-matches its constant oracle."""
+    from aw3d30_parquet_spark.oracle import compare
+    from aw3d30_parquet_spark.sources import demo
+
+    df = demo.g01_geotiff_ingest(spark, "/root/testdata/sf0.01")
+    ok, h1, h2 = compare(df, duck_t2, demo.ORACLE_SQL["g01_geotiff_ingest"])
+    assert ok, (h1, h2)
+
+
+# ---------------------------------------------------------------- property tests
+
+
+@given(lat=st.integers(-90, 89), lon=st.integers(-180, 179))
+def test_key_codec_roundtrip(lat, lon):
+    assert parse_tile_key(tile_key(lat, lon)) == (lat, lon)
+
+
+@given(st.text(min_size=0, max_size=40))
+def test_key_parse_rejects_garbage(s):
+    got = parse_tile_key(s)
+    if got is not None:  # anything accepted must be a valid in-range tile
+        la, lo = got
+        assert -90 <= la <= 90 and -180 <= lo <= 180
+
+
+@pytest.mark.parametrize(
+    "bad",
+    ["ALPSMLC30_X051E004_DSM", "ALPSMLC30_N51E004_DSM", "ALPSMLC30_N051E004", "N051E004"],
+)
+def test_key_parse_rejects_malformed(bad):
+    assert parse_tile_key(bad) is None
+
+
+@settings(deadline=None, max_examples=25)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    lat=st.integers(-90, 89),
+    lon=st.integers(-180, 179),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_tiff_roundtrip_and_affine_inverse(h, w, lat, lon, seed):
+    rng = np.random.default_rng(seed)
+    band = rng.integers(-(2**31), 2**31 - 1, size=(h, w), dtype=np.int32)
+    gt = _gt(lat, lon)
+    got_band, got_gt = decode_geotiff(encode_geotiff(band, gt))
+    np.testing.assert_array_equal(band, got_band)
+    assert np.allclose(got_gt, gt)
+    # forward affine then inverse recovers integer pixel indices exactly
+    lats, lons, elevs = (np.concatenate(c) for c in zip(*flatten_raster(band, gt, 128)))
+    x_back = np.rint((lons - gt[0]) / gt[1]).astype(int)
+    y_back = np.rint((lats - gt[3]) / gt[5]).astype(int)
+    np.testing.assert_array_equal(elevs, band[y_back, x_back])
+    np.testing.assert_array_equal(y_back, np.repeat(np.arange(h), w))
+    np.testing.assert_array_equal(x_back, np.tile(np.arange(w), h))
