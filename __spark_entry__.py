@@ -47,6 +47,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from aw3d30_parquet_spark.sources import demo
 
     out.update(demo.QUERIES)
+
+    from aw3d30_parquet_spark.streaming import events as streaming_events
+
+    out.update(streaming_events.QUERIES)
     return out
 
 
@@ -65,4 +69,8 @@ def oracle_sql() -> dict[str, str]:
     from aw3d30_parquet_spark.sources import demo
 
     out.update(demo.ORACLE_SQL)
+
+    from aw3d30_parquet_spark.streaming import events as streaming_events
+
+    out.update(streaming_events.ORACLE_SQL)
     return out

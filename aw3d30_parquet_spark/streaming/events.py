@@ -1,0 +1,238 @@
+"""Event-stream operators: replay source, windows, watermark, dedup.
+
+The reference is a batch pipeline — its only "streaming" is download/
+convert overlap (reference ``src/main.rs:333-349``). The engine mandate
+(SURVEY §2.2 "Streaming") adds real event-stream processing over the
+driver's ``events`` table (event-time column ``ts``).
+
+Design: every operator is a pure DataFrame→DataFrame function that works
+identically on a batch or streaming input — the *same code* is the
+batch oracle and the streaming query, so the S-tests verify
+stream↔batch equivalence directly (SURVEY §5.2 S1–S4).
+
+Replay source: the events table re-written as N ts-ordered Parquet
+chunks consumed by ``readStream`` with ``maxFilesPerTrigger=1`` — each
+chunk is one micro-batch, giving deterministic arrival order for
+watermark tests. At production scale the same operators sit on a Kafka/
+file-arrival source unchanged; state size is bounded by the watermark
+(late rows beyond it are dropped, state for closed windows evicted).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aw3d30_parquet_spark.session import register_views
+
+#: Post-conversion schema of the events view (nanos already truncated to
+#: micros TIMESTAMP_NTZ by session.register_views — never read the raw
+#: parquet here, its TIMESTAMP(NANOS) needs the legacy conf).
+_EVENTS_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def stage_event_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    stage_dir: str,
+    n_chunks: int = 8,
+    duplicate_every: int = 0,
+) -> None:
+    """Materialize ``events`` as ``n_chunks`` ts-ordered Parquet files.
+
+    Chunk k holds the k-th contiguous ts-range slice, written one file
+    per chunk with strictly increasing mtimes so the file stream source
+    replays them in event-time order. ``duplicate_every > 0`` re-appends
+    every k-th row of each chunk (intra- and cross-batch duplicates for
+    the stateful-dedup test S4).
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    register_views(spark, sf_dir)
+    events = spark.table("events").orderBy("ts", "event_id")
+    pdf = events.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    os.makedirs(stage_dir, exist_ok=True)
+    size = (len(pdf) + n_chunks - 1) // n_chunks
+    t0 = 1_700_000_000  # synthetic arrival clock: chunk k arrives at t0+k
+    prev = None
+    for k in range(n_chunks):
+        chunk = pdf.iloc[k * size : (k + 1) * size]
+        if chunk.empty:
+            continue
+        if duplicate_every:
+            # intra-batch dups from this chunk + cross-batch dups from the
+            # previous chunk (exercises state carried across micro-batches)
+            dups = [chunk.iloc[::duplicate_every]]
+            if prev is not None:
+                dups.append(prev.iloc[::duplicate_every])
+            chunk = pd.concat([chunk, *dups], ignore_index=True)
+            prev = pdf.iloc[k * size : (k + 1) * size]
+        path = os.path.join(stage_dir, f"chunk-{k:04d}.parquet")
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), path)
+        os.utime(path, (t0 + k, t0 + k))
+
+
+def read_event_stream(spark: SparkSession, stage_dir: str, sf_dir: str) -> DataFrame:
+    """File-replay streaming DataFrame with event-time ``ts``."""
+    register_views(spark, sf_dir)
+    schema = spark.table("events").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(os.path.join(stage_dir, "*.parquet"))
+        .select(*_EVENTS_COLS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stream/batch-agnostic operators (the S-test contract: same fn, both modes)
+# ---------------------------------------------------------------------------
+
+
+def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """S1: tumbling event-time window — count + value sum per window."""
+    return (
+        events.groupBy(F.window("ts", duration), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("window.start").alias("w_start"),
+            "event_type",
+            "cnt",
+            "total",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, duration: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    """S2: sliding window — each event lands in duration/slide windows."""
+    return (
+        events.groupBy(F.window("ts", duration, slide))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("window.start").alias("w_start"), "cnt")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """S3: session windows per user (gap-based, data-driven extent)."""
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("session_window.start").alias("s_start"),
+            F.col("session_window.end").alias("s_end"),
+            "user_id",
+            "cnt",
+        )
+    )
+
+
+def windowed_counts_with_watermark(
+    events: DataFrame, duration: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """S3b: watermarked tumbling agg — rows later than the watermark are
+    dropped and closed-window state is evicted (bounded state at scale).
+
+    Watermarks require TIMESTAMP (not NTZ); with the session timezone
+    pinned to UTC the cast is a deterministic reinterpretation, applied
+    identically in batch and stream mode so equivalence is preserved.
+    """
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("window.start").alias("w_start"), "cnt")
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """S4: stateful exact dedup on event_id; watermark bounds the state
+    (an id seen again within the horizon is suppressed). TIMESTAMP cast
+    as in :func:`windowed_counts_with_watermark`."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["event_id"])
+    )
+
+
+def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream⋈static enrichment: events joined to the customer dimension.
+
+    The static side is broadcast per micro-batch (small dim), so the
+    stream never shuffles — the standard scale pattern for dimension
+    enrichment.
+    """
+    dim = F.broadcast(customer.select("c_custkey", "c_name", "c_mktsegment"))
+    return events.join(dim, events.user_id == dim.c_custkey, "inner").select(
+        "event_id", "ts", "user_id", "event_type", "value", "c_name", "c_mktsegment"
+    )
+
+
+def session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: per-user session windows (10-minute gap),
+    batch form of :func:`session_counts` over the events view.
+
+    The DuckDB oracle reimplements ``session_window`` relationally
+    (gaps-and-islands: a new session starts when the gap to the previous
+    event is ≥ the timeout; window end = last ts + timeout) — an
+    independent derivation of the same semantics, not a dialect copy.
+    """
+    register_views(spark, sf_dir)
+    return (
+        session_counts(spark.table("events"), gap="10 minutes")
+        .orderBy("user_id", "s_start")
+        .select("user_id", "s_start", "s_end", "cnt")
+    )
+
+
+QUERIES = {"s01_session_windows": session_windows_batch}
+ORACLE_SQL = {
+    "s01_session_windows": """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   < INTERVAL '10' MINUTE
+              THEN 0 ELSE 1 END AS new_s
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts) AS s_start,
+       max(ts) + INTERVAL '10' MINUTE AS s_end,
+       count(*) AS cnt
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, s_start
+"""
+}
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Drain a streaming DataFrame into the in-memory sink (availableNow:
+    process every staged file as micro-batches, then stop)."""
+    writer = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()

@@ -1,0 +1,138 @@
+"""S-tests: stream↔batch equivalence (SURVEY §5.2 S1–S4).
+
+Every operator is a mode-agnostic DataFrame function, so the oracle for
+a streaming run is the *same function* applied to the same rows as one
+batch (DuckDB has no streaming — SURVEY §2.3 exclusions). The replay
+source feeds ts-ordered chunks as one micro-batch each.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from aw3d30_parquet_spark.oracle import canonical_hash
+from aw3d30_parquet_spark.session import register_views
+from aw3d30_parquet_spark.streaming.events import (
+    dedup_events,
+    read_event_stream,
+    run_to_memory,
+    session_counts,
+    sliding_counts,
+    stage_event_chunks,
+    stream_static_join,
+    tumbling_counts,
+    windowed_counts_with_watermark,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stage_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    stage_event_chunks(spark, SF, d, n_chunks=8)
+    return d
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    register_views(spark, SF)
+    return spark.table("events")
+
+
+def _assert_stream_matches_batch(spark, stage_dir, op, name, batch_df):
+    stream_res = op(read_event_stream(spark, stage_dir, SF))
+    run_to_memory(stream_res, name, output_mode="complete")
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    want = op(batch_df).toPandas()
+    assert len(got) == len(want) > 0
+    assert canonical_hash(got) == canonical_hash(want)
+
+
+def test_s1_tumbling(spark, stage_dir, batch_events):
+    _assert_stream_matches_batch(spark, stage_dir, tumbling_counts, "s1_tbl", batch_events)
+
+
+def test_s2_sliding(spark, stage_dir, batch_events):
+    _assert_stream_matches_batch(spark, stage_dir, sliding_counts, "s2_tbl", batch_events)
+
+
+def test_s3_session(spark, stage_dir, batch_events):
+    _assert_stream_matches_batch(spark, stage_dir, session_counts, "s3_tbl", batch_events)
+
+
+def test_s3b_watermark_drops_late(spark, tmp_path, batch_events):
+    """A row arriving far behind the watermark is dropped from its
+    (already closed) window; on-time windows match batch exactly."""
+    import os
+    import shutil
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "late_stream")
+    stage_event_chunks(spark, SF, d, n_chunks=4)
+    # late straggler: a copy of the earliest event (ts ≈ 29 days before
+    # the stream's max) arriving after everything else
+    first = batch_events.orderBy("ts").limit(1).toPandas()
+    first["ts"] = first["ts"].astype("datetime64[us]")
+    first["event_id"] = 10_000_001
+    late_path = os.path.join(d, "chunk-9999.parquet")
+    pq.write_table(pa.Table.from_pandas(first, preserve_index=False), late_path)
+    os.utime(late_path, (1_700_000_100, 1_700_000_100))
+
+    res = windowed_counts_with_watermark(read_event_stream(spark, d, SF))
+    run_to_memory(res, "s3b_tbl", output_mode="append")
+    got = spark.sql("SELECT * FROM s3b_tbl").toPandas()
+
+    # batch over ON-TIME rows only, restricted to the windows the stream
+    # closed (append mode emits exactly the windows below the final
+    # watermark — the last in-flight window stays open)
+    want_all = windowed_counts_with_watermark(batch_events).toPandas()
+    emitted = set(got["w_start"])
+    want = want_all[want_all["w_start"].isin(emitted)]
+    assert len(got) > 0
+    assert canonical_hash(got) == canonical_hash(want)
+    # the late row's window was emitted WITHOUT the late contribution
+    late_w = want_all["w_start"].min()
+    assert late_w in emitted
+    on_time_cnt = int(want_all.loc[want_all["w_start"] == late_w, "cnt"].iloc[0])
+    got_cnt = int(got.loc[got["w_start"] == late_w, "cnt"].iloc[0])
+    assert got_cnt == on_time_cnt  # i.e. the +1 straggler never landed
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_s4_stateful_dedup(spark, tmp_path, batch_events):
+    """Exact duplicates injected intra- and cross-micro-batch are all
+    suppressed; surviving rows equal the batch-distinct relation."""
+    d = str(tmp_path / "dup_stream")
+    stage_event_chunks(spark, SF, d, n_chunks=6, duplicate_every=5)
+    res = dedup_events(read_event_stream(spark, d, SF), watermark="60 days")
+    run_to_memory(res, "s4_tbl", output_mode="append")
+    got = spark.sql("SELECT * FROM s4_tbl").toPandas()
+    want = batch_events.toPandas()
+    assert len(got) == len(want)  # every injected duplicate suppressed
+    assert canonical_hash(got) == canonical_hash(want)
+
+
+def test_s01_session_windows_oracle(spark, duck_t2):
+    """Batch session-window query hash-matches the gaps-and-islands
+    relational oracle (independent derivation of session semantics)."""
+    from aw3d30_parquet_spark.oracle import compare
+    from aw3d30_parquet_spark.streaming import events as se
+
+    df = se.session_windows_batch(spark, "/root/testdata/sf0.01")
+    ok, h1, h2 = compare(df, duck_t2, se.ORACLE_SQL["s01_session_windows"])
+    assert ok, (h1, h2)
+
+
+def test_s5_stream_static_join(spark, stage_dir, batch_events):
+    register_views(spark, SF)
+    customer = spark.table("customer")
+    res = stream_static_join(read_event_stream(spark, stage_dir, SF), customer)
+    run_to_memory(res, "s5_tbl", output_mode="append")
+    got = spark.sql("SELECT * FROM s5_tbl").toPandas()
+    want = stream_static_join(batch_events, customer).toPandas()
+    assert len(got) == len(want) > 0
+    assert canonical_hash(got) == canonical_hash(want)
