@@ -1,0 +1,314 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Pattern (SURVEY §2.2 "Multimodal columns", same plumbing as the GeoTIFF
+ingest): media travels as a ``BinaryType`` column; decode /
+feature-extract / resize / frame-sample run as vectorized kernels inside
+``mapInPandas`` so only Arrow buffers cross the JVM↔Python boundary, and
+every operator stays a shuffle-free map stage (at 100 TB: one task per
+input split, no driver involvement, no Python round-trips per row).
+
+Container formats: real image/audio/video codecs are not installed in
+this container, so decoding is a registry keyed on the payload's magic
+bytes:
+
+- ``RAW0``/``PCM0``/``VID0`` — a self-describing 16-byte-header format
+  (defined here) that the fabricator emits; decode/resize/frame-sample
+  are REAL numpy implementations over these bytes;
+- anything else (JPEG/PNG/WAV/MP4 …) — a clearly-marked stub raising
+  ``NotImplementedError`` listing the library that would handle it
+  (PIL / soundfile / av); the Spark-side plumbing is identical.
+
+Media is fabricated deterministically from ``documents.doc_id`` (the
+driver's table), which makes the decoded-metadata aggregate (m01)
+SQL-derivable: the oracle recomputes sizes from the same arithmetic —
+the Spark side must parse them back out of the binary headers to match.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterable, Iterator
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from aw3d30_parquet_spark.session import register_views
+
+_MAGIC_IMAGE = b"RAW0"
+_MAGIC_AUDIO = b"PCM0"
+_MAGIC_VIDEO = b"VID0"
+_HEADER_FMT = "<4sIII"  # magic, a, b, c (semantics per kind)
+_HEADER_SIZE = struct.calcsize(_HEADER_FMT)
+
+
+def _pack_header(magic: bytes, a: int, b: int, c: int) -> bytes:
+    # plain function (not a cached struct.Struct): nested mapInPandas
+    # kernels capture referenced globals by value, and Struct objects
+    # don't pickle
+    return struct.pack(_HEADER_FMT, magic, a, b, c)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload_bytes", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("intensity", DoubleType(), True),  # mean pixel / RMS
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame", BinaryType(), False),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fabrication (media params are pure functions of doc_id —
+# mirrored by the m01 oracle SQL; keep both in sync)
+# ---------------------------------------------------------------------------
+
+
+def media_params(doc_id: int) -> dict:
+    kind = ("image", "audio", "video")[doc_id % 3]
+    p: dict = {"kind": kind, "seed": doc_id % 256}
+    if kind == "image":
+        p.update(
+            width=16 + (doc_id % 8) * 4,
+            height=12 + (doc_id % 5) * 4,
+            channels=1 + (doc_id % 2),
+        )
+    elif kind == "audio":
+        p.update(sample_rate=8000 + (doc_id % 4) * 4000, n_samples=256 + (doc_id % 10) * 64)
+    else:
+        p.update(width=16 + (doc_id % 4) * 8, height=16, n_frames=4 + doc_id % 6)
+    return p
+
+
+def _fabricate_payload(doc_id: int) -> bytes:
+    p = media_params(doc_id)
+    s = p["seed"]
+    if p["kind"] == "image":
+        n = p["width"] * p["height"] * p["channels"]
+        head = _pack_header(_MAGIC_IMAGE, p["width"], p["height"], p["channels"])
+        return head + (((s + np.arange(n)) % 256).astype(np.uint8)).tobytes()
+    if p["kind"] == "audio":
+        n = p["n_samples"]
+        head = _pack_header(_MAGIC_AUDIO, p["sample_rate"], n, 0)
+        return head + (((s + np.arange(n)) % 4096 - 2048).astype("<i2")).tobytes()
+    n = p["width"] * p["height"] * p["n_frames"]
+    head = _pack_header(_MAGIC_VIDEO, p["width"], p["height"], p["n_frames"])
+    return head + (((s + np.arange(n)) % 256).astype(np.uint8)).tobytes()
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → media table (media_id, kind, payload binary)."""
+    register_views(spark, sf_dir)
+    ids = spark.table("documents").select(F.col("doc_id").alias("media_id"))
+
+    def fabricate(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            mids = pdf["media_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "kind": [media_params(int(i))["kind"] for i in mids],
+                    "payload": [_fabricate_payload(int(i)) for i in mids],
+                }
+            )
+
+    return ids.mapInPandas(fabricate, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Decode registry (magic → kernel); unknown formats raise, clearly marked
+# ---------------------------------------------------------------------------
+
+
+def decode_payload(payload: bytes) -> tuple[str, dict, np.ndarray]:
+    """Binary payload → (kind, metadata, sample array). REAL for the RAW
+    container family; stub for standard codecs (libs absent here)."""
+    magic, a, b, c = struct.unpack_from(_HEADER_FMT, payload, 0)
+    body = payload[_HEADER_SIZE:]
+    if magic == _MAGIC_IMAGE:
+        arr = np.frombuffer(body, np.uint8, a * b * c).reshape(b, a, c)
+        return "image", {"width": a, "height": b, "channels": c}, arr
+    if magic == _MAGIC_AUDIO:
+        arr = np.frombuffer(body, "<i2", b)
+        return "audio", {"sample_rate": a, "n_samples": b}, arr
+    if magic == _MAGIC_VIDEO:
+        arr = np.frombuffer(body, np.uint8, a * b * c).reshape(c, b, a)
+        return "video", {"width": a, "height": b, "n_frames": c}, arr
+    # STUB: real-world codecs need PIL (image) / soundfile (audio) /
+    # av (video), none of which are installed in this container.
+    raise NotImplementedError(
+        f"no decoder for magic {magic!r}: install PIL/soundfile/av and "
+        "register a kernel in decode_payload"
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract: one output row per media row.
+
+    Map-only stage; batch shape preserved (one pandas frame in → one
+    out), so Arrow batch sizing (spark.sql.execution.arrow.
+    maxRecordsPerBatch) fully controls peak memory.
+    """
+
+    def kernel(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in FEATURE_SCHEMA.fieldNames()}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                kind, meta, arr = decode_payload(bytes(payload))
+                out["media_id"].append(int(mid))
+                out["kind"].append(kind)
+                out["payload_bytes"].append(len(payload))
+                out["width"].append(meta.get("width"))
+                out["height"].append(meta.get("height"))
+                out["channels"].append(meta.get("channels"))
+                out["sample_rate"].append(meta.get("sample_rate"))
+                out["n_samples"].append(meta.get("n_samples"))
+                out["n_frames"].append(meta.get("n_frames"))
+                if kind == "audio":
+                    x = arr.astype(np.float64)
+                    out["intensity"].append(float(np.sqrt(np.mean(x * x))))
+                else:
+                    out["intensity"].append(float(arr.mean()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Nearest-neighbor resize of image payloads (non-images dropped).
+    Real numpy implementation — index-map resampling, re-encoded RAW0."""
+
+    def kernel(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                kind, meta, arr = decode_payload(bytes(payload))
+                if kind != "image":
+                    continue
+                ys = (np.arange(height) * meta["height"] // height).astype(np.intp)
+                xs = (np.arange(width) * meta["width"] // width).astype(np.intp)
+                resized = arr[ys][:, xs]
+                head = _pack_header(_MAGIC_IMAGE, width, height, meta["channels"])
+                rows["media_id"].append(int(mid))
+                rows["kind"].append("image")
+                rows["payload"].append(head + resized.tobytes())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Video frame sampling — a UDTF (1 row → n_frames/k rows), the same
+    generator shape as the GeoTIFF flatten (SURVEY §2.2 R5)."""
+
+    def kernel(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "frame": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                kind, meta, arr = decode_payload(bytes(payload))
+                if kind != "video":
+                    continue
+                for idx in range(0, meta["n_frames"], every_k):
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(idx)
+                    rows["frame"].append(arr[idx].tobytes())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract query: decoded-header metadata aggregate, SQL oracle
+# ---------------------------------------------------------------------------
+
+
+def m01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fabricate → decode → per-kind aggregate. The Spark side reads
+    sizes out of the binary headers it decoded; the oracle recomputes
+    them arithmetically from doc_id (media_params mirrored in SQL)."""
+    feats = extract_features(media_table(spark, sf_dir))
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("payload_bytes").alias("total_bytes"),
+            F.round(
+                F.avg(F.coalesce(F.col("width"), F.col("n_samples"))), 2
+            ).alias("avg_dim"),
+        )
+        .orderBy("kind")
+    )
+
+
+#: media_params / _fabricate_payload expressed arithmetically. Payload
+#: bytes: image 16 + w·h·c; audio 16 + 2·n; video 16 + w·h·f.
+_M01_ORACLE = """
+WITH params AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         16 + (doc_id % 8) * 4 AS img_w,
+         12 + (doc_id % 5) * 4 AS img_h,
+         1 + (doc_id % 2)      AS img_c,
+         256 + (doc_id % 10) * 64 AS aud_n,
+         16 + (doc_id % 4) * 8 AS vid_w,
+         4 + doc_id % 6        AS vid_f
+  FROM documents
+), sized AS (
+  SELECT kind,
+         CASE kind
+           WHEN 'image' THEN 16 + img_w * img_h * img_c
+           WHEN 'audio' THEN 16 + 2 * aud_n
+           ELSE 16 + vid_w * 16 * vid_f
+         END AS payload_bytes,
+         CASE kind WHEN 'audio' THEN aud_n
+                   WHEN 'image' THEN img_w ELSE vid_w END AS dim
+  FROM params
+)
+SELECT kind, count(*) AS cnt,
+       CAST(sum(payload_bytes) AS BIGINT) AS total_bytes,
+       round(avg(CAST(dim AS DOUBLE)), 2) AS avg_dim
+FROM sized GROUP BY kind ORDER BY kind
+"""
+
+QUERIES = {"m01_media_metadata": m01_media_metadata}
+ORACLE_SQL = {"m01_media_metadata": _M01_ORACLE}
