@@ -131,7 +131,11 @@ def _fabricate_payload(doc_id: int) -> bytes:
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → media table (media_id, kind, payload binary)."""
     register_views(spark, sf_dir)
-    ids = spark.table("documents").select(F.col("doc_id").alias("media_id"))
+    from aw3d30_parquet_spark.session import spread
+
+    # fabrication + downstream decode are compute-bound Python kernels:
+    # fan the single-split scan out to all cores (no-op at real scale)
+    ids = spread(spark.table("documents").select(F.col("doc_id").alias("media_id")))
 
     def fabricate(batches: Iterable) -> Iterator:
         import pandas as pd

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aw3d30_parquet_spark.session import register_views
+from aw3d30_parquet_spark.session import register_views, spread
 
 #: Tiny per-language stopword profiles for the heuristic language-ID.
 #: Deterministic, dependency-free; tie order pinned (list order wins).
@@ -37,7 +37,9 @@ BPE_ISH_PATTERN = r"\w+|[^\w\s]"
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    return spark.table("documents")
+    # expensive per-row kernels downstream: fan the (single-split)
+    # scan out to all cores; no-op when splits >= parallelism
+    return spread(spark.table("documents"))
 
 
 def _tokens(col):

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from aw3d30_parquet_spark.session import register_views
+from aw3d30_parquet_spark.session import register_views, spread
 
 DEFAULT_K = 5
 DEFAULT_N_QUERIES = 20
@@ -25,7 +25,9 @@ DEFAULT_N_QUERIES = 20
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    return spark.table("embeddings")
+    # expensive per-row kernels downstream: fan the (single-split)
+    # scan out to all cores; no-op when splits >= parallelism
+    return spread(spark.table("embeddings"))
 
 
 def embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,14 +93,23 @@ def ann_topk_bruteforce(
 
 
 def _normalized_features(emb: DataFrame) -> DataFrame:
-    """L2-normalize embeddings into an MLlib dense vector column."""
+    """L2-normalize embeddings into an MLlib dense vector column.
+
+    The norm is materialized once per row before the element-wise
+    divide — putting ``_norm`` inside the transform lambda would
+    re-evaluate the full-array aggregate for every element (64×).
+    """
     from pyspark.ml.functions import array_to_vector
 
     arr = F.col("embedding")
-    unit = F.transform(
-        arr, lambda x: x.cast("double") / _norm(arr)
+    return (
+        emb.withColumn("_n", _norm(arr))
+        .withColumn(
+            "features",
+            array_to_vector(F.transform(arr, lambda x: x.cast("double") / F.col("_n"))),
+        )
+        .drop("_n")
     )
-    return emb.withColumn("features", array_to_vector(unit))
 
 
 def ann_topk_lsh(

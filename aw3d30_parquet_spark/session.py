@@ -94,6 +94,25 @@ def apply_runtime_confs(spark: SparkSession) -> None:
             pass
 
 
+def spread(df, min_partitions: int | None = None):
+    """Fan a compute-bound input out to all cores when its scan yields
+    fewer splits than parallelism.
+
+    A small Parquet file arrives as ONE input split, so an expensive
+    per-row stage (shingling, minhash, media decode, cosine) would run
+    on a single core regardless of cluster size. Round-robin
+    repartition costs one tiny shuffle of the (small) input and buys
+    full parallelism. When the input already has >= target partitions —
+    always true for a 100 TB table's thousands of splits — this is a
+    no-op, so the policy is safe to leave on at scale.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register the ten testdata Parquet tables as temp views.
 

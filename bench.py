@@ -25,6 +25,41 @@ def _materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _bench_ingest(spark, n_tiles: int = 8, size: int = 512) -> dict:
+    """GeoTIFF→Parquet ingest throughput (BASELINE.md supplement).
+
+    Fabricates n_tiles synthetic size×size tiles (network-free stand-in
+    for the reference's S3 downloads), then times the full pipeline:
+    binaryFile scan → mapInPandas decode → partitioned Parquet write.
+    """
+    import shutil
+    import tempfile
+
+    from aw3d30_parquet_spark.sources.demo import ensure_demo_tiles
+    from aw3d30_parquet_spark.sources.geotiff import read_tiles, tiles_for_set
+    from aw3d30_parquet_spark.sources.sink import write_tiles
+
+    coords = tiles_for_set("netherlands")[:n_tiles]
+    scratch = tempfile.mkdtemp(prefix="aw3d30_bench_")
+    tif_dir = os.path.join(scratch, "tif")
+    out_dir = os.path.join(scratch, "parquet")
+    try:
+        ensure_demo_tiles(tif_dir, coords, size=size)
+        t0 = time.perf_counter()
+        write_tiles(read_tiles(spark, tif_dir, "netherlands"), out_dir)
+        elapsed = time.perf_counter() - t0
+        rows = n_tiles * size * size
+        return {
+            "tiles": n_tiles,
+            "rows": rows,
+            "sec": round(elapsed, 4),
+            "tiles_per_sec": round(n_tiles / elapsed, 2),
+            "rows_per_sec": round(rows / elapsed, 0),
+        }
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def main() -> None:
     os.environ.setdefault("TZ", "UTC")
     from aw3d30_parquet_spark.session import get_spark
@@ -55,6 +90,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "ingest": _bench_ingest(spark),
             }
         )
     )
