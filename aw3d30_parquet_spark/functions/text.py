@@ -156,12 +156,49 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """V6: top-k TF-IDF terms per document, all built-in expressions.
+
+    explode tokens → per-(doc, term) TF → per-term DF (one small agg,
+    reused via self-join) → smoothed idf = ln((N+1)/(df+1)) + 1 →
+    row_number top-k per doc with (score desc, term) tie-break.
+
+    At 100 TB: the DF relation is |vocabulary|-sized (≪ corpus) and
+    broadcast; both aggregations are partial+final map-side combines.
+    Float scores are engine-local (libm ULP) → verified against a pure
+    Python recomputation in pytest, rows-only for the driver.
+    """
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()  # scalar, metadata-scale (one count job)
+    terms = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "score", F.col("tf") * idf
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "rn", "term", "tf", "df", F.round("score", 4).alias("score"))
+        .orderBy("doc_id", "rn")
+    )
+
+
 QUERIES = {
     "t01_token_stats": token_stats,
     "t02_quality_score": quality_score,
     "t03_token_count_bpe": token_count_bpe,
     "t04_lang_id": lang_id,
     "t05_doc_fingerprint": doc_fingerprint,
+    "t06_tfidf_top_terms": tfidf_top_terms,
 }
 
 ORACLE_SQL = {

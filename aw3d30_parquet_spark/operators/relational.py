@@ -372,8 +372,26 @@ def q28_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a01_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: HLL++ approximate distinct users per event type.
+
+    The sketch is engine-specific (not oracle-hashable — SURVEY §2.3
+    exclusions): driver records rows-only; pytest asserts each estimate
+    within 5% of the exact count. At 100 TB this replaces q12's exact
+    distinct (whose shuffle carries every distinct key) with a
+    fixed-size mergeable sketch per partition.
+    """
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
 RELATIONAL_QUERIES = {
     "q01_scan_project": q01_scan_project,
+    "a01_approx_count_distinct": a01_approx_count_distinct,
     "q02_filter_conjunction": q02_filter_conjunction,
     "q03_filter_disjunction": q03_filter_disjunction,
     "q04_regex_extract": q04_regex_extract,

@@ -1,0 +1,67 @@
+"""T5 (approx-distinct tolerance) + V6 (TF-IDF vs pure-Python oracle)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from aw3d30_parquet_spark.functions.text import tfidf_top_terms
+from aw3d30_parquet_spark.operators.relational import a01_approx_count_distinct
+from aw3d30_parquet_spark.session import register_views
+
+SF_T2 = "/root/testdata/sf0.01"
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_t5_approx_count_distinct_tolerance(spark):
+    """HLL++ estimate within 5% of the exact distinct count, per group."""
+    approx = {
+        r.event_type: r.approx_users
+        for r in a01_approx_count_distinct(spark, SF_T2).collect()
+    }
+    register_views(spark, SF_T2)
+    exact = {
+        r.event_type: r.cnt
+        for r in spark.table("events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("cnt"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, est in approx.items():
+        assert abs(est - exact[et]) <= 0.05 * exact[et], (et, est, exact[et])
+
+
+def test_v6_tfidf_vs_python_oracle(spark):
+    """Top-3 TF-IDF terms per doc match an independent pure-Python
+    recomputation (same smoothing, same tie-break) on every document."""
+    register_views(spark, SF_SMOKE)
+    docs = {
+        r.doc_id: r.text.strip().split()
+        for r in spark.table("documents").select("doc_id", "text").collect()
+    }
+    n_docs = len(docs)
+    df_counts: Counter = Counter()
+    for toks in docs.values():
+        df_counts.update(set(toks))
+
+    def top3(toks):
+        tf = Counter(toks)
+        scored = [
+            (-tf[t] * (math.log((n_docs + 1) / (df_counts[t] + 1)) + 1), t)
+            for t in tf
+        ]
+        return [(t, tf[t], df_counts[t]) for _, t in sorted(scored)[:3]]
+
+    got = tfidf_top_terms(spark, SF_SMOKE).collect()
+    by_doc: dict = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append((r.term, r.tf, r.df))
+    assert set(by_doc) == set(docs)
+    mismatches = [
+        d for d in docs if by_doc[d] != top3(docs[d])
+    ]
+    assert not mismatches, (mismatches[:5], by_doc[mismatches[0]] if mismatches else None)

@@ -1,0 +1,102 @@
+"""Plan-quality regression tests: the 100 TB posture as assertions.
+
+Each test pins a physical-plan property that matters at scale (SURVEY
+§4.2). A failure here means a code change silently degraded the plan —
+e.g. a filter stopped reaching the Parquet scan or a broadcast hint got
+lost — even though results are still correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from aw3d30_parquet_spark.functions import dedup, text
+from aw3d30_parquet_spark.operators import relational as R
+from aw3d30_parquet_spark.plans import (
+    count_node,
+    formatted_plan,
+    has_node,
+    pushed_filters,
+    read_schemas,
+)
+from aw3d30_parquet_spark.sources.demo import ensure_demo_tiles
+from aw3d30_parquet_spark.sources.geotiff import read_tiles
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """q02's conjunctive range predicate is pushed into the Parquet scan."""
+    fs = pushed_filters(R.q02_filter_conjunction(spark, SF))
+    assert "GreaterThanOrEqual(c_nationkey,5)" in fs
+    assert "LessThanOrEqual(c_nationkey,10)" in fs
+    assert "GreaterThan(c_acctbal,1000.0)" in fs
+
+
+def test_column_pruning(spark):
+    """q02 reads exactly the 4 referenced customer columns, not all 5."""
+    [cols] = read_schemas(R.q02_filter_conjunction(spark, SF))
+    assert cols == ["c_custkey", "c_name", "c_nationkey", "c_acctbal"]
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    """q06: customer/nation/region joins are all broadcast — the fact
+    table (orders) never shuffles. A SortMergeJoin here would mean a
+    full shuffle of the 100 TB side."""
+    df = R.q06_star_join(spark, SF)
+    assert count_node(df, "BroadcastHashJoin") == 3
+    assert not has_node(df, "SortMergeJoin")
+
+
+def test_partial_aggregation(spark):
+    """q11: partial (map-side) + final HashAggregate around exactly one
+    hash shuffle; the only other exchange is the presentation ORDER BY
+    (range partitioning)."""
+    df = R.q11_group_agg(spark, SF)
+    plan = formatted_plan(df)
+    assert count_node(df, "HashAggregate") >= 2
+    assert count_node(df, "Exchange") == 2
+    assert plan.count("hashpartitioning") >= 1
+    assert plan.count("rangepartitioning") >= 1
+
+
+def test_topk_is_take_ordered(spark):
+    """q18: ORDER BY + LIMIT plans as TakeOrderedAndProject (per-
+    partition top-k then merge), never a global sort."""
+    df = R.q18_topk(spark, SF)
+    assert has_node(df, "TakeOrderedAndProject")
+    assert not has_node(df, "Sort ")
+
+
+def test_geotiff_ingest_is_shuffle_free(spark, tmp_path):
+    """Tile decode pipeline: scan → filter → mapInPandas, no Exchange
+    anywhere — at 31 000 tiles this must stay embarrassingly parallel."""
+    tif_dir = ensure_demo_tiles(str(tmp_path / "tiles"))
+    df = read_tiles(spark, tif_dir, "netherlands")
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+def test_native_minhash_has_no_python(spark):
+    """d06's minhash/banding runs entirely JVM-side: no Python eval
+    nodes in the plan (the old MLlib path shipped rows to Python)."""
+    plan = formatted_plan(dedup.minhash_lsh_pairs(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "pythonUDF" not in plan
+
+
+def test_simhash_single_stage(spark):
+    """d05: signature computation has no join/agg shuffle — only the
+    final presentation sort exchanges data."""
+    plan = formatted_plan(dedup.simhash(spark, SF))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_tfidf_df_relation_broadcast(spark):
+    """t06: the document-frequency relation joins broadcast (vocabulary
+    ≪ corpus), so the tf relation never shuffles for the join."""
+    plan = formatted_plan(text.tfidf_top_terms(spark, SF))
+    assert "BroadcastHashJoin" in plan

@@ -10,10 +10,13 @@ from tests.conftest import SF_SMOKE, SF_T2
 
 
 def test_contract_complete():
-    assert set(RELATIONAL_QUERIES) == set(ORACLE_SQL)
+    # every oracle names a real query; only sketch-based ops (a01's
+    # HLL++ — not oracle-hashable, SURVEY §2.3 exclusions) may lack one
+    assert set(ORACLE_SQL) <= set(RELATIONAL_QUERIES)
+    assert set(RELATIONAL_QUERIES) - set(ORACLE_SQL) == {"a01_approx_count_distinct"}
 
 
-@pytest.mark.parametrize("name", sorted(RELATIONAL_QUERIES))
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
 def test_oracle_match(spark, duck_t2, name):
     sdf = RELATIONAL_QUERIES[name](spark, SF_T2)
     ok, h1, h2 = compare(sdf, duck_t2, ORACLE_SQL[name])
