@@ -174,7 +174,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # DF derives from the TF relation — (doc_id, term) is already
+    # distinct there, so this is a plain count, not a countDistinct
+    # over a second scan+explode of the corpus.
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
     scored = tf.join(F.broadcast(df_), "term").withColumn(
         "score", F.col("tf") * idf

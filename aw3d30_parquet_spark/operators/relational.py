@@ -372,6 +372,27 @@ def q28_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q29_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real JSON-path extraction from the ``props`` column (q25 covers
+    the regex slice; this is ``get_json_object`` / ``from_json`` —
+    SURVEY §2.2 "JSON column parsing"). Aggregates the extracted value
+    per event type so the JSON parse feeds a real downstream op."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def a01_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5: HLL++ approximate distinct users per event type.
 
@@ -419,4 +440,5 @@ RELATIONAL_QUERIES = {
     "q26_tumbling_window": q26_tumbling_window,
     "q27_distinct": q27_distinct,
     "q28_asof": q28_asof,
+    "q29_json_path": q29_json_path,
 }

@@ -185,4 +185,17 @@ SELECT e.event_id,
        AS last_signup
 FROM events e WHERE e.event_type = 'purchase' ORDER BY e.event_id
 """,
+    # q29: real JSON-path extraction (Spark get_json_object ↔ DuckDB
+    # json_extract_string) feeding a grouped aggregate.
+    "q29_json_path": """
+WITH ex AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+SELECT event_type, count(*) AS cnt, sum(k) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM ex WHERE k IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
 }

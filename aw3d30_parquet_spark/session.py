@@ -113,13 +113,24 @@ def spread(df, min_partitions: int | None = None):
     return df
 
 
+#: spark-instance id → sf_dir currently registered (testdata is
+#: immutable, so re-registration is only needed when the sf_dir changes)
+_REGISTERED: dict[int, str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register the ten testdata Parquet tables as temp views.
 
     ``events`` is registered through the nanos→micros converting
     projection (see _EVENTS_VIEW_SQL); everything else is a direct scan
     so Catalyst keeps full pushdown/pruning into the Parquet source.
+
+    Memoized per (session, sf_dir): every query entry calls this, and
+    re-reading ten Parquet footers per query is pure fixed overhead.
     """
+    key = id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark)
+    if _REGISTERED.get(key) == sf_dir:
+        return
     apply_runtime_confs(spark)
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -133,3 +144,4 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
             ).createOrReplaceTempView("events")
         else:
             df.createOrReplaceTempView(name)
+    _REGISTERED[key] = sf_dir

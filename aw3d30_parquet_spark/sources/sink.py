@@ -71,16 +71,43 @@ def ingest_tiles(
     out_dir: str,
     set_name: str = "world",
     chunk_rows: int = 512_000,
+    metrics: dict | None = None,
 ) -> Sequence[tuple[int, int]]:
     """Idempotent region ingest: decode + write only not-yet-done tiles.
 
     Returns the tile coordinates ingested this run (empty on a re-run —
     the G2 idempotency contract, mirroring ``src/main.rs:144-146,171``).
+
+    Observability (the reference's R8: ``tracing`` spans with per-
+    operator instrumentation, ``src/main.rs:135,163,229-231``): pass a
+    dict as ``metrics`` and it is filled with the executed job's row/
+    tile counts, collected via ``df.observe`` — measured on the running
+    plan itself, no second pass over the data.
     """
     done = existing_tiles(out_dir)
     pending = sorted(set(tiles_for_set(set_name)) - done)
     if not pending:
+        if metrics is not None:
+            metrics.update(rows_written=0, tiles_written=0, skipped_tiles=len(done))
         return []
     df = read_tiles(spark, tif_dir, set_name, chunk_rows, exclude_tiles=done)
-    write_tiles(df, out_dir, mode="append")
+    if metrics is not None:
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation("ingest")
+        # observe() disallows distinct aggregates (CollectMetrics must
+        # merge in one pass) — the HLL++ sketch is the observable form
+        df = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_written"),
+            F.approx_count_distinct(
+                F.col("tile_lat") * 1000 + F.col("tile_lon")
+            ).alias("tiles_written"),
+        )
+        write_tiles(df, out_dir, mode="append")
+        metrics.update(obs.get)
+        metrics["skipped_tiles"] = len(done)
+    else:
+        write_tiles(df, out_dir, mode="append")
     return [t for t in pending if t in existing_tiles(out_dir)]

@@ -176,6 +176,20 @@ def test_region_set_semantics():
     assert all(in_region("netherlands", la, lo) for la, lo in tiles_for_set("netherlands"))
 
 
+def test_g2_observe_metrics(spark, tif_dir, tmp_path):
+    """R8 parity: ingest reports row/tile counts via df.observe on the
+    executing plan (reference: tracing spans, src/main.rs:135,163)."""
+    out = str(tmp_path / "points")
+    metrics: dict = {}
+    ingest_tiles(spark, tif_dir, out, "netherlands", metrics=metrics)
+    assert metrics["rows_written"] == 2 * SIZE * SIZE
+    assert metrics["tiles_written"] == 2  # HLL++ exact at this cardinality
+    assert metrics["skipped_tiles"] == 0
+    again: dict = {}
+    ingest_tiles(spark, tif_dir, out, "netherlands", metrics=again)
+    assert again == {"rows_written": 0, "tiles_written": 0, "skipped_tiles": 2}
+
+
 # ---------------------------------------------------------------- g01 contract
 
 
