@@ -194,8 +194,35 @@ def session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"s01_session_windows": session_windows_batch}
+def sliding_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: 1-hour windows sliding every 15 minutes,
+    batch form of :func:`sliding_counts`.
+
+    The oracle derives the same relation without a window operator:
+    each event belongs to exactly duration/slide = 4 windows, generated
+    by unnesting k ∈ {0..3} against ``time_bucket`` — an independent
+    reconstruction of Spark's sliding-window semantics.
+    """
+    register_views(spark, sf_dir)
+    return (
+        sliding_counts(spark.table("events"), "1 hour", "15 minutes")
+        .orderBy("w_start")
+        .select("w_start", "cnt")
+    )
+
+
+QUERIES = {
+    "s01_session_windows": session_windows_batch,
+    "s02_sliding_windows": sliding_windows_batch,
+}
 ORACLE_SQL = {
+    "s02_sliding_windows": """
+SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS w_start,
+       count(*) AS cnt
+FROM events
+CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) offsets
+GROUP BY w_start ORDER BY w_start
+""",
     "s01_session_windows": """
 WITH marked AS (
   SELECT user_id, ts,

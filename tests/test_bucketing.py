@@ -1,0 +1,43 @@
+"""Bucketed co-located join: the no-shuffle witness (SURVEY §2.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from aw3d30_parquet_spark.operators.bucketing import bucketed_equi_join, write_bucketed
+from aw3d30_parquet_spark.plans import count_node, formatted_plan
+from aw3d30_parquet_spark.session import register_views
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_eliminates_shuffle(spark):
+    register_views(spark, SF)
+    orders = spark.table("orders")
+    customer = spark.table("customer")
+    write_bucketed(orders, "orders_bucketed", "o_custkey", buckets=8)
+    write_bucketed(customer, "customer_bucketed", "c_custkey", buckets=8)
+
+    # force the non-broadcast path so the shuffle question is real
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_equi_join(
+            spark, "orders_bucketed", "customer_bucketed", "o_custkey", "c_custkey"
+        )
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert count_node(joined, "Exchange") == 0  # co-located: no shuffle
+
+        # identical join over the unbucketed views shuffles both sides
+        plain = orders.join(
+            customer, orders.o_custkey == customer.c_custkey, "inner"
+        )
+        assert count_node(plain, "Exchange") == 2
+
+        # and the result matches the plain join
+        assert joined.count() == plain.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS customer_bucketed")

@@ -127,6 +127,58 @@ def test_s01_session_windows_oracle(spark, duck_t2):
     assert ok, (h1, h2)
 
 
+def test_s6_parquet_sink_checkpoint_resume(spark, tmp_path, batch_events):
+    """Exactly-once file sink: restarting from the checkpoint processes
+    only newly arrived chunks — no re-emission of finished batches."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stage_event_chunks(spark, SF, d, n_chunks=4)
+
+    def run_once():
+        q = (
+            dedup_events(read_event_stream(spark, d, SF), watermark="60 days")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_total = batch_events.count()
+    assert spark.read.parquet(out).count() == n_total
+
+    # a new chunk arrives (copy of 10 earliest rows, fresh event_ids);
+    # resume from the checkpoint: exactly the 10 new rows are appended
+    extra = batch_events.orderBy("ts").limit(10).toPandas()
+    extra["ts"] = extra["ts"].astype("datetime64[us]")
+    extra["event_id"] = extra["event_id"] + 10_000_000
+    path = os.path.join(d, "chunk-0100.parquet")
+    pq.write_table(pa.Table.from_pandas(extra, preserve_index=False), path)
+    os.utime(path, (1_700_000_050, 1_700_000_050))
+    run_once()
+    assert spark.read.parquet(out).count() == n_total + 10
+
+
+def test_s02_sliding_windows_oracle(spark, duck_t2):
+    """Sliding-window batch query hash-matches the unnest/time_bucket
+    relational oracle (independent derivation, 4 windows per event)."""
+    from aw3d30_parquet_spark.oracle import compare
+    from aw3d30_parquet_spark.streaming import events as se
+
+    df = se.sliding_windows_batch(spark, "/root/testdata/sf0.01")
+    ok, h1, h2 = compare(df, duck_t2, se.ORACLE_SQL["s02_sliding_windows"])
+    assert ok, (h1, h2)
+
+
 def test_s5_stream_static_join(spark, stage_dir, batch_events):
     register_views(spark, SF)
     customer = spark.table("customer")
