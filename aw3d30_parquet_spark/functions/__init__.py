@@ -20,9 +20,9 @@ def _register(queries: dict, oracles: dict) -> None:
 
 
 def _load() -> None:
-    from aw3d30_parquet_spark.functions import dedup, multimodal, text, vectors
+    from aw3d30_parquet_spark.functions import dedup, multimodal, text, udfs, vectors
 
-    for mod in (text, dedup, vectors, multimodal):
+    for mod in (text, dedup, vectors, multimodal, udfs):
         _register(mod.QUERIES, mod.ORACLE_SQL)
 
 

@@ -1,0 +1,146 @@
+"""The Arrow-vectorized UDF surface (SURVEY §2.2 "UDF / UDAF / UDTF").
+
+Three kernel shapes beyond ``mapInPandas`` (which powers the GeoTIFF and
+media decoders):
+
+- **scalar pandas_udf** — whole-column Arrow batches; here: cosine
+  similarity against a fixed query vector (u03). Verified in pytest
+  against the built-in higher-order-function cosine — same math, two
+  execution paths.
+- **GROUPED_AGG pandas_udf** — per-group scalar over an Arrow column;
+  here: exact interpolated median (u01), which both pandas and DuckDB
+  define identically → full DuckDB oracle.
+- **applyInPandas (grouped map)** — arbitrary per-group pandas logic;
+  here: per-label embedding centroid + dispersion (u02), verified
+  against a numpy recomputation in pytest (floats → rows-only driver).
+
+Row-at-a-time ``udf()`` is deliberately absent from every hot path
+(SURVEY §2.2: serialization cost); these Arrow forms are the sanctioned
+escape hatch when built-ins can't express the semantics.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from aw3d30_parquet_spark.session import register_views, spread
+
+
+def u01_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF: exact per-type median of event values.
+
+    (The decorator runs inside the function: ``pandas_udf`` parses its
+    return-type DDL against the active session, so module import must
+    stay session-free.)
+    """
+    register_views(spark, sf_dir)
+
+    @F.pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        # pandas interpolated median == DuckDB median() for even counts
+        return float(v.median())
+
+    return (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(F.round(median_udaf("value"), 2).alias("med"))
+        .orderBy("event_type")
+    )
+
+
+_CENTROID_SCHEMA = StructType(
+    [
+        StructField("label", IntegerType(), False),
+        StructField("n", LongType(), False),
+        StructField("centroid_norm", DoubleType(), False),
+        StructField("mean_dist", DoubleType(), False),
+    ]
+)
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped map: per-label embedding centroid norm and
+    mean member distance to the centroid (cluster dispersion).
+
+    Shuffles by label once; each group is one pandas frame — the
+    canonical shape for per-group numpy math that SQL can't express.
+    """
+    import numpy as np
+
+    register_views(spark, sf_dir)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        c = m.mean(axis=0)
+        d = np.sqrt(((m - c) ** 2).sum(axis=1))
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n": [len(pdf)],
+                "centroid_norm": [float(np.sqrt((c * c).sum()))],
+                "mean_dist": [float(d.mean())],
+            }
+        )
+
+    emb = spread(spark.table("embeddings"))
+    return (
+        emb.groupBy("label").applyInPandas(kernel, schema=_CENTROID_SCHEMA)
+        .orderBy("label")
+    )
+
+
+def u02_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_centroids(spark, sf_dir).select(
+        "label", "n", F.round("centroid_norm", 4).alias("centroid_norm"),
+        F.round("mean_dist", 4).alias("mean_dist"),
+    )
+
+
+def scalar_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF: cosine of every embedding vs the vec_id=0
+    query — the Arrow-vectorized twin of ``vectors.cosine`` (pytest
+    asserts the two paths agree to 1e-9)."""
+    import numpy as np
+
+    register_views(spark, sf_dir)
+    emb = spread(spark.table("embeddings"))
+    q = np.array(
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()[0],
+        dtype=np.float64,
+    )  # one tiny driver fetch of the query vector itself — metadata-scale
+    qn = float(np.sqrt((q * q).sum()))
+
+    @F.pandas_udf("double")
+    def cos(col: pd.Series) -> pd.Series:
+        m = np.stack(col.to_numpy()).astype(np.float64)
+        return pd.Series((m @ q) / (np.sqrt((m * m).sum(axis=1)) * qn))
+
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(cos("embedding"), 4).alias("cos"))
+        .orderBy("vec_id")
+    )
+
+
+QUERIES = {
+    "u01_grouped_agg_median": u01_grouped_agg_median,
+    "u02_label_centroids": u02_label_centroids,
+}
+
+ORACLE_SQL = {
+    "u01_grouped_agg_median": """
+SELECT event_type, round(median(value), 2) AS med
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    # u02: float centroid math — numpy oracle in pytest, rows-only here.
+}

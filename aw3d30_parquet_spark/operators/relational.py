@@ -393,6 +393,39 @@ def q29_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q30_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, value-band): all 2² grouping combinations
+    (rollup covers the hierarchy in q13; cube is the full lattice)."""
+    # floor, not a bare int cast: DuckDB's double→int cast rounds while
+    # Spark's truncates — floor() is identical in both engines
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "band", F.floor(F.col("value") / 50.0).cast("int")
+    )
+    return (
+        ev.cube("event_type", "band")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("band").asc_nulls_first()
+        )
+    )
+
+
+def q31_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (bounded inputs only — both sides are
+    metadata-scale dims; the engine never cross-joins fact tables)."""
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    reg = _t(spark, sf_dir, "region").select("r_regionkey")
+    return (
+        sup.crossJoin(reg)
+        .groupBy("r_regionkey")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("s_nationkey").alias("sum_nk"),
+        )
+        .orderBy("r_regionkey")
+    )
+
+
 def a01_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5: HLL++ approximate distinct users per event type.
 
@@ -441,4 +474,6 @@ RELATIONAL_QUERIES = {
     "q27_distinct": q27_distinct,
     "q28_asof": q28_asof,
     "q29_json_path": q29_json_path,
+    "q30_cube": q30_cube,
+    "q31_cross_join": q31_cross_join,
 }

@@ -198,4 +198,17 @@ SELECT event_type, count(*) AS cnt, sum(k) AS sum_k,
 FROM ex WHERE k IS NOT NULL
 GROUP BY event_type ORDER BY event_type
 """,
+    # q30: full grouping lattice; NULLS FIRST pinned (SURVEY §2.3 rules)
+    "q30_cube": """
+SELECT event_type, CAST(floor(value / 50.0) AS INTEGER) AS band,
+       count(*) AS cnt, round(sum(value), 2) AS total
+FROM events
+GROUP BY CUBE (event_type, CAST(floor(value / 50.0) AS INTEGER))
+ORDER BY event_type NULLS FIRST, band NULLS FIRST
+""",
+    "q31_cross_join": """
+SELECT r_regionkey, count(*) AS cnt, sum(s_nationkey) AS sum_nk
+FROM supplier CROSS JOIN region
+GROUP BY r_regionkey ORDER BY r_regionkey
+""",
 }
