@@ -119,13 +119,20 @@ def keys_for_set(set_name: str, prefix: str = "AW3D30/AW3D30_global/") -> list[s
     return [f"{prefix}{tile_key(la, lo)}.tif" for la, lo in tiles_for_set(set_name)]
 
 
-def _decode_partition(batches: Iterable, chunk_rows: int) -> Iterator:
+def _decode_partition(batches: Iterable, chunk_rows: int, on_corrupt: str) -> Iterator:
     """mapInPandas kernel: (path, content) rows → point-table Arrow batches.
 
     One input row per tile file; output yielded in ≤ chunk_rows batches so
     a 3600² tile (13M rows ≈ 260 MB) never materializes at once
     (SURVEY §7.3 item 2). All math is vectorized numpy — the JVM↔Python
     boundary carries only columnar Arrow buffers.
+
+    ``on_corrupt``: 'fail' aborts the job on undecodable bytes (the
+    reference's behavior — errors propagate and abort the pipeline,
+    ``src/main.rs:337-345``); 'skip' drops the tile and keeps going
+    (preferable for a 31 000-tile backfill where one bad object must
+    not kill hours of work — re-runs pick up skipped tiles for free via
+    the idempotent sink).
     """
     import pandas as pd
 
@@ -134,7 +141,12 @@ def _decode_partition(batches: Iterable, chunk_rows: int) -> Iterator:
             coord = parse_tile_key(os.path.basename(str(path)))
             if coord is None:  # malformed key: reject like src/main.rs:131
                 continue
-            band, gt = decode_geotiff(bytes(content))
+            try:
+                band, gt = decode_geotiff(bytes(content))
+            except Exception:
+                if on_corrupt == "fail":
+                    raise
+                continue
             for lat, lon, elev in flatten_raster(band, gt, chunk_rows):
                 yield pd.DataFrame(
                     {
@@ -154,6 +166,7 @@ def read_tiles(
     set_name: str = "world",
     chunk_rows: int = 512_000,
     exclude_tiles: Iterable[tuple[int, int]] = (),
+    on_corrupt: str = "fail",
 ) -> DataFrame:
     """Scan a directory of ``ALPSMLC30_*.tif`` tiles → point DataFrame.
 
@@ -192,6 +205,9 @@ def read_tiles(
         files = files.filter(
             ~(key_lat.cast("long") * 1000 + key_lon).isin(sorted(exclude))
         )
+    if on_corrupt not in ("fail", "skip"):
+        raise ValueError(f"on_corrupt must be 'fail' or 'skip', got {on_corrupt!r}")
     return files.mapInPandas(
-        lambda it: _decode_partition(it, chunk_rows), schema=POINT_SCHEMA
+        lambda it: _decode_partition(it, chunk_rows, on_corrupt),
+        schema=POINT_SCHEMA,
     )

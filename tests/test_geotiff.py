@@ -176,6 +176,49 @@ def test_region_set_semantics():
     assert all(in_region("netherlands", la, lo) for la, lo in tiles_for_set("netherlands"))
 
 
+def test_g1_chunk_invariance(spark, tif_dir):
+    """Result is identical whatever the Arrow chunking: tiny chunk_rows
+    forces many batches per tile, must equal the single-batch default."""
+    a = read_tiles(spark, tif_dir, "netherlands", chunk_rows=1000)
+    b = read_tiles(spark, tif_dir, "netherlands")
+    assert a.count() == b.count() == 2 * SIZE * SIZE
+    assert a.exceptAll(b).count() == 0
+
+
+def test_corrupt_tile_policy(spark, tmp_path):
+    """on_corrupt='fail' aborts (reference behavior, src/main.rs:337);
+    'skip' drops the bad tile and keeps the good ones."""
+    d = str(tmp_path / "mixed")
+    os.makedirs(d)
+    _write_fixture_tiles(d, [(51, 4)])
+    # valid key, garbage bytes
+    with open(os.path.join(d, f"{tile_key(52, 5)}.tif"), "wb") as f:
+        f.write(b"II*\0 not really a tiff")
+    with pytest.raises(Exception):
+        read_tiles(spark, d, "netherlands", on_corrupt="fail").count()
+    good = read_tiles(spark, d, "netherlands", on_corrupt="skip")
+    tiles = {(r.tile_lat, r.tile_lon) for r in good.select("tile_lat", "tile_lon").distinct().collect()}
+    assert tiles == {(51, 4)}
+    with pytest.raises(ValueError):
+        read_tiles(spark, d, "netherlands", on_corrupt="bogus")
+
+
+def test_g2_duckdb_reads_partitioned_sink(spark, tif_dir, tmp_path):
+    """Interop: DuckDB consumes the engine's Hive-partitioned output
+    (partition columns recovered from the directory layout)."""
+    import duckdb
+
+    out = str(tmp_path / "points")
+    ingest_tiles(spark, tif_dir, out, "netherlands")
+    con = duckdb.connect()
+    n, tiles = con.execute(
+        f"SELECT count(*), count(DISTINCT tile_lat*1000 + tile_lon) "
+        f"FROM read_parquet('{out}/*/*/*.parquet', hive_partitioning=true)"
+    ).fetchone()
+    assert n == 2 * SIZE * SIZE
+    assert tiles == 2
+
+
 def test_g2_observe_metrics(spark, tif_dir, tmp_path):
     """R8 parity: ingest reports row/tile counts via df.observe on the
     executing plan (reference: tracing spans, src/main.rs:135,163)."""
