@@ -89,12 +89,45 @@ _G01_ROWS = ",\n".join(
     for la, lo in DEMO_COORDS
 )
 
-QUERIES = {"g01_geotiff_ingest": g01_geotiff_ingest}
+def g02_spatial_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level spatial box query over the decoded points (SURVEY §2.2
+    "Spatial box join": the R3 region predicate applied at point level,
+    reference ``src/main.rs:68-88``). Box [51.25,51.75]×[4.25,4.75]
+    intersects only tile (51,4); on the ramp grid the intersection is
+    the 33×33 pixel block y,x ∈ [16,48], so count and sum are
+    closed-form."""
+    ensure_demo_tiles()
+    pts = read_tiles(spark, _DEMO_DIR, "netherlands")
+    return pts.filter(
+        (F.col("lat") >= 51.25)
+        & (F.col("lat") <= 51.75)
+        & (F.col("lon") >= 4.25)
+        & (F.col("lon") <= 4.75)
+    ).agg(
+        F.count("*").alias("points"),
+        F.sum("elevation").alias("sum_elev"),
+        F.count_distinct("tile_lat", "tile_lon").alias("tiles"),
+    )
+
+
+# box block: y,x ∈ [16,48] ⇒ 33² points; Σ(1000y+x) = 1056·33·1001
+_G02_POINTS = 33 * 33
+_G02_SUM = 1000 * 33 * sum(range(16, 49)) + 33 * sum(range(16, 49))
+
+QUERIES = {
+    "g01_geotiff_ingest": g01_geotiff_ingest,
+    "g02_spatial_box": g02_spatial_box,
+}
 ORACLE_SQL = {
     "g01_geotiff_ingest": f"""
 SELECT * FROM (VALUES
 {_G01_ROWS}
 ) AS t(tile_lat, tile_lon, points, sum_elev, min_lat, max_lat, min_lon, max_lon)
 ORDER BY tile_lat, tile_lon
-"""
+""",
+    "g02_spatial_box": f"""
+SELECT CAST({_G02_POINTS} AS BIGINT) AS points,
+       CAST({_G02_SUM} AS BIGINT) AS sum_elev,
+       CAST(1 AS BIGINT) AS tiles
+""",
 }

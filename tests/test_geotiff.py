@@ -246,6 +246,47 @@ def test_g01_ingest_oracle(spark, duck_t2):
     assert ok, (h1, h2)
 
 
+def test_g02_spatial_box_oracle(spark, duck_t2):
+    from aw3d30_parquet_spark.oracle import compare
+    from aw3d30_parquet_spark.sources import demo
+
+    df = demo.g02_spatial_box(spark, "/root/testdata/sf0.01")
+    ok, h1, h2 = compare(df, duck_t2, demo.ORACLE_SQL["g02_spatial_box"])
+    assert ok, (h1, h2)
+
+
+def test_g5_full_size_tile(spark, tmp_path):
+    """A real AW3D30-sized tile (3600², 12.96M rows ≈ 52 MB file)
+    decodes through chunked Arrow batches; count and sum are analytic."""
+    d = str(tmp_path / "big")
+    os.makedirs(d)
+    band = (np.arange(3600 * 3600, dtype=np.int64) % 8848).astype(np.int32)
+    gt = (4.0, 1 / 3600, 0.0, 52.0, 0.0, -1 / 3600)
+    with open(os.path.join(d, f"{tile_key(51, 4)}.tif"), "wb") as f:
+        f.write(encode_geotiff(band.reshape(3600, 3600), gt))
+    from pyspark.sql import functions as F
+
+    df = read_tiles(spark, d, "netherlands")
+    row = df.groupBy().agg(
+        F.count("*").alias("n"), F.sum("elevation").alias("s")
+    ).collect()[0]
+    assert row.n == 3600 * 3600
+    assert row.s == int(band.astype(np.int64).sum())
+
+
+def test_g2_partition_pruning_on_sink(spark, tif_dir, tmp_path):
+    """Queries over the partitioned output prune at the directory level
+    (PartitionFilters in the scan, not post-scan filters)."""
+    from aw3d30_parquet_spark.plans import formatted_plan
+
+    out = str(tmp_path / "points")
+    ingest_tiles(spark, tif_dir, out, "netherlands")
+    q = spark.read.parquet(out).filter("tile_lat = 51 AND tile_lon = 4")
+    plan = formatted_plan(q)
+    assert "PartitionFilters" in plan
+    assert "(tile_lat#" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 # ---------------------------------------------------------------- property tests
 
 
