@@ -25,7 +25,7 @@ def _materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def _bench_ingest(spark, n_tiles: int = 8, size: int = 512) -> dict:
+def _bench_ingest(spark, n_tiles: int = 32, size: int = 512) -> dict:
     """GeoTIFF→Parquet ingest throughput (BASELINE.md supplement).
 
     Fabricates n_tiles synthetic size×size tiles (network-free stand-in
@@ -39,14 +39,14 @@ def _bench_ingest(spark, n_tiles: int = 8, size: int = 512) -> dict:
     from aw3d30_parquet_spark.sources.geotiff import read_tiles, tiles_for_set
     from aw3d30_parquet_spark.sources.sink import write_tiles
 
-    coords = tiles_for_set("netherlands")[:n_tiles]
+    coords = tiles_for_set("europe")[:n_tiles]  # one tile per core at 32
     scratch = tempfile.mkdtemp(prefix="aw3d30_bench_")
     tif_dir = os.path.join(scratch, "tif")
     out_dir = os.path.join(scratch, "parquet")
     try:
         ensure_demo_tiles(tif_dir, coords, size=size)
         t0 = time.perf_counter()
-        write_tiles(read_tiles(spark, tif_dir, "netherlands"), out_dir)
+        write_tiles(read_tiles(spark, tif_dir, "europe"), out_dir)
         elapsed = time.perf_counter() - t0
         rows = n_tiles * size * size
         return {
