@@ -393,6 +393,27 @@ def q29_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q32_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (q17 covers ROWS): per user, sum of values of
+    events whose event_id lies within 5 of the current row's — a
+    value-based frame, so peers with equal ordering values aggregate
+    together regardless of row position."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rangeBetween(-5, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 3)
+        .select(
+            "event_id",
+            F.round(F.sum("value").over(w), 2).alias("range5"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q30_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (event_type, value-band): all 2² grouping combinations
     (rollup covers the hierarchy in q13; cube is the full lattice)."""
@@ -476,4 +497,5 @@ RELATIONAL_QUERIES = {
     "q29_json_path": q29_json_path,
     "q30_cube": q30_cube,
     "q31_cross_join": q31_cross_join,
+    "q32_range_frame": q32_range_frame,
 }

@@ -211,4 +211,10 @@ SELECT r_regionkey, count(*) AS cnt, sum(s_nationkey) AS sum_nk
 FROM supplier CROSS JOIN region
 GROUP BY r_regionkey ORDER BY r_regionkey
 """,
+    "q32_range_frame": """
+SELECT event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW), 2) AS range5
+FROM events WHERE user_id <= 3 ORDER BY event_id
+""",
 }

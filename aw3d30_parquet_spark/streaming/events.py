@@ -245,6 +245,43 @@ ORDER BY user_id, s_start
 }
 
 
+RUNNING_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+_RUNNING_STATE_SCHEMA = "n bigint, total double"
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count + value total, one updated row per user per
+    micro-batch.
+
+    This is the escape hatch for stateful semantics no built-in
+    aggregation expresses (arbitrary per-group state machines); state
+    here is a 2-field tuple per user — fixed-size, so 100 TB of events
+    needs state proportional to |users|, not |events|. The S7 test
+    checks the final state equals the batch aggregate.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        RUNNING_TOTALS_SCHEMA,
+        _RUNNING_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,

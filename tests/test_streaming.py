@@ -179,6 +179,33 @@ def test_s02_sliding_windows_oracle(spark, duck_t2):
     assert ok, (h1, h2)
 
 
+def test_s7_stateful_running_totals(spark, stage_dir, batch_events):
+    """applyInPandasWithState: after draining every micro-batch, each
+    user's latest emitted running total equals the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from aw3d30_parquet_spark.streaming.events import running_user_totals
+
+    res = running_user_totals(read_event_stream(spark, stage_dir, SF))
+    run_to_memory(res, "s7_tbl", output_mode="update")
+    got = spark.sql("SELECT * FROM s7_tbl").toPandas()
+    # memory sink accumulates one row per (user, micro-batch); the final
+    # state per user is the row with the max running count
+    final = got.loc[got.groupby("user_id")["n_events"].idxmax()]
+    want = (
+        batch_events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert set(final["user_id"]) == set(want.index)
+    for _, r in final.iterrows():
+        assert r["n_events"] == want.loc[r["user_id"], "n"]
+        assert r["total_value"] == pytest.approx(
+            want.loc[r["user_id"], "tv"], rel=1e-12
+        )
+
+
 def test_s5_stream_static_join(spark, stage_dir, batch_events):
     register_views(spark, SF)
     customer = spark.table("customer")
