@@ -447,6 +447,26 @@ def q31_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q33_fact_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact equi join (lineitem ⋈ orders on orderkey): the shape
+    where neither side broadcasts at scale and Catalyst picks a
+    sort-merge join on the shuffled key (q06 covers the broadcast-dim
+    star; bucketing in operators/bucketing.py removes even this
+    shuffle when both facts are bucketed). TPC-H Q3-ish revenue rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(revenue), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def a01_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5: HLL++ approximate distinct users per event type.
 
@@ -498,4 +518,5 @@ RELATIONAL_QUERIES = {
     "q30_cube": q30_cube,
     "q31_cross_join": q31_cross_join,
     "q32_range_frame": q32_range_frame,
+    "q33_fact_fact_join": q33_fact_fact_join,
 }

@@ -217,4 +217,10 @@ SELECT event_id,
              RANGE BETWEEN 5 PRECEDING AND CURRENT ROW), 2) AS range5
 FROM events WHERE user_id <= 3 ORDER BY event_id
 """,
+    "q33_fact_fact_join": """
+SELECT o_orderpriority, count(*) AS cnt,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
 }
