@@ -467,6 +467,158 @@ def q33_fact_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q34_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with nulls on both sides: customers restricted to
+    custkey < 750 vs per-customer rollup of 'P'-status orders (56 of
+    1500 customers have no 'P' orders at sf0.01). At scale this is a
+    shuffled sort-merge full-outer on the join key — no broadcast
+    variant exists for full-outer in Spark, which is the correct
+    posture for two fact-sized inputs anyway."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 750)
+        .select("c_custkey", "c_name")
+    )
+    ords = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("p_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("p_total"),
+        )
+    )
+    return (
+        cust.join(ords, cust.c_custkey == ords.o_custkey, "full_outer")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            "c_name",
+            "p_orders",
+            "p_total",
+        )
+        .orderBy("custkey")
+    )
+
+
+def q35_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (groupBy().pivot() with pinned values): order counts by
+    priority × status. Pinning the pivot values ["F","O","P"] avoids
+    Spark's extra distinct-values job — mandatory at 100 TB, where the
+    values scan would be a full pass over the fact table. Empty cells
+    coalesce to 0 to match SQL's FILTER-clause semantics."""
+    piv = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"cnt_{s.lower()}") for s in ("F", "O", "P")],
+    ).orderBy("o_orderpriority")
+
+
+def q36_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SQL percentile_cont semantics)
+    per group. Spark's `percentile` is a sort-based exact aggregate —
+    fine for bounded group counts; the sketch-based alternative for
+    unbounded cardinality is `approx_percentile` (same shape as a01's
+    HLL++ posture). l_quantity is integer-valued so the quarter-point
+    interpolations are exact in binary — no rounding guard needed."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25D)").alias("p25"),
+            F.expr("percentile(l_quantity, 0.5D)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.75D)").alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q37_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over the full-partition
+    frame (ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING). The frame
+    must be explicit: the default frame stops at CURRENT ROW, which
+    silently turns last_value into a running value."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 3)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.first("value").over(w), 2).alias("first_v"),
+            F.round(F.last("value").over(w), 2).alias("last_v"),
+            F.round(F.nth_value("value", 3).over(w), 2).alias("third_v"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q38_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) quartile assignment over a global order. The tiebreak
+    on o_orderkey makes the total order (and thus the bucketing)
+    deterministic across engines. A global window is single-partition
+    by construction — at 100 TB the scale path is `ntile` per
+    partition key or percent_rank over a range-partitioned sort; this
+    query keeps the global form but immediately re-aggregates so only
+    the 4-row summary leaves the window stage."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_totalprice", F.ntile(4).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q39_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral unnest with ordinality (posexplode): leading-token
+    histogram over documents. The generator runs inside whole-stage
+    codegen (Generate node), so the row explosion never leaves the JVM
+    — same fan-out shape as the GeoTIFF raster→points UDTF (reference
+    src/main.rs:172-191) but for in-row arrays."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        docs.select(
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "token")
+        )
+        .filter(F.col("pos") < 5)
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("token")
+    )
+
+
+def q40_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders with >= 7 lineitems).
+    Catalyst decorrelates this into an aggregate + join — the same
+    plan a hand-written join would produce, so the declarative form
+    costs nothing. The subquery aggregate is a count (exact integer),
+    so the predicate has no float-boundary hash risk."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS total
+        FROM orders o
+        WHERE (SELECT count(*) FROM lineitem l
+               WHERE l.l_orderkey = o.o_orderkey) >= 7
+        ORDER BY o_orderkey
+        """
+    )
+
+
 def a01_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5: HLL++ approximate distinct users per event type.
 
@@ -519,4 +671,11 @@ RELATIONAL_QUERIES = {
     "q31_cross_join": q31_cross_join,
     "q32_range_frame": q32_range_frame,
     "q33_fact_fact_join": q33_fact_fact_join,
+    "q34_full_outer_join": q34_full_outer_join,
+    "q35_pivot": q35_pivot,
+    "q36_percentiles": q36_percentiles,
+    "q37_first_last_nth": q37_first_last_nth,
+    "q38_ntile": q38_ntile,
+    "q39_posexplode": q39_posexplode,
+    "q40_correlated_subquery": q40_correlated_subquery,
 }

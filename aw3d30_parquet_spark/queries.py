@@ -223,4 +223,66 @@ SELECT o_orderpriority, count(*) AS cnt,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """,
+    "q34_full_outer_join": """
+SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, p_orders, p_total
+FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 750) c
+FULL OUTER JOIN (
+  SELECT o_custkey, count(*) AS p_orders,
+         round(sum(o_totalprice), 2) AS p_total
+  FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey
+) o ON c_custkey = o_custkey
+ORDER BY custkey
+""",
+    "q35_pivot": """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    "q36_percentiles": """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.5)  AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    "q37_first_last_nth": """
+SELECT event_id, user_id,
+       round(first_value(value) OVER w, 2) AS first_v,
+       round(last_value(value)  OVER w, 2) AS last_v,
+       round(nth_value(value, 3) OVER w, 2) AS third_v
+FROM events WHERE user_id <= 3
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY event_id
+""",
+    "q38_ntile": """
+SELECT bucket, count(*) AS cnt,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM (SELECT o_totalprice,
+             ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders)
+GROUP BY bucket ORDER BY bucket
+""",
+    "q39_posexplode": """
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE doc_id < 100
+)
+SELECT u.token, count(*) AS cnt
+FROM toks, LATERAL (
+  SELECT unnest(t) AS token, unnest(range(len(t))) AS pos
+) u
+WHERE u.pos < 5
+GROUP BY u.token ORDER BY u.token
+""",
+    "q40_correlated_subquery": """
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders o
+WHERE (SELECT count(*) FROM lineitem l
+       WHERE l.l_orderkey = o.o_orderkey) >= 7
+ORDER BY o_orderkey
+""",
 }

@@ -100,3 +100,31 @@ def test_tfidf_df_relation_broadcast(spark):
     ≪ corpus), so the tf relation never shuffles for the join."""
     plan = formatted_plan(text.tfidf_top_terms(spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_fact_fact_join_is_smj_when_no_broadcast(spark):
+    """q33: with broadcast off (the 100 TB condition — neither fact
+    fits), the join degrades to SortMergeJoin on the shuffled key,
+    never a nested loop. At tiny SF the default plan broadcasts the
+    smaller fact, which is also right — the point is the fallback."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = R.q33_fact_fact_join(spark, SF)
+        assert has_node(df, "SortMergeJoin")
+        assert not has_node(df, "BroadcastNestedLoopJoin")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_pivot_single_scan(spark):
+    """q35: pinned pivot values mean no distinct-values pre-pass — the
+    fact table is scanned exactly once."""
+    assert count_node(R.q35_pivot(spark, SF), "Scan parquet") == 1
+
+
+def test_posexplode_filter_still_pushed(spark):
+    """q39: the Generate (posexplode) does not block pushdown of the
+    upstream doc_id predicate into the Parquet scan."""
+    df = R.q39_posexplode(spark, SF)
+    assert has_node(df, "Generate")
+    assert "LessThan(doc_id,100)" in pushed_filters(df)
