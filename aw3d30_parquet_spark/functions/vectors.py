@@ -157,6 +157,69 @@ def ann_topk_lsh(
     )
 
 
+def ann_topk_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+    n_clusters: int = 16,
+    n_probe: int = 8,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index.
+
+    Index build = k-means over unit vectors; the corpus is then
+    partitioned by nearest-centroid id (at 100 TB this is a one-time
+    materialized table, cluster-id-partitioned on disk so a probe is
+    partition pruning, not a scan). Query time: each query ranks the
+    tiny centroid table (broadcast, n_clusters rows) and probes only its
+    ``n_probe`` nearest lists — the scoring join reads ~n_probe/
+    n_clusters of the corpus instead of all of it, and the probe side is
+    broadcast so the candidate join is shuffle-free on the corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+
+    feats = _normalized_features(_emb(spark, sf_dir))
+    model = KMeans(
+        k=n_clusters, seed=42, featuresCol="features", predictionCol="cluster_id"
+    ).fit(feats)
+    corpus = model.transform(feats).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "cluster_id",
+    )
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster_id int, centroid array<double>",
+    )
+    queries = _emb(spark, sf_dir).filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("cluster_id")
+    )
+    probe = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("c_cos", cosine(F.col("q_emb"), F.col("centroid")))
+        .withColumn("r", F.row_number().over(wc))
+        .filter(F.col("r") <= n_probe)
+        .select("query_id", "q_emb", "cluster_id")
+    )
+    scored = (
+        corpus.join(F.broadcast(probe), "cluster_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos"))
+        .orderBy("query_id", "rank")
+    )
+
+
 def embedding_neardup_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -195,6 +258,7 @@ QUERIES = {
     "v02_ann_topk_bruteforce": ann_topk_bruteforce,
     "v03_ann_topk_lsh": ann_topk_lsh,
     "v04_embedding_neardup": embedding_neardup_pairs,
+    "v05_ann_topk_ivf": ann_topk_ivf,
 }
 
 ORACLE_SQL = {

@@ -636,6 +636,143 @@ def a01_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q41_stat_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family (stddev/variance/corr/covar).
+
+    All four are single-pass partial+final aggregates in Spark (Imperative
+    Central-Moment aggregates merge across partitions), so at 100 TB this
+    costs exactly one shuffle of constant-size state per group — same
+    posture as q11's sum/avg."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 2).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 3).alias("corr_qp"),
+            F.round(F.covar_pop("l_quantity", "l_discount"), 3).alias("cov_qd"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q42_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (argmin/argmax) — deterministic because the
+    ordering value c_custkey is unique per group."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.max_by("c_name", "c_custkey").alias("max_name"),
+            F.min_by("c_name", "c_custkey").alias("min_name"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q43_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter). Catalyst places the
+    filter after the final agg; the partial agg still combines map-side."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .filter(F.col("n_orders") >= 15)
+        .orderBy("o_custkey")
+    )
+
+
+def q44_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank analytics (percent_rank, cume_dist) with a
+    deterministic tie-broken order."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.percent_rank().over(w), 4).alias("pr"),
+            F.round(F.cume_dist().over(w), 4).alias("cd"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def q45_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp/date interval arithmetic — add an interval, date_add,
+    and a day-difference against a pinned date."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 50)
+        .select(
+            "event_id",
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts_plus_h"),
+            F.date_add(F.col("ts").cast("date"), 30).alias("d_plus_30"),
+            F.datediff(
+                F.to_date(F.lit("2025-01-01")), F.col("ts").cast("date")
+            ).alias("days_to_2025"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q46_uncorrelated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in a predicate. Spark executes the
+    subquery once (its own tiny job) and folds the result into the main
+    scan's filter — at scale the fact side is still a single pushed-down
+    scan, no join materializes."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, round(c_acctbal, 2) AS bal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.5 FROM customer)
+        ORDER BY c_custkey
+        """
+    )
+
+
+def q47_sorted_list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive list aggregation: collect_list is
+    partition-order-dependent, so the deterministic form is
+    array_join(array_sort(...)) — the only safe way to hash-compare a
+    list agg across engines."""
+    return (
+        _t(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            )
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+def q48_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression family (AND/XOR/shift) — pure codegen'd
+    integer ops, stays entirely inside whole-stage codegen."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").bitwiseAND(F.lit(7)).alias("band"),
+            F.col("event_id").bitwiseXOR(F.col("user_id")).alias("x"),
+            F.shiftleft(F.col("user_id"), 2).alias("s"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("x").alias("sum_x"),
+            F.sum("s").alias("sum_s"),
+        )
+        .orderBy("band")
+    )
+
+
 RELATIONAL_QUERIES = {
     "q01_scan_project": q01_scan_project,
     "a01_approx_count_distinct": a01_approx_count_distinct,
@@ -678,4 +815,12 @@ RELATIONAL_QUERIES = {
     "q38_ntile": q38_ntile,
     "q39_posexplode": q39_posexplode,
     "q40_correlated_subquery": q40_correlated_subquery,
+    "q41_stat_agg": q41_stat_agg,
+    "q42_min_max_by": q42_min_max_by,
+    "q43_having": q43_having,
+    "q44_percent_rank": q44_percent_rank,
+    "q45_interval_arith": q45_interval_arith,
+    "q46_uncorrelated_subquery": q46_uncorrelated_subquery,
+    "q47_sorted_list_agg": q47_sorted_list_agg,
+    "q48_bitwise": q48_bitwise,
 }

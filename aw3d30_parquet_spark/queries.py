@@ -285,4 +285,61 @@ WHERE (SELECT count(*) FROM lineitem l
        WHERE l.l_orderkey = o.o_orderkey) >= 7
 ORDER BY o_orderkey
 """,
+    # q41: statistical aggregates — single-pass moment sketches in both engines
+    "q41_stat_agg": """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 2) AS sd_qty,
+       round(var_samp(l_quantity), 2) AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 3) AS corr_qp,
+       round(covar_pop(l_quantity, l_discount), 3) AS cov_qd
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    # q42: argmin/argmax — c_custkey unique ⇒ deterministic
+    "q42_min_max_by": """
+SELECT c_nationkey,
+       max_by(c_name, c_custkey) AS max_name,
+       min_by(c_name, c_custkey) AS min_name
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+    "q43_having": """
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+ORDER BY o_custkey
+""",
+    "q44_percent_rank": """
+SELECT c_custkey, c_mktsegment,
+       round(percent_rank() OVER w, 4) AS pr,
+       round(cume_dist()    OVER w, 4) AS cd
+FROM customer WHERE c_custkey <= 200
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_custkey
+""",
+    # q45: interval arithmetic (DuckDB spells the interval with quotes;
+    #      semantics are identical on naive timestamps)
+    "q45_interval_arith": """
+SELECT event_id,
+       ts + INTERVAL '1 hour' AS ts_plus_h,
+       CAST(ts AS DATE) + 30 AS d_plus_30,
+       date_diff('day', CAST(ts AS DATE), DATE '2025-01-01') AS days_to_2025
+FROM events WHERE event_id < 50 ORDER BY event_id
+""",
+    "q46_uncorrelated_subquery": """
+SELECT c_custkey, round(c_acctbal, 2) AS bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.5 FROM customer)
+ORDER BY c_custkey
+""",
+    # q47: deterministic list agg — sort before join; DuckDB list() is
+    #      order-dependent just like collect_list
+    "q47_sorted_list_agg": """
+SELECT n_regionkey,
+       array_to_string(list_sort(list(n_name)), ',') AS nations
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+""",
+    "q48_bitwise": """
+SELECT user_id & 7 AS band, count(*) AS cnt,
+       sum(xor(event_id, user_id)) AS sum_x,
+       sum(user_id << 2) AS sum_s
+FROM events GROUP BY user_id & 7 ORDER BY band
+""",
 }

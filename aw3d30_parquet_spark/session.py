@@ -92,6 +92,53 @@ def apply_runtime_confs(spark: SparkSession) -> None:
             # Conf may be static on some builds; registration still
             # proceeds — the reads below will surface a real error.
             pass
+    ship_package(spark)
+
+
+#: spark-instance id → package already shipped to its executors
+_SHIPPED: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Pandas UDFs defined at module top level pickle *by reference* — the
+    worker re-imports ``aw3d30_parquet_spark`` to unpickle them. The
+    driver may have imported us from a directory that is not on the
+    workers' ``sys.path`` (and on a real cluster the executors don't
+    share the driver's filesystem at all), so we ship a zip of the
+    package through ``addPyFile`` — the same file-server channel
+    ``spark-submit --py-files`` uses on a 1000-executor cluster. One
+    zip per process, a few tens of KB, built once per session.
+    """
+    key = id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark)
+    if key in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"aw3d30_parquet_spark_pyfiles_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if not fname.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fname)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        # Spark Connect sessions have no sparkContext; UDFs are shipped
+        # via the Connect artifact channel instead.
+        pass
+    _SHIPPED.add(key)
 
 
 def spread(df, min_partitions: int | None = None):

@@ -176,6 +176,9 @@ def read_tiles(
     listing (``src/main.rs:316-321``), before any byte of raster data is
     read — → fused ``mapInPandas`` decode. No shuffle; one task per tile.
     """
+    from aw3d30_parquet_spark.session import ship_package
+
+    ship_package(spark)
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "ALPSMLC30_*_DSM.tif")

@@ -5,6 +5,7 @@ import pytest
 
 from aw3d30_parquet_spark.functions.vectors import (
     ann_topk_bruteforce,
+    ann_topk_ivf,
     ann_topk_lsh,
     embedding_neardup_pairs,
 )
@@ -67,6 +68,23 @@ def test_v3_lsh_recall(spark, emb_np):
         total += len(truth)
     recall = hits / total
     assert recall >= 0.8, f"LSH recall {recall:.2f} < 0.8"
+
+
+def test_v5_ivf_recall(spark, emb_np):
+    # seed-pinned k-means ⇒ deterministic 0.86 at the default 16/8;
+    # bound leaves margin for MLlib init-algorithm drift across versions
+    ids, mat = emb_np
+    oracle = _numpy_topk(ids, mat)
+    got = ann_topk_ivf(spark, SF_SMOKE, k=K, n_queries=NQ).collect()
+    got_map = {}
+    for row in got:
+        got_map.setdefault(row.query_id, set()).add(row.neighbor_id)
+    hits = total = 0
+    for q, truth in oracle.items():
+        hits += len(set(truth) & got_map.get(q, set()))
+        total += len(truth)
+    recall = hits / total
+    assert recall >= 0.75, f"IVF recall {recall:.2f} < 0.75"
 
 
 def test_v4_neardup_pairs_exact_subset(spark, emb_np):
