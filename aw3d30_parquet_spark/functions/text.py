@@ -4,9 +4,9 @@ All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM
 whole-stage codegen; no Python UDFs): tokenization via ``split``,
 stopword hits via higher-order ``filter``, BPE-ish token counting via
 ``regexp_extract_all``. Language-ID is a stopword-profile argmax — also
-pure built-ins, verified against a pandas reimplementation in pytest
-(too dialect-fiddly for a shared SQL oracle, so the driver records a
-rows-only check for it).
+pure built-ins; its DuckDB oracle is generated below from the same
+``LANG_STOPWORDS`` profiles (integer hit counts + pinned tie order ⇒
+fully deterministic across engines).
 
 At 100 TB these are embarrassingly parallel map-side ops: no shuffle at
 all except the final aggregates, which do partial map-side combine.
@@ -233,11 +233,45 @@ SELECT doc_id,
        len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe
 FROM documents ORDER BY doc_id
 """,
-    # t04_lang_id: no SQL oracle (argmax heuristic verified in pytest
-    # against a pandas reimplementation) — driver records rows-only.
     "t05_doc_fingerprint": """
 SELECT doc_id,
        md5(array_to_string(list_sort(regexp_split_to_array(trim(text), '\\s+')), ' ')) AS fp
 FROM documents ORDER BY doc_id
 """,
 }
+
+
+def _lang_id_oracle() -> str:
+    """DuckDB oracle for t04, generated from the same LANG_STOPWORDS the
+    Spark operator uses (single source of truth). Hit counts are exact
+    integers; CASE checks languages in profile order so ties resolve
+    identically to the Spark side (earlier language wins)."""
+    langs = list(LANG_STOPWORDS)
+    hit_cols = ",\n    ".join(
+        "len(list_filter(toks, t -> t IN ({}))) AS h_{}".format(
+            ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]), lang
+        )
+        for lang in langs
+    )
+    best = "greatest({})".format(", ".join(f"h_{lang}" for lang in langs))
+    arms = "\n       ".join(
+        f"WHEN h_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), hits AS (
+  SELECT doc_id, lang,
+    {hit_cols}
+  FROM tok
+)
+SELECT doc_id, lang,
+  CASE WHEN {best} = 0 THEN 'unk'
+       {arms}
+       ELSE 'unk' END AS pred_lang
+FROM hits ORDER BY doc_id
+"""
+
+
+ORACLE_SQL["t04_lang_id"] = _lang_id_oracle()

@@ -11,8 +11,9 @@ media decoders):
   here: exact interpolated median (u01), which both pandas and DuckDB
   define identically → full DuckDB oracle.
 - **applyInPandas (grouped map)** — arbitrary per-group pandas logic;
-  here: per-label embedding centroid + dispersion (u02), verified
-  against a numpy recomputation in pytest (floats → rows-only driver).
+  here: per-label embedding centroid + dispersion (u02), verified both
+  against a numpy recomputation in pytest and an independent
+  unnest-based SQL derivation on DuckDB.
 
 Row-at-a-time ``udf()`` is deliberately absent from every hot path
 (SURVEY §2.2: serialization cost); these Arrow forms are the sanctioned
@@ -142,5 +143,29 @@ ORACLE_SQL = {
 SELECT event_type, round(median(value), 2) AS med
 FROM events GROUP BY event_type ORDER BY event_type
 """,
-    # u02: float centroid math — numpy oracle in pytest, rows-only here.
+    # u02: independent SQL derivation of the same centroid math —
+    # zipped unnest → per-(label, dim) avg → norm / per-row distance.
+    # numpy's pairwise summation vs DuckDB's sequential avg differ at
+    # ~1e-15 relative; round(·, 4) absorbs that (also verified against
+    # a straight numpy recomputation in pytest).
+    "u02_label_centroids": """
+WITH dims AS (
+  SELECT label, vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(range(len(embedding))) AS dim
+  FROM embeddings
+), cent AS (
+  SELECT label, dim, avg(x) AS c FROM dims GROUP BY label, dim
+), dist AS (
+  SELECT d.label, d.vec_id, sqrt(sum((d.x - c.c) * (d.x - c.c))) AS dist
+  FROM dims d JOIN cent c ON d.label = c.label AND d.dim = c.dim
+  GROUP BY d.label, d.vec_id
+)
+SELECT c.label, n.n, round(c.cn, 4) AS centroid_norm,
+       round(r.md, 4) AS mean_dist
+FROM (SELECT label, sqrt(sum(c * c)) AS cn FROM cent GROUP BY label) c
+JOIN (SELECT label, count(*) AS n FROM embeddings GROUP BY label) n USING (label)
+JOIN (SELECT label, avg(dist) AS md FROM dist GROUP BY label) r USING (label)
+ORDER BY c.label
+""",
 }

@@ -773,6 +773,236 @@ def q48_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q49_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (filter/exists/position/max) over
+    the embedding column — all JVM-side codegen'd expressions, no
+    Python. Predicates compare exact float values, so the results are
+    bit-stable across engines (no float summation involved)."""
+    emb = F.col("embedding")
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select(
+            "vec_id",
+            F.size(F.filter(emb, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+            F.array_position(emb, F.array_max(emb)).alias("argmax"),
+            F.exists(emb, lambda x: x > 2.0).alias("has_big"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def q50_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON string → typed map (from_json) + map functions
+    (map_keys/element_at/size). The parse happens once per row inside
+    codegen; at 100 TB the better layout is parsing props at ingest
+    into a proper MapType column, which this operator also models."""
+    m = F.from_json("props", "map<string,int>")
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 50)
+        .select(
+            "event_id",
+            F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
+            F.element_at(m, F.lit("k")).alias("k_val"),
+            F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q51_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested struct construction + field access: max_by over a struct
+    value (argmax returning a record, then projected by field).
+    Deterministic because the ordering key c_custkey is unique."""
+    top = F.max_by(
+        F.struct(
+            F.col("c_acctbal").alias("bal"), F.col("c_name").alias("name")
+        ),
+        F.col("c_custkey"),
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(top.alias("top"))
+        .select(
+            "c_nationkey",
+            F.round(F.col("top.bal"), 2).alias("top_bal"),
+            F.col("top.name").alias("top_name"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q52_except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set ops (EXCEPT ALL / INTERSECT ALL) — Spark plans these
+    as aggregate+generate (no sort), preserving duplicate counts; the
+    per-key histogram output makes the result order-insensitive."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    ex = (
+        cust.exceptAll(supp)
+        .groupBy("k")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    inter = (
+        cust.intersectAll(supp)
+        .groupBy("k")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    return ex.unionByName(inter).select("op", "k", "cnt").orderBy("op", "k")
+
+
+def q53_string_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String transform family: global regexp_replace, translate,
+    lpad, reverse — all codegen'd expressions (DuckDB's regexp_replace
+    needs the 'g' flag for the same replace-all semantics)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select(
+            "doc_id",
+            F.length(F.regexp_replace("text", "[aeiou]", "")).alias("n_novowel"),
+            F.translate("source", "src", "SRC").alias("src_u"),
+            F.lpad("lang", 5, "_").alias("lang_pad"),
+            F.reverse(F.col("lang")).alias("lang_rev"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q54_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame (interval-bounded sliding window over
+    ts). Value-range frames are order-insensitive within ts peers, so
+    the result is deterministic even with duplicate timestamps. At
+    scale: one shuffle by user_id, then a sorted streaming frame scan."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_id,
+               count(*) OVER w AS cnt_1h,
+               round(sum(value) OVER w, 2) AS sum_1h
+        FROM events WHERE user_id <= 5
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+        """
+    )
+
+
+def q55_null_least_greatest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling scalar family: nullif/ifnull/coalesce plus
+    least/greatest — pure codegen expressions."""
+    banded = F.nullif(F.pmod(F.floor("value").cast("bigint"), F.lit(3)), F.lit(0))
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 60)
+        .select(
+            "event_id",
+            banded.alias("band_nz"),
+            F.coalesce(banded, F.lit(-1)).alias("band_filled"),
+            F.round(F.least(F.col("value"), F.lit(100.0)), 2).alias("capped"),
+            F.round(F.greatest(F.col("value"), F.lit(10.0)), 2).alias("floored"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q56_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long melt) over a grouped aggregate — the
+    inverse of q35's pivot. Spark plans this as Expand (no shuffle
+    beyond the aggregation's own)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type, metric, round(val, 2) AS val FROM (
+          SELECT event_type,
+                 round(sum(value), 2) AS total,
+                 round(avg(value), 2) AS mean,
+                 CAST(count(*) AS DOUBLE) AS cnt
+          FROM events GROUP BY event_type
+        ) UNPIVOT (val FOR metric IN (total, mean, cnt))
+        ORDER BY event_type, metric
+        """
+    )
+
+
+def q57_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery join (per-nation aggregate computed
+    in a lateral derived table). Catalyst decorrelates it into the
+    same aggregate+join a hand-written plan would use."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, t.n_cust, t.max_bal
+        FROM nation,
+        LATERAL (
+          SELECT count(*) AS n_cust,
+                 round(max(c_acctbal), 2) AS max_bal
+          FROM customer WHERE c_nationkey = n_nationkey
+        ) t
+        ORDER BY n_name
+        """
+    )
+
+
+def q58_ignore_nulls_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window functions — last-observation-carried-forward
+    (the canonical gap-fill for sensor/event streams): carry each
+    user's last non-error value forward over an ordered frame."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_id,
+               round(last_value(CASE WHEN event_type = 'error' THEN NULL
+                                     ELSE value END) IGNORE NULLS
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     2) AS carried
+        FROM events WHERE user_id <= 8
+        ORDER BY event_id
+        """
+    )
+
+
+def q59_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (grouping keys inferred from the select list) —
+    identical semantics to listing the keys; the plan is the same
+    partial+final hash aggregate."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type, user_id % 10 AS bucket, count(*) AS cnt,
+               round(sum(value), 2) AS total
+        FROM events GROUP BY ALL
+        ORDER BY event_type, bucket
+        """
+    )
+
+
+def q60_date_series_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense calendar fill: generate the full date range (sequence +
+    explode), left-join per-day counts, zero-fill gaps. The generated
+    calendar is metadata-sized → broadcast; the fact side aggregates
+    before the join so the join input is |days|, not |events|."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT cal.d, coalesce(e.cnt, 0) AS cnt
+        FROM (
+          SELECT explode(sequence(DATE'2024-01-01', DATE'2024-01-30')) AS d
+        ) cal
+        LEFT JOIN (
+          SELECT CAST(ts AS DATE) AS ed, count(*) AS cnt
+          FROM events GROUP BY CAST(ts AS DATE)
+        ) e ON cal.d = e.ed
+        ORDER BY cal.d
+        """
+    )
+
+
 RELATIONAL_QUERIES = {
     "q01_scan_project": q01_scan_project,
     "a01_approx_count_distinct": a01_approx_count_distinct,
@@ -823,4 +1053,16 @@ RELATIONAL_QUERIES = {
     "q46_uncorrelated_subquery": q46_uncorrelated_subquery,
     "q47_sorted_list_agg": q47_sorted_list_agg,
     "q48_bitwise": q48_bitwise,
+    "q49_array_hof": q49_array_hof,
+    "q50_map_ops": q50_map_ops,
+    "q51_struct_ops": q51_struct_ops,
+    "q52_except_intersect_all": q52_except_intersect_all,
+    "q53_string_transform": q53_string_transform,
+    "q54_time_range_frame": q54_time_range_frame,
+    "q55_null_least_greatest": q55_null_least_greatest,
+    "q56_unpivot": q56_unpivot,
+    "q57_lateral_join": q57_lateral_join,
+    "q58_ignore_nulls_window": q58_ignore_nulls_window,
+    "q59_group_by_all": q59_group_by_all,
+    "q60_date_series_fill": q60_date_series_fill,
 }

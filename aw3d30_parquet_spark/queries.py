@@ -342,4 +342,123 @@ SELECT user_id & 7 AS band, count(*) AS cnt,
        sum(user_id << 2) AS sum_s
 FROM events GROUP BY user_id & 7 ORDER BY band
 """,
+    # q49: higher-order list functions — DuckDB spells them list_*;
+    #      predicates compare exact floats (no summation → no float risk)
+    "q49_array_hof": """
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+       CAST(list_indexof(embedding, list_max(embedding)) AS BIGINT) AS argmax,
+       len(list_filter(embedding, x -> x > 2.0)) > 0 AS has_big
+FROM embeddings WHERE vec_id < 100 ORDER BY vec_id
+""",
+    # q50: Spark's map functions ↔ DuckDB's JSON functions over the
+    #      same props strings
+    "q50_map_ops": """
+SELECT event_id,
+       array_to_string(list_sort(json_keys(props)), ',') AS keys,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+       CAST(len(json_keys(props)) AS BIGINT) AS n_keys
+FROM events WHERE event_id < 50 ORDER BY event_id
+""",
+    # q51: struct_pack ↔ named_struct; field access on the max_by result
+    "q51_struct_ops": """
+SELECT c_nationkey,
+       round((t.top).bal, 2) AS top_bal,
+       (t.top).name AS top_name
+FROM (
+  SELECT c_nationkey,
+         max_by(struct_pack(bal := c_acctbal, name := c_name), c_custkey) AS top
+  FROM customer GROUP BY c_nationkey
+) t
+ORDER BY c_nationkey
+""",
+    "q52_except_intersect_all": """
+SELECT op, k, cnt FROM (
+  SELECT 'except_all' AS op, k, count(*) AS cnt FROM (
+    SELECT c_nationkey AS k FROM customer
+    EXCEPT ALL SELECT s_nationkey FROM supplier) GROUP BY k
+  UNION ALL
+  SELECT 'intersect_all' AS op, k, count(*) AS cnt FROM (
+    SELECT c_nationkey AS k FROM customer
+    INTERSECT ALL SELECT s_nationkey FROM supplier) GROUP BY k
+) ORDER BY op, k
+""",
+    # q53: DuckDB regexp_replace needs 'g' for Spark's replace-all
+    "q53_string_transform": """
+SELECT doc_id,
+       length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_novowel,
+       translate(source, 'src', 'SRC') AS src_u,
+       lpad(lang, 5, '_') AS lang_pad,
+       reverse(lang) AS lang_rev
+FROM documents WHERE doc_id < 30 ORDER BY doc_id
+""",
+    "q54_time_range_frame": """
+SELECT event_id,
+       count(*) OVER w AS cnt_1h,
+       round(sum(value) OVER w, 2) AS sum_1h
+FROM events WHERE user_id <= 5
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+    "q55_null_least_greatest": """
+SELECT event_id,
+       nullif(CAST(floor(value) AS BIGINT) % 3, 0) AS band_nz,
+       coalesce(nullif(CAST(floor(value) AS BIGINT) % 3, 0), -1) AS band_filled,
+       round(least(value, 100.0), 2) AS capped,
+       round(greatest(value, 10.0), 2) AS floored
+FROM events WHERE event_id < 60 ORDER BY event_id
+""",
+    # q56: UNPIVOT syntax differs (Spark: FOR..IN; DuckDB: ON..INTO)
+    "q56_unpivot": """
+SELECT event_type, metric, round(val, 2) AS val FROM (
+  UNPIVOT (
+    SELECT event_type,
+           round(sum(value), 2) AS total,
+           round(avg(value), 2) AS mean,
+           CAST(count(*) AS DOUBLE) AS cnt
+    FROM events GROUP BY event_type
+  ) ON total, mean, cnt INTO NAME metric VALUE val
+) ORDER BY event_type, metric
+""",
+    "q57_lateral_join": """
+SELECT n_name, t.n_cust, t.max_bal
+FROM nation,
+LATERAL (
+  SELECT count(*) AS n_cust, round(max(c_acctbal), 2) AS max_bal
+  FROM customer WHERE c_nationkey = n_nationkey
+) t
+ORDER BY n_name
+""",
+    # q58: DuckDB puts IGNORE NULLS inside the call parens
+    "q58_ignore_nulls_window": """
+SELECT event_id,
+       round(last_value(CASE WHEN event_type = 'error' THEN NULL
+                             ELSE value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             2) AS carried
+FROM events WHERE user_id <= 8
+ORDER BY event_id
+""",
+    "q59_group_by_all": """
+SELECT event_type, user_id % 10 AS bucket, count(*) AS cnt,
+       round(sum(value), 2) AS total
+FROM events GROUP BY ALL
+ORDER BY event_type, bucket
+""",
+    # q60: DuckDB's generate_series(date, date, interval) yields
+    #      timestamps — cast back to DATE
+    "q60_date_series_fill": """
+SELECT cal.d, coalesce(e.cnt, 0) AS cnt
+FROM (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+) cal
+LEFT JOIN (
+  SELECT CAST(ts AS DATE) AS ed, count(*) AS cnt
+  FROM events GROUP BY CAST(ts AS DATE)
+) e ON cal.d = e.ed
+ORDER BY cal.d
+""",
 }
