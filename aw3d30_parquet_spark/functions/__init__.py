@@ -20,9 +20,16 @@ def _register(queries: dict, oracles: dict) -> None:
 
 
 def _load() -> None:
-    from aw3d30_parquet_spark.functions import dedup, multimodal, text, udfs, vectors
+    from aw3d30_parquet_spark.functions import (
+        dedup,
+        multimodal,
+        pipeline,
+        text,
+        udfs,
+        vectors,
+    )
 
-    for mod in (text, dedup, vectors, multimodal, udfs):
+    for mod in (text, dedup, vectors, multimodal, udfs, pipeline):
         _register(mod.QUERIES, mod.ORACLE_SQL)
 
 

@@ -1,0 +1,226 @@
+"""Training-data pipeline operators over the ``documents`` table.
+
+The ops a 100 TB pretraining-data build actually runs between dedup and
+tokenization: deterministic split assignment, token-budget packing,
+stratified sampling, and PII redaction. All hot paths are built-in
+``pyspark.sql.functions`` expressions (JVM codegen, no Python), and
+every op is deterministic — re-running the pipeline on the same corpus
+reproduces the same splits/bins/samples bit-for-bit, which is what
+makes a data build auditable.
+
+Scale posture:
+
+- **p01 split** is a pure map: md5 prefix compare per row, then one
+  partial+final aggregate. No shuffle of document text.
+- **p02 packing** windows per ``source`` shard, not globally — a global
+  ordered cumsum is a single-partition sequential bottleneck at scale,
+  while per-shard packing parallelizes across shards (and matches how
+  corpora actually arrive: pre-sharded).
+- **p03 stratified sample** shuffles (lang, md5) pairs, never text, and
+  the per-stratum count comes from the same window pass.
+- **p04 redaction** is a pure map stage (regexp_replace in codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from aw3d30_parquet_spark.session import register_views
+
+#: md5 hex prefix thresholds: 'cc'/256 ≈ 0.797, 'e6'/256 ≈ 0.898 —
+#: lowercase-hex digests compare identically in Spark and DuckDB, so
+#: lexicographic compare on the digest is a dialect-shared uniform draw.
+SPLIT_TRAIN_LT = "cc"
+SPLIT_VAL_LT = "e6"
+
+PACK_CAPACITY_TOKENS = 4096
+SAMPLE_FRACTION = 0.1
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.table("documents")
+
+
+def _split_col():
+    d = F.md5("text")
+    return (
+        F.when(d < SPLIT_TRAIN_LT, "train")
+        .when(d < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+    )
+
+
+def hash_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~80/10/10) by content
+    digest — re-ingesting the same document always lands it in the same
+    split (content-keyed, not id-keyed, so dedup-survivors keep their
+    assignment even if ids shift). Returns per-split audit stats."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            _split_col().alias("split"),
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: contiguous docs (per source shard, doc_id
+    order) are packed into bins of ≤``PACK_CAPACITY_TOKENS`` tokens —
+    the grouping a sequence-packing tokenizer consumes. Bin boundary =
+    exclusive running token count crossing a capacity multiple. Returns
+    per-bin stats (docs, tokens, id range)."""
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", n_tok.alias("n_tok"))
+        .withColumn(
+            "bin_id",
+            F.floor(
+                (F.sum("n_tok").over(w) - F.col("n_tok"))
+                / F.lit(PACK_CAPACITY_TOKENS)
+            ).cast("bigint"),
+        )
+    )
+    return (
+        binned.groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic ~10% sample: rank docs within each
+    lang stratum by (md5(text), doc_id) — a content-keyed shuffle that
+    is stable across runs, unlike ``TABLESAMPLE``/``rand(seed)`` whose
+    row assignment is partitioning-dependent — and keep the first
+    ceil(0.1·|stratum|). Returns the kept (doc_id, lang) rows."""
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy("lang")).alias("n"),
+        )
+        .filter(F.col("rn") <= F.ceil(F.col("n") * SAMPLE_FRACTION))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: redact email/phone patterns, report per-doc match
+    counts and the redacted text's length. The fixture corpus has no
+    PII, so the op runs on an augmented column (text + a contact line
+    fabricated from source/doc_id) — the redaction kernel itself is the
+    real, reusable part."""
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" contact: "),
+        F.col("source"),
+        F.lit("@example.com +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(contact, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all(contact, F.lit(_EMAIL_RE), F.lit(0))
+            ).alias("n_email"),
+            F.size(
+                F.regexp_extract_all(contact, F.lit(_PHONE_RE), F.lit(0))
+            ).alias("n_phone"),
+            F.length(redacted).alias("len_redacted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES = {
+    "p01_hash_split": hash_split_assign,
+    "p02_pack_token_bins": pack_token_bins,
+    "p03_stratified_sample": stratified_sample,
+    "p04_pii_redact": pii_redact,
+}
+
+ORACLE_SQL = {
+    "p01_hash_split": f"""
+SELECT CASE WHEN md5(text) < '{SPLIT_TRAIN_LT}' THEN 'train'
+            WHEN md5(text) < '{SPLIT_VAL_LT}' THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens
+FROM documents GROUP BY 1 ORDER BY split
+""",
+    "p02_pack_token_bins": f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+  FROM documents
+), binned AS (
+  SELECT doc_id, source, n_tok,
+         CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tok) / {PACK_CAPACITY_TOKENS}) AS BIGINT) AS bin_id
+  FROM toks
+)
+SELECT source, bin_id, count(*) AS n_docs, sum(n_tok) AS bin_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM binned GROUP BY source, bin_id ORDER BY source, bin_id
+""",
+    "p03_stratified_sample": f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked
+WHERE rn <= ceil(n * {SAMPLE_FRACTION}) ORDER BY doc_id
+""",
+    "p04_pii_redact": """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact: ' || source || '@example.com +1-555-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS contact
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(contact, '[a-z0-9]+@[a-z0-9.]+\\.[a-z]+')) AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(contact, '\\+1-555-[0-9]{4}')) AS INTEGER) AS n_phone,
+       length(regexp_replace(regexp_replace(contact,
+              '[a-z0-9]+@[a-z0-9.]+\\.[a-z]+', '[EMAIL]', 'g'),
+              '\\+1-555-[0-9]{4}', '[PHONE]', 'g')) AS len_redacted
+FROM aug ORDER BY doc_id
+""",
+}
