@@ -129,6 +129,125 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BENCH_MOD = 97  # doc_id % 97 == 0 marks the held-out "benchmark" set
+LEAK_FLAG = 0.5
+
+#: funnel predicates, applied cumulatively (lang allowlist → minimum
+#: token count → stopword-hit quality gate → exact dedup survivors)
+FUNNEL_LANGS = ("en", "de", "fr")
+FUNNEL_MIN_TOKENS = 5
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per held-out doc, the fraction of its
+    distinct 3-gram shingles that leak from the training split.
+
+    The canonical pre-training hygiene op — before a corpus ships, every
+    eval/benchmark document is checked for n-gram overlap against the
+    training text so test questions that were memorized verbatim get
+    pulled. Here the "benchmark" is the ``doc_id % 97 == 0`` slice of
+    ``documents`` and train is the rest.
+
+    Scale shape (one corpus scan, same single-scan discipline as d04):
+
+    - shingle both splits from one shingled relation; join key is
+      ``xxhash64(shingle)`` (8-byte ints shuffle, never strings);
+    - the train side is reduced to *distinct* hashes before the join —
+      partial (map-side) distinct means the shuffle carries unique
+      hashes per partition, not every token occurrence;
+    - bench side is tiny by construction (an eval set, ~1/97 of the
+      corpus here, fixed-size in real life) → at scale it broadcasts
+      and the leak count is a map-side probe of the train hash stream.
+
+    A leaked shingle is counted once per bench doc (both sides
+    distinct), so ``leak_frac`` is exact set overlap, not occurrence
+    counting.
+    """
+    from aw3d30_parquet_spark.functions.dedup import _shingles
+
+    sh = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % BENCH_MOD == 0).alias("is_bench"),
+        _shingles(F.col("text")).alias("shs"),
+    )
+    bench = sh.filter("is_bench").select(
+        "doc_id", F.explode_outer("shs").alias("s")
+    ).select("doc_id", F.xxhash64("s").alias("h"))
+    train = (
+        sh.filter(~F.col("is_bench"))
+        .select(F.explode_outer("shs").alias("s"))
+        .select(F.xxhash64("s").alias("h"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    leak = F.floor(
+        F.col("n_hit") / F.col("n_sh").cast("double") * 100 + 0.5
+    ).cast("bigint") / 100.0
+    return (
+        bench.join(train, "h", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"), F.count("hit").alias("n_hit"))
+        .select(
+            "doc_id",
+            "n_sh",
+            "n_hit",
+            leak.alias("leak_frac"),
+            (F.col("n_hit") >= F.col("n_sh") * LEAK_FLAG)
+            .cast("int")
+            .alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation funnel: per-stage survivor counts for the
+    standard filter chain (lang allowlist → min length → stopword
+    quality gate → exact dedup), as one row per stage with the
+    fraction of the raw corpus retained.
+
+    ONE scan, one aggregate — every stage is a conditional aggregate
+    over the same pass (``count(CASE WHEN …)``), and the dedup stage is
+    ``count(DISTINCT CASE WHEN … THEN md5(text) END)`` so even the
+    distinct runs inside the same shuffle. The naive form (one filtered
+    count per stage) scans the corpus five times; this form once —
+    at 100 TB that is the difference between one pass over the data
+    and an afternoon.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    c_lang = F.col("lang").isin(*FUNNEL_LANGS)
+    c_len = c_lang & (F.size(toks) >= FUNNEL_MIN_TOKENS)
+    from aw3d30_parquet_spark.functions.text import STOPWORDS
+
+    c_qual = c_len & (
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) > 0
+    )
+    one = (
+        _docs(spark, sf_dir)
+        .agg(
+            F.count("*").alias("s0"),
+            F.count(F.when(c_lang, 1)).alias("s1"),
+            F.count(F.when(c_len, 1)).alias("s2"),
+            F.count(F.when(c_qual, 1)).alias("s3"),
+            F.countDistinct(F.when(c_qual, F.md5("text"))).alias("s4"),
+        )
+    )
+    stages = one.select(
+        F.expr(
+            "stack(5, 'raw', s0, 'lang', s1, 'min_len', s2,"
+            " 'quality', s3, 'dedup', s4) AS (stage, n_docs)"
+        ),
+        F.col("s0").alias("_total"),
+    )
+    pct = F.floor(
+        F.col("n_docs") / F.col("_total").cast("double") * 1000 + 0.5
+    ).cast("bigint") / 1000.0
+    return (
+        stages.select("stage", "n_docs", pct.alias("retained_frac"))
+        .orderBy(F.col("n_docs").desc(), "stage")
+    )
+
+
 _EMAIL_RE = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
 _PHONE_RE = "\\+1-555-[0-9]{4}"
 
@@ -171,6 +290,8 @@ QUERIES = {
     "p02_pack_token_bins": pack_token_bins,
     "p03_stratified_sample": stratified_sample,
     "p04_pii_redact": pii_redact,
+    "p05_decontaminate": decontaminate,
+    "p06_quality_funnel": quality_funnel,
 }
 
 ORACLE_SQL = {
@@ -222,5 +343,61 @@ SELECT doc_id,
               '[a-z0-9]+@[a-z0-9.]+\\.[a-z]+', '[EMAIL]', 'g'),
               '\\+1-555-[0-9]{4}', '[PHONE]', 'g')) AS len_redacted
 FROM aug ORDER BY doc_id
+""",
+    # leak counting is on shingle STRINGS here vs xxhash64 ints in
+    # Spark — identical counts absent a 64-bit collision (d04 argument)
+    "p05_decontaminate": f"""
+WITH words AS (
+  SELECT doc_id, doc_id % {BENCH_MOD} = 0 AS is_bench,
+         regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), shing AS (
+  SELECT doc_id, is_bench,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                 i -> array_to_string(w[i:i+2], ' ')))
+              ELSE [array_to_string(w, ' ')] END AS shs
+  FROM words
+), bench AS (
+  SELECT doc_id, unnest(shs) AS sh FROM shing WHERE is_bench
+), train AS (
+  SELECT DISTINCT unnest(shs) AS sh FROM shing WHERE NOT is_bench
+)
+SELECT b.doc_id, count(*) AS n_sh, count(t.sh) AS n_hit,
+       CAST(floor(count(t.sh) / CAST(count(*) AS DOUBLE) * 100 + 0.5) AS BIGINT) / 100.0 AS leak_frac,
+       CAST(count(t.sh) >= count(*) * {LEAK_FLAG} AS INT) AS contaminated
+FROM bench b LEFT JOIN train t USING (sh)
+GROUP BY b.doc_id ORDER BY doc_id
+""",
+    "p06_quality_funnel": f"""
+WITH flags AS (
+  SELECT text, lang,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), conds AS (
+  SELECT text,
+         lang IN ('en','de','fr') AS c_lang,
+         lang IN ('en','de','fr') AND len(toks) >= {FUNNEL_MIN_TOKENS} AS c_len,
+         lang IN ('en','de','fr') AND len(toks) >= {FUNNEL_MIN_TOKENS}
+           AND len(list_filter(toks,
+               t -> t IN ('the','and','of','to','in','is','that','for'))) > 0 AS c_qual
+  FROM flags
+), agg AS (
+  SELECT count(*) AS s0,
+         count(CASE WHEN c_lang THEN 1 END) AS s1,
+         count(CASE WHEN c_len THEN 1 END) AS s2,
+         count(CASE WHEN c_qual THEN 1 END) AS s3,
+         count(DISTINCT CASE WHEN c_qual THEN md5(text) END) AS s4
+  FROM conds
+), stages AS (
+  SELECT 'raw' AS stage, s0 AS n_docs, s0 AS total FROM agg UNION ALL
+  SELECT 'lang', s1, s0 FROM agg UNION ALL
+  SELECT 'min_len', s2, s0 FROM agg UNION ALL
+  SELECT 'quality', s3, s0 FROM agg UNION ALL
+  SELECT 'dedup', s4, s0 FROM agg
+)
+SELECT stage, n_docs,
+       CAST(floor(n_docs / CAST(total AS DOUBLE) * 1000 + 0.5) AS BIGINT) / 1000.0 AS retained_frac
+FROM stages ORDER BY n_docs DESC, stage
 """,
 }

@@ -239,9 +239,22 @@ def ann_topk_ivf(
     """
     from pyspark.ml.clustering import KMeans
 
-    feats = _normalized_features(_emb(spark, sf_dir))
+    # persist: the normalized-feature projection is re-read by every
+    # k-means pass, the assignment transform, and the scoring join —
+    # exactly the "materialize the index input once" posture the 100 TB
+    # path has (there it's a parquet table, here executor memory)
+    feats = _normalized_features(_emb(spark, sf_dir)).persist()
+    # random init + capped iterations: k-means|| init costs ~2 extra
+    # full passes (each a scheduled job) for quality the rerank step
+    # doesn't need — list assignment only has to be roughly balanced,
+    # recall is recovered by probing n_probe lists (pytest-pinned ≥0.75)
     model = KMeans(
-        k=n_clusters, seed=42, featuresCol="features", predictionCol="cluster_id"
+        k=n_clusters,
+        seed=42,
+        initMode="random",
+        maxIter=8,
+        featuresCol="features",
+        predictionCol="cluster_id",
     ).fit(feats)
     corpus = model.transform(feats).select(
         F.col("vec_id").alias("neighbor_id"),
