@@ -285,6 +285,41 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition scoring (Gopher-style quality rule:
+    drop documents dominated by repeated content). Per doc the
+    distinct-word fraction is computed entirely in codegen
+    (split → array_distinct → size — no shuffle, no Python), then one
+    partial+final agg per lang. Ratios are derived from exact integer
+    sums (never averaged as floats) so the result is order-insensitive
+    and oracle-stable."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    per_doc = _docs(spark, sf_dir).select(
+        "lang",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_distinct") * 2 <= F.col("n_words"), 1)
+                .otherwise(0)
+            ).alias("heavy_repeat_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_distinct").alias("total_distinct"),
+        )
+        .withColumn(
+            "distinct_bp",
+            F.floor(
+                F.col("total_distinct") * 10000.0 / F.col("total_words")
+            ).cast("bigint"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "p01_hash_split": hash_split_assign,
     "p02_pack_token_bins": pack_token_bins,
@@ -292,6 +327,7 @@ QUERIES = {
     "p04_pii_redact": pii_redact,
     "p05_decontaminate": decontaminate,
     "p06_quality_funnel": quality_funnel,
+    "p07_repetition_filter": repetition_filter,
 }
 
 ORACLE_SQL = {
@@ -399,5 +435,23 @@ WITH flags AS (
 SELECT stage, n_docs,
        CAST(floor(n_docs / CAST(total AS DOUBLE) * 1000 + 0.5) AS BIGINT) / 1000.0 AS retained_frac
 FROM stages ORDER BY n_docs DESC, stage
+""",
+    # integer-sum-derived ratios: no float summation order dependence
+    "p07_repetition_filter": """
+WITH per_doc AS (
+  SELECT lang,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+         len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+           AS n_distinct
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN 2 * n_distinct <= n_words THEN 1 ELSE 0 END)
+         AS heavy_repeat_docs,
+       sum(n_words) AS total_words,
+       sum(n_distinct) AS total_distinct,
+       CAST(floor(sum(n_distinct) * 10000.0 / sum(n_words)) AS BIGINT)
+         AS distinct_bp
+FROM per_doc GROUP BY lang ORDER BY lang
 """,
 }

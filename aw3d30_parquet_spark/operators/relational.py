@@ -1003,6 +1003,88 @@ def q60_date_series_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q61_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk an implicit binary
+    tree over the 25 nations (parent(k) = floor((k-1)/2)) and report the
+    node population per depth. Exercises the iterative UnionLoop plan —
+    each iteration is a broadcast-joinable frontier (≤ |nation| rows),
+    so at scale the recursion depth, not the fact size, bounds cost."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE tree AS (
+          SELECT n_nationkey AS k, 0 AS depth FROM nation WHERE n_nationkey = 0
+          UNION ALL
+          SELECT n.n_nationkey, t.depth + 1
+          FROM nation n JOIN tree t
+            ON CAST(floor((n.n_nationkey - 1) / 2.0) AS INT) = t.k
+          WHERE n.n_nationkey > 0
+        )
+        SELECT depth, count(*) AS cnt, min(k) AS min_k, max(k) AS max_k
+        FROM tree GROUP BY depth ORDER BY depth
+        """
+    )
+
+
+def q62_bool_agg_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (bool_and/bool_or) + cume_dist window +
+    FILTER-clause conditional count. cume_dist output is folded through
+    an exact integer compare (n/N is the same double in both engines),
+    never hashed as a float."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH cd AS (
+          SELECT c_mktsegment, c_acctbal,
+                 cume_dist() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal, c_custkey) AS cd
+          FROM customer
+        )
+        SELECT c_mktsegment,
+               bool_and(c_acctbal > -1000.0) AS none_deep_negative,
+               bool_or(c_acctbal > 9000.0) AS any_rich,
+               count(*) FILTER (WHERE cd <= 0.1) AS bottom_decile_cnt,
+               count(*) AS cnt
+        FROM cd GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """
+    )
+
+
+def q63_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe ``try_`` functions: try_divide → NULL on zero divisor,
+    try_cast → NULL on malformed input (the oracle derives the same
+    semantics from CASE/NULLIF — an independent derivation, not a
+    dialect copy). Pure map stage, whole-stage codegen."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_id,
+               floor(try_divide(value, CAST(user_id % 3 AS DOUBLE)) * 100
+                     + 0.5) / 100 AS ratio,
+               try_cast(regexp_extract(props, '[0-9]+', 0) AS INT) AS k_val,
+               try_cast(event_type AS INT) AS not_numeric
+        FROM events WHERE event_id < 60 ORDER BY event_id
+        """
+    )
+
+
+def q64_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket over order totals — the
+    single-pass profiling scan every ingest pipeline runs. Partial+final
+    hash agg on a 13-value key; no shuffle of fact rows beyond the
+    13-group exchange."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT width_bucket(o_totalprice, 0.0, 600000.0, 12) AS bucket,
+               count(*) AS cnt,
+               round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi
+        FROM orders GROUP BY bucket ORDER BY bucket
+        """
+    )
+
+
 RELATIONAL_QUERIES = {
     "q01_scan_project": q01_scan_project,
     "a01_approx_count_distinct": a01_approx_count_distinct,
@@ -1065,4 +1147,8 @@ RELATIONAL_QUERIES = {
     "q58_ignore_nulls_window": q58_ignore_nulls_window,
     "q59_group_by_all": q59_group_by_all,
     "q60_date_series_fill": q60_date_series_fill,
+    "q61_recursive_cte": q61_recursive_cte,
+    "q62_bool_agg_cume_dist": q62_bool_agg_cume_dist,
+    "q63_try_arithmetic": q63_try_arithmetic,
+    "q64_width_bucket_histogram": q64_width_bucket_histogram,
 }

@@ -461,4 +461,53 @@ LEFT JOIN (
 ) e ON cal.d = e.ed
 ORDER BY cal.d
 """,
+    # q61: same recursion in both dialects (floor-cast parent arithmetic
+    #      is dialect-shared; DuckDB integer '/' yields DOUBLE, hence /2.0)
+    "q61_recursive_cte": """
+WITH RECURSIVE tree AS (
+  SELECT n_nationkey AS k, 0 AS depth FROM nation WHERE n_nationkey = 0
+  UNION ALL
+  SELECT n.n_nationkey, t.depth + 1
+  FROM nation n JOIN tree t
+    ON CAST(floor((n.n_nationkey - 1) / 2.0) AS INT) = t.k
+  WHERE n.n_nationkey > 0
+)
+SELECT depth, count(*) AS cnt, min(k) AS min_k, max(k) AS max_k
+FROM tree GROUP BY depth ORDER BY depth
+""",
+    "q62_bool_agg_cume_dist": """
+WITH cd AS (
+  SELECT c_mktsegment, c_acctbal,
+         cume_dist() OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal, c_custkey) AS cd
+  FROM customer
+)
+SELECT c_mktsegment,
+       bool_and(c_acctbal > -1000.0) AS none_deep_negative,
+       bool_or(c_acctbal > 9000.0) AS any_rich,
+       count(*) FILTER (WHERE cd <= 0.1) AS bottom_decile_cnt,
+       count(*) AS cnt
+FROM cd GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+    # q63: independent derivation of the try_ semantics — CASE/NULL
+    #      arithmetic, not DuckDB try_ twins
+    "q63_try_arithmetic": """
+SELECT event_id,
+       CASE WHEN user_id % 3 = 0 THEN NULL
+            ELSE floor(value / (user_id % 3) * 100 + 0.5) / 100 END AS ratio,
+       CAST(regexp_extract(props, '[0-9]+', 0) AS INT) AS k_val,
+       CAST(NULL AS INT) AS not_numeric
+FROM events WHERE event_id < 60 ORDER BY event_id
+""",
+    # q64: DuckDB has no width_bucket — emulate with the same
+    #      floor((x-lo)/w)+1 arithmetic Spark's WidthBucket evaluates
+    "q64_width_bucket_histogram": """
+SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+            WHEN o_totalprice >= 600000.0 THEN 13
+            ELSE CAST(floor(o_totalprice / 50000.0) AS INT) + 1 END AS bucket,
+       count(*) AS cnt,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders GROUP BY 1 ORDER BY bucket
+""",
 }

@@ -177,6 +177,56 @@ def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
     )
 
 
+def interval_join(
+    left: DataFrame, right: DataFrame, watermark: str = "30 days"
+) -> DataFrame:
+    """Stream⋈stream event-time interval join: each purchase matched to
+    the same user's clicks in the preceding hour — the attribution-join
+    pattern (ad click → conversion).
+
+    Both sides carry watermarks and the join predicate bounds event
+    time (``c_ts BETWEEN p_ts - 1h AND p_ts``), so Spark can evict
+    state older than watermark+interval — at scale, state is
+    proportional to one hour of traffic per side, not the stream
+    history. The default watermark here is wider than the fixture's
+    span so the replay test is exactly batch-equivalent.
+    """
+    p = (
+        left.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    c = (
+        right.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return p.join(
+        c,
+        F.expr(
+            "p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+        ),
+        "inner",
+    ).select("purchase_id", "click_id")
+
+
+def interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: batch form of :func:`interval_join` (the
+    same mode-agnostic function — S6 verifies stream↔batch equality).
+    The oracle is a plain self-join with the same interval predicate."""
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    return interval_join(ev, ev).orderBy("purchase_id", "click_id")
+
+
 def session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry: per-user session windows (10-minute gap),
     batch form of :func:`session_counts` over the events view.
@@ -214,8 +264,17 @@ def sliding_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "s01_session_windows": session_windows_batch,
     "s02_sliding_windows": sliding_windows_batch,
+    "s03_interval_join": interval_join_batch,
 }
 ORACLE_SQL = {
+    "s03_interval_join": """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+ORDER BY purchase_id, click_id
+""",
     "s02_sliding_windows": """
 SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS w_start,
        count(*) AS cnt

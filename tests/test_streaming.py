@@ -14,6 +14,7 @@ from aw3d30_parquet_spark.oracle import canonical_hash
 from aw3d30_parquet_spark.session import register_views
 from aw3d30_parquet_spark.streaming.events import (
     dedup_events,
+    interval_join,
     read_event_stream,
     run_to_memory,
     session_counts,
@@ -204,6 +205,21 @@ def test_s7_stateful_running_totals(spark, stage_dir, batch_events):
         assert r["total_value"] == pytest.approx(
             want.loc[r["user_id"], "tv"], rel=1e-12
         )
+
+
+def test_s6_stream_stream_interval_join(spark, stage_dir, batch_events):
+    """Stream⋈stream interval join (purchase ⋈ prior-hour clicks) emits
+    exactly the batch self-join pairs — cross-micro-batch matches come
+    from join state, and the wide watermark keeps eviction out of the
+    replay so the equality is exact."""
+    s_left = read_event_stream(spark, stage_dir, SF)
+    s_right = read_event_stream(spark, stage_dir, SF)
+    res = interval_join(s_left, s_right)
+    run_to_memory(res, "s6_tbl", output_mode="append")
+    got = spark.sql("SELECT * FROM s6_tbl").toPandas()
+    want = interval_join(batch_events, batch_events).toPandas()
+    assert len(got) == len(want) > 0
+    assert canonical_hash(got) == canonical_hash(want)
 
 
 def test_s5_stream_static_join(spark, stage_dir, batch_events):
