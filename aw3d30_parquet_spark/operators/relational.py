@@ -636,6 +636,29 @@ def a01_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a02_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna / KLL-family sketch)
+    per event type. Engine-specific sketch (not oracle-hashable, like
+    a01): driver records rows-only; pytest asserts each estimate within
+    1% relative error of q36's exact interpolated percentile. At 100 TB
+    this replaces the exact percentile's full sort with a fixed-size
+    mergeable summary per partition."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("pcts")
+        )
+        .select(
+            "event_type",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q41_stat_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate family (stddev/variance/corr/covar).
 
@@ -1088,6 +1111,7 @@ def q64_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 RELATIONAL_QUERIES = {
     "q01_scan_project": q01_scan_project,
     "a01_approx_count_distinct": a01_approx_count_distinct,
+    "a02_approx_percentile": a02_approx_percentile,
     "q02_filter_conjunction": q02_filter_conjunction,
     "q03_filter_disjunction": q03_filter_disjunction,
     "q04_regex_extract": q04_regex_extract,

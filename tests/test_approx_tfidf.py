@@ -35,6 +35,29 @@ def test_t5_approx_count_distinct_tolerance(spark):
         assert abs(est - exact[et]) <= 0.05 * exact[et], (et, est, exact[et])
 
 
+def test_t5b_approx_percentile_tolerance(spark):
+    """GK-sketch percentiles within 1% relative error of the exact
+    interpolated percentile, per group and per quantile."""
+    from aw3d30_parquet_spark.operators.relational import a02_approx_percentile
+
+    approx = {
+        r.event_type: (r.p50, r.p90, r.p99)
+        for r in a02_approx_percentile(spark, SF_T2).collect()
+    }
+    register_views(spark, SF_T2)
+    exact = {
+        r.event_type: r.pcts
+        for r in spark.table("events")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("pcts"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, ests in approx.items():
+        for est, ex in zip(ests, exact[et]):
+            assert abs(est - ex) <= 0.01 * abs(ex) + 1e-9, (et, est, ex)
+
+
 def test_v6_tfidf_vs_python_oracle(spark):
     """Top-3 TF-IDF terms per doc match an independent pure-Python
     recomputation (same smoothing, same tie-break) on every document."""
