@@ -128,3 +128,36 @@ def test_posexplode_filter_still_pushed(spark):
     df = R.q39_posexplode(spark, SF)
     assert has_node(df, "Generate")
     assert "LessThan(doc_id,100)" in pushed_filters(df)
+
+
+def test_width_bucket_prunes_to_single_column(spark):
+    """q64: the histogram reads exactly one column (o_totalprice) and
+    partial-aggregates before its 13-group exchange — at 100 TB the
+    scan is the whole cost, so a wider ReadSchema is a regression."""
+    df = R.q64_width_bucket_histogram(spark, SF)
+    [cols] = read_schemas(df)
+    assert cols == ["o_totalprice"]
+    assert count_node(df, "HashAggregate") >= 2
+
+
+def test_repetition_filter_stays_in_codegen(spark):
+    """p07: split→array_distinct→size scoring runs JVM-side — no
+    Python evaluation node anywhere, one scan, partial+final agg."""
+    from aw3d30_parquet_spark.functions.pipeline import repetition_filter
+
+    df = repetition_filter(spark, SF)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan  # neither BatchEvalPython nor Arrow
+    assert count_node(df, "Scan parquet") == 1
+    assert count_node(df, "HashAggregate") >= 2
+
+
+def test_media_decode_has_no_rowwise_python(spark):
+    """m01: fabricate+decode are mapInPandas (Arrow-vectorized) only —
+    a BatchEvalPython node would mean a row-at-a-time UDF crept in."""
+    from aw3d30_parquet_spark.functions.multimodal import m01_media_metadata
+
+    df = m01_media_metadata(spark, SF)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert plan.lower().count("mapinpandas") >= 2
