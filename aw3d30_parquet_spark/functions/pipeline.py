@@ -320,6 +320,33 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SHARDS = 16
+
+
+def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output sharding: content-keyed shard id (md5-prefix
+    hex → int mod N) with per-shard doc/token balance stats — the
+    write-side of a corpus build (`partitionBy(shard_id)` gives N
+    balanced, reproducible output shards; a skewed shard here means a
+    straggler writer at 100 TB). Pure codegen map + one partial+final
+    agg on a 16-value key."""
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    shard = (
+        F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("int")
+        % N_SHARDS
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(shard.alias("shard_id"), toks.alias("n_tok"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("shard_tokens"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 QUERIES = {
     "p01_hash_split": hash_split_assign,
     "p02_pack_token_bins": pack_token_bins,
@@ -328,6 +355,7 @@ QUERIES = {
     "p05_decontaminate": decontaminate,
     "p06_quality_funnel": quality_funnel,
     "p07_repetition_filter": repetition_filter,
+    "p08_shard_assign": shard_assign,
 }
 
 ORACLE_SQL = {
@@ -453,5 +481,17 @@ SELECT lang, count(*) AS n_docs,
        CAST(floor(sum(n_distinct) * 10000.0 / sum(n_words)) AS BIGINT)
          AS distinct_bp
 FROM per_doc GROUP BY lang ORDER BY lang
+""",
+    # hex-prefix → int: Spark conv(_,16,10), DuckDB '0x' cast — same
+    # 16-bit value, same mod
+    "p08_shard_assign": f"""
+WITH s AS (
+  SELECT CAST(('0x' || substr(md5(text), 1, 4)) AS INT) % {N_SHARDS}
+           AS shard_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+  FROM documents
+)
+SELECT shard_id, count(*) AS n_docs, sum(n_tok) AS shard_tokens
+FROM s GROUP BY shard_id ORDER BY shard_id
 """,
 }

@@ -10,10 +10,14 @@ from tests.conftest import SF_SMOKE, SF_T2
 
 
 def test_contract_complete():
-    # every oracle names a real query; only sketch-based ops (a01's
-    # HLL++ — not oracle-hashable, SURVEY §2.3 exclusions) may lack one
+    # every oracle names a real query; only sketch-based ops (a01 HLL++,
+    # a02 GK percentiles — not oracle-hashable, SURVEY §2.3 exclusions)
+    # may lack one
     assert set(ORACLE_SQL) <= set(RELATIONAL_QUERIES)
-    assert set(RELATIONAL_QUERIES) - set(ORACLE_SQL) == {"a01_approx_count_distinct"}
+    assert set(RELATIONAL_QUERIES) - set(ORACLE_SQL) == {
+        "a01_approx_count_distinct",
+        "a02_approx_percentile",
+    }
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE_SQL))
