@@ -324,11 +324,17 @@ def q25_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q26_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Batch analogue of the streaming tumbling window (streaming/ has the
     # readStream form); date_trunc rather than window() so the output
-    # column is a plain timestamp the oracle can reproduce.
+    # column is a plain timestamp the oracle can reproduce. Spark's
+    # DateTrunc only types to TIMESTAMP (LTZ), which PySpark collects in
+    # the driver's local zone — cast back to TIMESTAMP_NTZ so the value
+    # stays the naive truncation regardless of driver TZ (session TZ is
+    # pinned UTC, so LTZ→NTZ is an exact round-trip).
     return (
         _t(spark, sf_dir, "events")
         .filter(F.col("event_type") == "click")
-        .groupBy(F.date_trunc("hour", F.col("ts")).alias("w"))
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("w")
+        )
         .agg(F.count("*").alias("cnt"))
         .orderBy("w")
     )

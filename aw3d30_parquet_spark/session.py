@@ -32,12 +32,15 @@ TABLES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
-#: events.parquet stores ``ts`` as Parquet TIMESTAMP(NANOS, NTZ), which
-#: Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL) unless
-#: ``spark.sql.legacy.parquet.nanosAsLong=true`` — the int64 nanos then
-#: surface as a plain BIGINT which we truncate to micros exactly like
-#: DuckDB does (integer ``div``, not float division).
-_EVENTS_VIEW_SQL = """
+#: Some testdata generations store ``events.ts`` as Parquet
+#: TIMESTAMP(NANOS, NTZ), which Spark's vectorized reader rejects
+#: (PARQUET_TYPE_ILLEGAL) unless ``spark.sql.legacy.parquet.nanosAsLong=
+#: true`` — the int64 nanos then surface as a plain BIGINT which we
+#: truncate to micros exactly like DuckDB does (integer ``div``, not
+#: float division). Other generations store micros directly, in which
+#: case the raw scan already yields TIMESTAMP_NTZ and no conversion is
+#: needed (see register_views, which picks per-schema).
+_EVENTS_NANOS_VIEW_SQL = """
 SELECT event_id,
        CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ) AS ts,
        user_id, event_type, value, props
@@ -184,10 +187,11 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
         if not os.path.exists(path):
             continue
         df = spark.read.parquet(path)
-        if name == "events":
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            # nanos-as-long generation: convert through the view
             df.createOrReplaceTempView("events_raw")
             spark.sql(
-                _EVENTS_VIEW_SQL.format(raw="events_raw")
+                _EVENTS_NANOS_VIEW_SQL.format(raw="events_raw")
             ).createOrReplaceTempView("events")
         else:
             df.createOrReplaceTempView(name)
