@@ -364,7 +364,8 @@ SELECT CASE WHEN md5(text) < '{SPLIT_TRAIN_LT}' THEN 'train'
             WHEN md5(text) < '{SPLIT_VAL_LT}' THEN 'val'
             ELSE 'test' END AS split,
        count(*) AS n_docs,
-       sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens
+       CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+         AS total_tokens
 FROM documents GROUP BY 1 ORDER BY split
 """,
     "p02_pack_token_bins": f"""
@@ -379,7 +380,8 @@ WITH toks AS (
                      - n_tok) / {PACK_CAPACITY_TOKENS}) AS BIGINT) AS bin_id
   FROM toks
 )
-SELECT source, bin_id, count(*) AS n_docs, sum(n_tok) AS bin_tokens,
+SELECT source, bin_id, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM binned GROUP BY source, bin_id ORDER BY source, bin_id
 """,
@@ -474,10 +476,10 @@ WITH per_doc AS (
   FROM documents
 )
 SELECT lang, count(*) AS n_docs,
-       sum(CASE WHEN 2 * n_distinct <= n_words THEN 1 ELSE 0 END)
-         AS heavy_repeat_docs,
-       sum(n_words) AS total_words,
-       sum(n_distinct) AS total_distinct,
+       CAST(sum(CASE WHEN 2 * n_distinct <= n_words THEN 1 ELSE 0 END)
+            AS BIGINT) AS heavy_repeat_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(sum(n_distinct) AS BIGINT) AS total_distinct,
        CAST(floor(sum(n_distinct) * 10000.0 / sum(n_words)) AS BIGINT)
          AS distinct_bp
 FROM per_doc GROUP BY lang ORDER BY lang
@@ -491,7 +493,8 @@ WITH s AS (
          len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
   FROM documents
 )
-SELECT shard_id, count(*) AS n_docs, sum(n_tok) AS shard_tokens
+SELECT shard_id, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS shard_tokens
 FROM s GROUP BY shard_id ORDER BY shard_id
 """,
 }

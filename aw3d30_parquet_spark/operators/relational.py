@@ -668,18 +668,57 @@ def a02_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q41_stat_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate family (stddev/variance/corr/covar).
 
-    All four are single-pass partial+final aggregates in Spark (Imperative
-    Central-Moment aggregates merge across partitions), so at 100 TB this
-    costs exactly one shuffle of constant-size state per group — same
-    posture as q11's sum/avg."""
-    return (
+    Derived from EXACT integer sums rather than Spark's central-moment
+    aggregates: the moment sketches merge partials in partition order, so
+    their low bits (and hence a rounded hash) depend on the partitioning —
+    the flake SURVEY §7.3 predicted and round 1's driver hit. Here the
+    aggregation sums integer-scaled columns (quantity is integral; price
+    and discount are exact cents) into DECIMAL(38,0) — associative,
+    order-independent, exact — and the doubles are computed AFTER the
+    aggregate with the same IEEE expression tree the oracle SQL uses, so
+    both engines produce bit-identical results under any partitioning.
+    Still one shuffle of constant-size state per group at 100 TB — the
+    partial sums are as mergeable as the moment sketches they replace."""
+    q = F.col("l_quantity").cast("bigint")
+    p = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    d = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    dec = "decimal(38,0)"
+    sums = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.stddev_samp("l_quantity"), 2).alias("sd_qty"),
-            F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 3).alias("corr_qp"),
-            F.round(F.covar_pop("l_quantity", "l_discount"), 3).alias("cov_qd"),
+            F.count("*").alias("n"),
+            F.sum(q.cast(dec)).alias("sq"),
+            F.sum((q * q).cast(dec)).alias("sqq"),
+            F.sum(p.cast(dec)).alias("sp"),
+            F.sum((p * p).cast(dec)).alias("spp"),
+            F.sum((q * p).cast(dec)).alias("sqp"),
+            F.sum(d.cast(dec)).alias("sd"),
+            F.sum((q * d).cast(dec)).alias("sqd"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sq = F.col("sq").cast("double")
+    sqq = F.col("sqq").cast("double")
+    sp = F.col("sp").cast("double")
+    spp = F.col("spp").cast("double")
+    sqp = F.col("sqp").cast("double")
+    sd = F.col("sd").cast("double")
+    sqd = F.col("sqd").cast("double")
+    var_raw = (sqq - sq * sq / n) / (n - F.lit(1.0))
+    corr_raw = (sqp - sq * sp / n) / (
+        F.sqrt(sqq - sq * sq / n) * F.sqrt(spp - sp * sp / n)
+    )
+    cov_raw = (sqd - sq * sd / n) / n / F.lit(100.0)
+    return (
+        sums.select(
+            "l_returnflag",
+            F.round(F.sqrt(var_raw), 2).alias("sd_qty"),
+            F.round(var_raw, 2).alias("var_qty"),
+            # + 0.0 collapses IEEE -0.0 to +0.0 (DuckDB's round keeps the
+            # sign of zero; Spark's normalizes) — mirrored in the oracle.
+            (F.round(corr_raw, 3) + F.lit(0.0)).alias("corr_qp"),
+            (F.round(cov_raw, 3) + F.lit(0.0)).alias("cov_qd"),
         )
         .orderBy("l_returnflag")
     )

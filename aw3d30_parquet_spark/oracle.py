@@ -24,12 +24,12 @@ def _cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "\\N"
-        # DuckDB returns sum(BIGINT) as HUGEINT → float64 while Spark
-        # keeps int64; render integral floats as ints so the engines
-        # agree on integer-valued cells.
-        if v.is_integer() and abs(v) < 2**53:
-            return str(int(v))
-        return f"{v:.2f}"
+        # STRICT: render full precision and keep the int/float dtype
+        # distinction visible ("5927098" != "5927098.0"). The driver's
+        # canonicalizer does not collapse integral floats — DuckDB's
+        # HUGEINT sum() surfacing as float64 must be fixed in the oracle
+        # SQL (CAST ... AS BIGINT), not papered over here.
+        return repr(v)
     if isinstance(v, pd.Timestamp):
         if pd.isna(v):
             return "\\N"

@@ -159,7 +159,7 @@ FROM events GROUP BY cast(date_trunc('day', ts) AS DATE) ORDER BY d
 SELECT event_type,
        round(sum(CASE WHEN value > 100.0 THEN value ELSE 0.0 END), 2) AS big,
        round(sum(sqrt(abs(value))), 2) AS rooted,
-       sum(cast(floor(value) AS BIGINT)) AS floored
+       CAST(sum(cast(floor(value) AS BIGINT)) AS BIGINT) AS floored
 FROM events GROUP BY event_type ORDER BY event_type
 """,
     # -- semi-structured extraction from JSON-ish string column
@@ -193,7 +193,7 @@ WITH ex AS (
          CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
   FROM events
 )
-SELECT event_type, count(*) AS cnt, sum(k) AS sum_k,
+SELECT event_type, count(*) AS cnt, CAST(sum(k) AS BIGINT) AS sum_k,
        min(k) AS min_k, max(k) AS max_k
 FROM ex WHERE k IS NOT NULL
 GROUP BY event_type ORDER BY event_type
@@ -207,7 +207,7 @@ GROUP BY CUBE (event_type, CAST(floor(value / 50.0) AS INTEGER))
 ORDER BY event_type NULLS FIRST, band NULLS FIRST
 """,
     "q31_cross_join": """
-SELECT r_regionkey, count(*) AS cnt, sum(s_nationkey) AS sum_nk
+SELECT r_regionkey, count(*) AS cnt, CAST(sum(s_nationkey) AS BIGINT) AS sum_nk
 FROM supplier CROSS JOIN region
 GROUP BY r_regionkey ORDER BY r_regionkey
 """,
@@ -285,14 +285,40 @@ WHERE (SELECT count(*) FROM lineitem l
        WHERE l.l_orderkey = o.o_orderkey) >= 7
 ORDER BY o_orderkey
 """,
-    # q41: statistical aggregates — single-pass moment sketches in both engines
+    # q41: statistical aggregates derived from EXACT integer sums (quantity
+    # is integral; price/discount are exact cents) so partial-agg merge
+    # order cannot perturb the rounded doubles — the final double math
+    # mirrors the Spark expression tree term-for-term (IEEE ops are
+    # deterministic given identical expressions and exact inputs).
     "q41_stat_agg": """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(q) AS sq, sum(q*q) AS sqq,
+         sum(p) AS sp, sum(p*p) AS spp, sum(q*p) AS sqp,
+         sum(d) AS sd, sum(q*d) AS sqd
+  FROM (SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS q,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+               CAST(round(l_discount * 100) AS BIGINT) AS d
+        FROM lineitem)
+  GROUP BY l_returnflag
+), f AS (
+  SELECT l_returnflag,
+         CAST(n AS DOUBLE) AS n,
+         CAST(sq AS DOUBLE) AS sq, CAST(sqq AS DOUBLE) AS sqq,
+         CAST(sp AS DOUBLE) AS sp, CAST(spp AS DOUBLE) AS spp,
+         CAST(sqp AS DOUBLE) AS sqp,
+         CAST(sd AS DOUBLE) AS sd, CAST(sqd AS DOUBLE) AS sqd
+  FROM s
+)
 SELECT l_returnflag,
-       round(stddev_samp(l_quantity), 2) AS sd_qty,
-       round(var_samp(l_quantity), 2) AS var_qty,
-       round(corr(l_quantity, l_extendedprice), 3) AS corr_qp,
-       round(covar_pop(l_quantity, l_discount), 3) AS cov_qd
-FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+       round(sqrt((sqq - sq*sq/n) / (n - 1.0)), 2) AS sd_qty,
+       round((sqq - sq*sq/n) / (n - 1.0), 2) AS var_qty,
+       round((sqp - sq*sp/n) /
+             (sqrt(sqq - sq*sq/n) * sqrt(spp - sp*sp/n)), 3) + 0.0 AS corr_qp,
+       round((sqd - sq*sd/n) / n / 100.0, 3) + 0.0 AS cov_qd
+FROM f ORDER BY l_returnflag
 """,
     # q42: argmin/argmax — c_custkey unique ⇒ deterministic
     "q42_min_max_by": """
@@ -338,8 +364,8 @@ FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
 """,
     "q48_bitwise": """
 SELECT user_id & 7 AS band, count(*) AS cnt,
-       sum(xor(event_id, user_id)) AS sum_x,
-       sum(user_id << 2) AS sum_s
+       CAST(sum(xor(event_id, user_id)) AS BIGINT) AS sum_x,
+       CAST(sum(user_id << 2) AS BIGINT) AS sum_s
 FROM events GROUP BY user_id & 7 ORDER BY band
 """,
     # q49: higher-order list functions — DuckDB spells them list_*;
