@@ -33,25 +33,57 @@ def entry(spark: SparkSession) -> DataFrame:
     return q06_star_join(spark, SMOKE_SF_DIR)
 
 
+def _round1_checked(name: str) -> bool:
+    """Queries the driver already hash-verified in round 1 (its capture
+    covered only the first 50 registration-order entries: q01–q48 plus
+    the two a-sketches)."""
+    if name.startswith("a0"):
+        return True
+    if name.startswith("q") and name[1:3].isdigit():
+        return int(name[1:3]) <= 48
+    return False
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Registration order is the driver's check order, and its per-round
+    capture is bounded — so the queries with no CORRECTNESS row yet come
+    FIRST, round-robin interleaved by family (d/g/m/p/s/t/u/v + q49+) so
+    any prefix of the dict samples every family; round-1-verified entries
+    follow in their original order.
+    """
     from aw3d30_parquet_spark.operators.relational import RELATIONAL_QUERIES
 
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(RELATIONAL_QUERIES)
+    combined: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    combined.update(RELATIONAL_QUERIES)
 
     from aw3d30_parquet_spark.functions import EXTENDED_QUERIES
 
-    out.update(EXTENDED_QUERIES)
+    combined.update(EXTENDED_QUERIES)
 
     from aw3d30_parquet_spark.sources import demo
 
-    out.update(demo.QUERIES)
+    combined.update(demo.QUERIES)
 
     from aw3d30_parquet_spark.streaming import events as streaming_events
 
-    out.update(streaming_events.QUERIES)
-    return out
+    combined.update(streaming_events.QUERIES)
+
+    fresh = [n for n in combined if not _round1_checked(n)]
+    by_family: dict[str, list[str]] = {}
+    for n in sorted(fresh):
+        by_family.setdefault(n[0], []).append(n)
+    interleaved: list[str] = []
+    lanes = [by_family[k] for k in sorted(by_family)]
+    i = 0
+    while any(lanes):
+        lane = lanes[i % len(lanes)]
+        if lane:
+            interleaved.append(lane.pop(0))
+        i += 1
+    ordered = interleaved + [n for n in combined if _round1_checked(n)]
+    return {n: combined[n] for n in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

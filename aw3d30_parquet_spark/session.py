@@ -80,6 +80,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # keep stdout machine-parseable (bench prints ONE JSON line)
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)
@@ -171,9 +173,11 @@ _REGISTERED: dict[int, str] = {}
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register the ten testdata Parquet tables as temp views.
 
-    ``events`` is registered through the nanos→micros converting
-    projection (see _EVENTS_VIEW_SQL); everything else is a direct scan
-    so Catalyst keeps full pushdown/pruning into the Parquet source.
+    ``events`` is schema-conditional: only when its ``ts`` column reads
+    as bigint (nanos-as-long generation) is it registered through the
+    nanos→micros converting projection (_EVENTS_NANOS_VIEW_SQL);
+    otherwise it is a direct scan like every other table, so Catalyst
+    keeps full pushdown/pruning into the Parquet source.
 
     Memoized per (session, sf_dir): every query entry calls this, and
     re-reading ten Parquet footers per query is pure fixed overhead.
