@@ -17,7 +17,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aw3d30_parquet_spark.session import register_views
@@ -26,6 +26,26 @@ from aw3d30_parquet_spark.session import register_views
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.table(name)
+
+
+def _cents(col) -> Column:
+    """Exact integer cents of a 2-decimal money/value column."""
+    return F.round(col * 100, 0).cast("bigint")
+
+
+def _exact_money_sum(cents_col, alias: str, scale: float = 100.0) -> Column:
+    """``round(sum(money), 2)`` computed as an exact integer-cents sum.
+
+    A double sum's low bits depend on partial-agg merge order, so its
+    rounded hash can flip with the partitioning (the q41 flake SURVEY
+    §7.3 predicted). Summing integer cents into DECIMAL(38,0) is
+    associative and exact; the single divide+round afterward is the same
+    IEEE computation in every engine and under every partitioning. The
+    matching oracle SQL sums BIGINT cents (HUGEINT in DuckDB — also
+    exact) and applies the identical divide+round."""
+    return F.round(
+        F.sum(cents_col.cast("decimal(38,0)")).cast("double") / F.lit(scale), 2
+    ).alias(alias)
 
 
 def q01_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,7 +113,7 @@ def q06_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(_exact_money_sum(_cents(F.col("o_totalprice")), "total"))
         .orderBy("r_name")
     )
 
@@ -144,8 +164,23 @@ def q11_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            # quantity is integral and price is exact cents: sum exact
+            # integers, derive the rounded doubles after the aggregate
+            # (merge-order independent — see _exact_money_sum)
+            F.round(
+                F.sum(
+                    F.col("l_quantity").cast("bigint").cast("decimal(38,0)")
+                ).cast("double"),
+                2,
+            ).alias("sum_qty"),
+            F.round(
+                F.sum(
+                    _cents(F.col("l_extendedprice")).cast("decimal(38,0)")
+                ).cast("double")
+                / F.count("*").cast("double")
+                / F.lit(100.0),
+                2,
+            ).alias("avg_price"),
             F.min("l_shipdate").alias("min_ship"),
             F.max("l_shipdate").alias("max_ship"),
         )
@@ -167,7 +202,7 @@ def q13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("event_type")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("value"), 2).alias("total"),
+            _exact_money_sum(_cents(F.col("value")), "total"),
         )
         .orderBy(F.col("event_type").asc_nulls_first())
     )
@@ -299,9 +334,11 @@ def q24_cond_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.round(
-                F.sum(F.when(value > 100.0, value).otherwise(0.0)), 2
-            ).alias("big"),
+            _exact_money_sum(
+                F.when(value > 100.0, _cents(value)).otherwise(F.lit(0)), "big"
+            ),
+            # rooted sums irrational sqrt values — not integer-izable;
+            # a 2-dp round over a ~1e-10-ulp sum is boundary-safe
             F.round(F.sum(F.sqrt(F.abs(value))), 2).alias("rooted"),
             F.sum(F.floor(value).cast("bigint")).alias("floored"),
         )
@@ -430,7 +467,10 @@ def q30_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.cube("event_type", "band")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(
+            F.count("*").alias("cnt"),
+            _exact_money_sum(_cents(F.col("value")), "total"),
+        )
         .orderBy(
             F.col("event_type").asc_nulls_first(), F.col("band").asc_nulls_first()
         )
@@ -461,13 +501,17 @@ def q33_fact_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle when both facts are bucketed). TPC-H Q3-ish revenue rollup."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # price*(1-disc) = cents(price) * (100 - pct(disc)) / 10000 exactly —
+    # sum the integer numerator so the revenue hash is partition-proof
+    revenue_e4 = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _cents(F.col("l_discount"))
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum(revenue), 2).alias("revenue"),
+            _exact_money_sum(revenue_e4, "revenue", scale=10000.0),
         )
         .orderBy("o_orderpriority")
     )
@@ -491,7 +535,7 @@ def q34_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.count("*").alias("p_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("p_total"),
+            _exact_money_sum(_cents(F.col("o_totalprice")), "p_total"),
         )
     )
     return (
@@ -746,7 +790,7 @@ def q43_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            _exact_money_sum(_cents(F.col("o_totalprice")), "total"),
         )
         .filter(F.col("n_orders") >= 15)
         .orderBy("o_custkey")
@@ -987,8 +1031,12 @@ def q56_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT event_type, metric, round(val, 2) AS val FROM (
           SELECT event_type,
-                 round(sum(value), 2) AS total,
-                 round(avg(value), 2) AS mean,
+                 round(CAST(sum(CAST(CAST(round(value * 100) AS BIGINT)
+                                     AS DECIMAL(38,0))) AS DOUBLE)
+                       / 100.0, 2) AS total,
+                 round(CAST(sum(CAST(CAST(round(value * 100) AS BIGINT)
+                                     AS DECIMAL(38,0))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) / 100.0, 2) AS mean,
                  CAST(count(*) AS DOUBLE) AS cnt
           FROM events GROUP BY event_type
         ) UNPIVOT (val FOR metric IN (total, mean, cnt))
@@ -1043,7 +1091,9 @@ def q59_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT event_type, user_id % 10 AS bucket, count(*) AS cnt,
-               round(sum(value), 2) AS total
+               round(CAST(sum(CAST(CAST(round(value * 100) AS BIGINT)
+                                   AS DECIMAL(38,0))) AS DOUBLE)
+                     / 100.0, 2) AS total
         FROM events GROUP BY ALL
         ORDER BY event_type, bucket
         """

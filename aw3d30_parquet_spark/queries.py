@@ -46,7 +46,9 @@ GROUP BY n_name ORDER BY n_name
 """,
     # -- multi-way star join (broadcast-dim shape)
     "q06_star_join": """
-SELECT r_name, round(sum(o_totalprice), 2) AS total
+SELECT r_name,
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS total
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
@@ -79,8 +81,9 @@ ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
     # -- grouped aggregation suite (TPC-H Q1 shape)
     "q11_group_agg": """
 SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(avg(l_extendedprice), 2) AS avg_price,
+       round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 100.0, 2) AS avg_price,
        min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -92,7 +95,9 @@ SELECT count(DISTINCT user_id) AS cnt FROM events WHERE event_type = 'purchase'
 """,
     # -- rollup
     "q13_rollup": """
-SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total
+SELECT event_type, count(*) AS cnt,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS total
 FROM events GROUP BY ROLLUP (event_type)
 ORDER BY event_type NULLS FIRST
 """,
@@ -157,7 +162,9 @@ FROM events GROUP BY cast(date_trunc('day', ts) AS DATE) ORDER BY d
     # -- conditional + math functions
     "q24_cond_math": """
 SELECT event_type,
-       round(sum(CASE WHEN value > 100.0 THEN value ELSE 0.0 END), 2) AS big,
+       round(CAST(sum(CASE WHEN value > 100.0
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS DOUBLE) / 100.0, 2) AS big,
        round(sum(sqrt(abs(value))), 2) AS rooted,
        CAST(sum(cast(floor(value) AS BIGINT)) AS BIGINT) AS floored
 FROM events GROUP BY event_type ORDER BY event_type
@@ -201,7 +208,9 @@ GROUP BY event_type ORDER BY event_type
     # q30: full grouping lattice; NULLS FIRST pinned (SURVEY §2.3 rules)
     "q30_cube": """
 SELECT event_type, CAST(floor(value / 50.0) AS INTEGER) AS band,
-       count(*) AS cnt, round(sum(value), 2) AS total
+       count(*) AS cnt,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS total
 FROM events
 GROUP BY CUBE (event_type, CAST(floor(value / 50.0) AS INTEGER))
 ORDER BY event_type NULLS FIRST, band NULLS FIRST
@@ -219,7 +228,9 @@ FROM events WHERE user_id <= 3 ORDER BY event_id
 """,
     "q33_fact_fact_join": """
 SELECT o_orderpriority, count(*) AS cnt,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS DOUBLE) / 10000.0, 2) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """,
@@ -228,7 +239,8 @@ SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, p_orders, p_total
 FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 750) c
 FULL OUTER JOIN (
   SELECT o_custkey, count(*) AS p_orders,
-         round(sum(o_totalprice), 2) AS p_total
+         round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0, 2) AS p_total
   FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey
 ) o ON c_custkey = o_custkey
 ORDER BY custkey
@@ -328,7 +340,9 @@ SELECT c_nationkey,
 FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
 """,
     "q43_having": """
-SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+SELECT o_custkey, count(*) AS n_orders,
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS total
 FROM orders GROUP BY o_custkey HAVING count(*) >= 15
 ORDER BY o_custkey
 """,
@@ -440,8 +454,10 @@ FROM events WHERE event_id < 60 ORDER BY event_id
 SELECT event_type, metric, round(val, 2) AS val FROM (
   UNPIVOT (
     SELECT event_type,
-           round(sum(value), 2) AS total,
-           round(avg(value), 2) AS mean,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS total,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 100.0, 2) AS mean,
            CAST(count(*) AS DOUBLE) AS cnt
     FROM events GROUP BY event_type
   ) ON total, mean, cnt INTO NAME metric VALUE val
@@ -469,7 +485,8 @@ ORDER BY event_id
 """,
     "q59_group_by_all": """
 SELECT event_type, user_id % 10 AS bucket, count(*) AS cnt,
-       round(sum(value), 2) AS total
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS total
 FROM events GROUP BY ALL
 ORDER BY event_type, bucket
 """,
