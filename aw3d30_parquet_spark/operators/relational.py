@@ -612,18 +612,63 @@ def q37_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q38_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile(4) quartile assignment over a global order. The tiebreak
-    on o_orderkey makes the total order (and thus the bucketing)
-    deterministic across engines. A global window is single-partition
-    by construction — at 100 TB the scale path is `ntile` per
-    partition key or percent_rank over a range-partitioned sort; this
-    query keeps the global form but immediately re-aggregates so only
-    the 4-row summary leaves the window stage."""
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    """ntile(4) quartile assignment over a global order — WITHOUT the
+    single-partition window a bare ``ntile(4) OVER (ORDER BY ...)``
+    compiles to (that form funnels the whole fact table through one
+    task; it is the only plan shape that cannot survive 100 TB).
+
+    Scale-safe derivation with identical output:
+    1. range-partition + sort by (o_totalprice, o_orderkey) — a
+       distributed sort, the same machinery as orderBy;
+    2. row_number per range partition (window keyed by partition id —
+       parallel across partitions);
+    3. broadcast the per-partition row counts (one tiny row per
+       partition) and add the exclusive prefix offset → exact global
+       rank r of every row;
+    4. ntile's bucket is a closed form of (r, N): the first N%k buckets
+       take ceil(N/k) rows, the rest floor(N/k) — positional split, so
+       ties at a value boundary land exactly as ntile places them.
+    The only single-partition window left runs over the ≤#partitions
+    count rows. The o_orderkey tiebreak keeps the total order (and thus
+    the bucketing) deterministic across engines.
+
+    Note: the counts branch re-executes the (column-pruned) scan +
+    range exchange rather than caching the fact table — correct because
+    Spark's RangePartitioner samples with a fixed seed over a
+    deterministic scan, so both executions produce identical partition
+    boundaries; pinned by the partitioning-variance test in
+    tests/test_float_stability.py."""
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    part = orders.repartitionByRange(
+        32, "o_totalprice", "o_orderkey"
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid").orderBy("o_totalprice", "o_orderkey")
+    local = part.withColumn("_rn", F.row_number().over(w_local))
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_c"))
+    w_prev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_c").over(w_prev), F.lit(0)).alias("_off"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+    # integer DIV end-to-end — no double quotient to mis-floor at any N
+    bucket = F.expr(
+        """CASE WHEN _r <= (_n % 4) * (_n DIV 4 + 1)
+                THEN (_r - 1) DIV (_n DIV 4 + 1)
+                ELSE (_n % 4) + (_r - (_n % 4) * (_n DIV 4 + 1) - 1)
+                     DIV (_n DIV 4)
+           END + 1"""
+    )
+    ranked = (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn("_r", F.col("_rn") + F.col("_off"))
+        .select("o_totalprice", bucket.cast("int").alias("bucket"))
+    )
     return (
-        _t(spark, sf_dir, "orders")
-        .select("o_totalprice", F.ntile(4).over(w).alias("bucket"))
-        .groupBy("bucket")
+        ranked.groupBy("bucket")
         .agg(
             F.count("*").alias("cnt"),
             F.round(F.min("o_totalprice"), 2).alias("lo"),

@@ -26,6 +26,9 @@ RISKY = [
     "q30_cube",
     "q33_fact_fact_join",
     "q34_full_outer_join",
+    # not a float case: pins that q38's two-branch range partitioning
+    # (rank derivation) is self-consistent under any shuffle setting
+    "q38_ntile",
     "q41_stat_agg",
     "q43_having",
     "q56_unpivot",

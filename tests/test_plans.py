@@ -60,6 +60,25 @@ def test_partial_aggregation(spark):
     assert plan.count("rangepartitioning") >= 1
 
 
+def test_ntile_no_global_window(spark):
+    """q38: the quartile assignment must NOT plan a single-partition
+    window over the fact table (`ntile OVER (ORDER BY ...)` funnels
+    every row through one task). The scale-safe form range-partitions
+    the sort and windows per partition id; the only SinglePartition
+    exchange allowed is the one feeding the tiny per-partition-count
+    relation (≤ #partitions rows, post-aggregate)."""
+    df = R.q38_ntile(spark, SF)
+    plan = formatted_plan(df)
+    assert "ntile" not in plan.lower()
+    assert "rangepartitioning" in plan
+    # the fact-side row_number window is keyed by _pid (parallel):
+    # every formatted Window section computing row_number must name
+    # _pid in its partition spec
+    for section in plan.split("\n\n"):
+        if "Window" in section and "row_number" in section:
+            assert "_pid" in section, section
+
+
 def test_topk_is_take_ordered(spark):
     """q18: ORDER BY + LIMIT plans as TakeOrderedAndProject (per-
     partition top-k then merge), never a global sort."""
