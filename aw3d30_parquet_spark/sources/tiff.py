@@ -7,7 +7,10 @@ narrow slice of TIFF 6.0 + GeoTIFF the reference actually consumes:
 
 - classic TIFF, little- or big-endian, single IFD
 - one sample per pixel, integer sample formats (int8..int32, uint8..uint16)
-- strip-based storage, uncompressed (Compression=1)
+- strip-based storage, uncompressed (Compression=1) or DEFLATE
+  (Compression=8 / legacy 32946, stdlib zlib), with optional horizontal
+  differencing (Predictor=2) — the combination GDAL writes for real
+  AW3D30 tiles
 - geotransform from ModelPixelScaleTag (33550) + ModelTiepointTag (33922),
   the standard north-up GeoTIFF encoding; full 2-D affine via
   ModelTransformationTag (34264) also supported
@@ -15,8 +18,8 @@ narrow slice of TIFF 6.0 + GeoTIFF the reference actually consumes:
 ``decode_geotiff`` is the hot-path function called inside ``mapInPandas``
 (one call per tile file); ``encode_geotiff`` exists so tests and the
 ingest benchmark can fabricate deterministic tiles without GDAL. When
-``rasterio`` is importable it is preferred at decode time — real AW3D30
-tiles are DEFLATE-compressed, beyond this fallback.
+``rasterio`` is importable it is preferred at decode time (tiled TIFFs,
+exotic codecs); this fallback now covers real DEFLATE AW3D30 strips.
 
 Nothing here touches Spark: bytes in, ``(numpy array, 6-float
 geotransform)`` out, so the codec is unit-testable without a session.
@@ -25,6 +28,7 @@ geotransform)`` out, so the codec is unit-testable without a session.
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -47,6 +51,7 @@ _TAG_STRIP_OFFSETS = 273
 _TAG_SAMPLES_PER_PIXEL = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_BYTE_COUNTS = 279
+_TAG_PREDICTOR = 317
 _TAG_SAMPLE_FORMAT = 339
 _TAG_MODEL_PIXEL_SCALE = 33550
 _TAG_MODEL_TIEPOINT = 33922
@@ -144,51 +149,101 @@ def decode_geotiff(data: bytes) -> tuple[np.ndarray, GeoTransform]:
             t = ds.transform  # affine: (a, b, c, d, e, f) = (gt1, gt2, gt0, gt4, gt5, gt3)
             return band, (t.c, t.a, t.b, t.f, t.d, t.e)
     tags, endian = _parse_ifd(data)
-    if tags.get(_TAG_COMPRESSION, [1])[0] != 1:
-        raise ValueError("fallback codec reads uncompressed TIFF only (install rasterio)")
+    compression = tags.get(_TAG_COMPRESSION, [1])[0]
+    if compression not in (1, 8, 32946):
+        raise ValueError(
+            f"fallback codec reads uncompressed or DEFLATE TIFF only "
+            f"(Compression={compression}; install rasterio)"
+        )
     if tags.get(_TAG_SAMPLES_PER_PIXEL, [1])[0] != 1:
         raise ValueError("single-band rasters only (reference reads band 1)")
+    predictor = tags.get(_TAG_PREDICTOR, [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported Predictor={predictor}")
     width = int(tags[_TAG_WIDTH][0])
     height = int(tags[_TAG_LENGTH][0])
     dtype = _sample_dtype(tags, endian)
     offsets = tags[_TAG_STRIP_OFFSETS]
     counts = tags[_TAG_STRIP_BYTE_COUNTS]
-    chunks = [np.frombuffer(data, dtype, c // dtype.itemsize, o) for o, c in zip(offsets, counts)]
+    if compression == 1:
+        chunks = [
+            np.frombuffer(data, dtype, c // dtype.itemsize, o)
+            for o, c in zip(offsets, counts)
+        ]
+    else:  # DEFLATE (8 or legacy 32946): zlib stream per strip
+        chunks = [
+            np.frombuffer(zlib.decompress(data[o : o + c]), dtype)
+            for o, c in zip(offsets, counts)
+        ]
+    if predictor == 2:
+        # horizontal differencing: samples are row-wise deltas; undo with
+        # a same-dtype cumulative sum (wraparound arithmetic per spec)
+        chunks = [
+            c.reshape(-1, width).cumsum(axis=1, dtype=dtype).reshape(-1)
+            for c in chunks
+        ]
     band = np.concatenate(chunks).reshape(height, width).astype(np.int32)
     return band, _geotransform_from_tags(tags)
 
 
-def encode_geotiff(band: np.ndarray, gt: GeoTransform) -> bytes:
+def encode_geotiff(
+    band: np.ndarray,
+    gt: GeoTransform,
+    compression: str = "none",
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+) -> bytes:
     """Encode a 2-D int32 array + geotransform as a minimal valid GeoTIFF.
 
-    Little-endian, one strip, uncompressed, ModelPixelScale+ModelTiepoint
-    georeferencing (north-up only: gt2 == gt4 == 0). Used by tests and the
-    ingest benchmark to fabricate deterministic tiles — the synthetic
-    analogue of the reference's S3 download (``src/main.rs:136-161``).
+    Little-endian, ModelPixelScale+ModelTiepoint georeferencing (north-up
+    only: gt2 == gt4 == 0). ``compression`` is ``"none"`` or ``"deflate"``
+    (per-strip zlib, Compression=8, what GDAL writes for real AW3D30
+    tiles); ``predictor=2`` applies horizontal differencing first. Used by
+    tests and the ingest benchmark to fabricate deterministic tiles — the
+    synthetic analogue of the reference's S3 download
+    (``src/main.rs:136-161``).
     """
     if gt[2] != 0.0 or gt[4] != 0.0:
         raise ValueError("encoder supports north-up geotransforms only")
+    if compression not in ("none", "deflate"):
+        raise ValueError(f"unsupported compression {compression!r}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported predictor {predictor}")
     band = np.ascontiguousarray(band, dtype="<i4")
     height, width = band.shape
-    pixel_bytes = band.tobytes()
+    rps = height if rows_per_strip is None else max(1, rows_per_strip)
 
-    entries = []  # (tag, ftype, count, packed_or_deferred)
-    deferred: list[bytes] = []
+    strips: list[bytes] = []
+    for y0 in range(0, height, rps):
+        rows = band[y0 : y0 + rps]
+        if predictor == 2:
+            # horizontal differencing (wraparound): first column kept,
+            # remaining columns become row-wise deltas
+            rows = np.concatenate(
+                [rows[:, :1], np.diff(rows.astype(np.int32), axis=1)], axis=1
+            ).astype("<i4")
+        raw = rows.tobytes()
+        strips.append(zlib.compress(raw) if compression == "deflate" else raw)
+
+    entries = []  # (tag, ftype, count, raw)
 
     def entry(tag: int, ftype: int, values: list) -> None:
-        ch, size = _FIELD_TYPES[ftype]
+        ch, _size = _FIELD_TYPES[ftype]
         raw = struct.pack("<" + ch * len(values), *values)
         entries.append((tag, ftype, len(values), raw))
 
+    n_strips = len(strips)
     entry(_TAG_WIDTH, 4, [width])
     entry(_TAG_LENGTH, 4, [height])
     entry(_TAG_BITS_PER_SAMPLE, 3, [32])
-    entry(_TAG_COMPRESSION, 3, [1])
+    entry(_TAG_COMPRESSION, 3, [1 if compression == "none" else 8])
     entry(_TAG_PHOTOMETRIC, 3, [1])
-    entry(_TAG_STRIP_OFFSETS, 4, [0])  # patched below
+    entry(_TAG_STRIP_OFFSETS, 4, [0] * n_strips)  # patched below
     entry(_TAG_SAMPLES_PER_PIXEL, 3, [1])
-    entry(_TAG_ROWS_PER_STRIP, 4, [height])
-    entry(_TAG_STRIP_BYTE_COUNTS, 4, [len(pixel_bytes)])
+    entry(_TAG_ROWS_PER_STRIP, 4, [rps])
+    entry(_TAG_STRIP_BYTE_COUNTS, 4, [len(s) for s in strips])
+    if predictor == 2:
+        entry(_TAG_PREDICTOR, 3, [2])
     entry(_TAG_SAMPLE_FORMAT, 3, [2])
     entry(_TAG_MODEL_PIXEL_SCALE, 12, [gt[1], -gt[5], 0.0])
     entry(_TAG_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, gt[0], gt[3], 0.0])
@@ -198,31 +253,36 @@ def encode_geotiff(band: np.ndarray, gt: GeoTransform) -> bytes:
     ifd_off = 8
     data_off = ifd_off + 2 + n * 12 + 4  # after entry table + next-IFD pointer
 
-    # lay out out-of-line values, then the pixel strip
-    blob = bytearray()
-    packed_entries = bytearray()
+    # first pass: lay out out-of-line values to learn where strips land
+    blob_len = sum(len(raw) for _t, _f, _c, raw in entries if len(raw) > 4)
+    strips_off = data_off + blob_len
+    strip_offsets = []
+    pos = strips_off
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    # patch StripOffsets with the real positions
+    patched = []
     for tag, ftype, count, raw in entries:
+        if tag == _TAG_STRIP_OFFSETS:
+            raw = struct.pack("<" + "I" * n_strips, *strip_offsets)
+        patched.append((tag, ftype, count, raw))
+
+    blob = bytearray()
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, ifd_off)
+    out += struct.pack("<H", n)
+    for tag, ftype, count, raw in patched:
         if len(raw) <= 4:
             field = raw.ljust(4, b"\0")
         else:
             field = struct.pack("<I", data_off + len(blob))
             blob += raw
-        packed_entries += struct.pack("<HHI", tag, ftype, count) + field
-
-    strip_off = data_off + len(blob)
-    # patch StripOffsets (it sorted into a known position; rebuild instead)
-    out = bytearray()
-    out += b"II" + struct.pack("<HI", 42, ifd_off)
-    out += struct.pack("<H", n)
-    for i, (tag, ftype, count, raw) in enumerate(entries):
-        if tag == _TAG_STRIP_OFFSETS:
-            field = struct.pack("<I", strip_off)
-        else:
-            field = bytes(packed_entries[i * 12 + 8 : i * 12 + 12])
         out += struct.pack("<HHI", tag, ftype, count) + field
     out += struct.pack("<I", 0)  # no next IFD
     out += blob
-    out += pixel_bytes
+    for s in strips:
+        out += s
     return bytes(out)
 
 

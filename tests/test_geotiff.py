@@ -333,3 +333,53 @@ def test_tiff_roundtrip_and_affine_inverse(h, w, lat, lon, seed):
     np.testing.assert_array_equal(elevs, band[y_back, x_back])
     np.testing.assert_array_equal(y_back, np.repeat(np.arange(h), w))
     np.testing.assert_array_equal(x_back, np.tile(np.arange(w), h))
+
+
+# ------------------------------------------------- DEFLATE codec (real tiles)
+
+
+def test_deflate_decodes_byte_identical():
+    """A DEFLATE-compressed tile (Compression=8, what GDAL writes for
+    real AW3D30) decodes to exactly the same raster + geotransform as
+    its uncompressed twin — mirrors reference src/main.rs:172-180
+    reading real tiles."""
+    band, gt = _fixture_band(), _gt(51, 4)
+    plain = decode_geotiff(encode_geotiff(band, gt))
+    deflated = decode_geotiff(encode_geotiff(band, gt, compression="deflate"))
+    np.testing.assert_array_equal(plain[0], deflated[0])
+    assert plain[1] == deflated[1]
+    # and the compressed encoding is actually smaller (it really deflated)
+    assert len(encode_geotiff(band, gt, compression="deflate")) < len(
+        encode_geotiff(band, gt)
+    )
+
+
+def test_deflate_predictor_and_multistrip():
+    """DEFLATE + horizontal differencing (Predictor=2) + multi-strip —
+    the full GDAL AW3D30 layout — round-trips byte-identically."""
+    band, gt = _fixture_band(), _gt(0, 0)
+    data = encode_geotiff(
+        band, gt, compression="deflate", predictor=2, rows_per_strip=7
+    )
+    out, ogt = decode_geotiff(data)
+    np.testing.assert_array_equal(out, band)
+    assert ogt == gt
+
+
+def test_multistrip_uncompressed_roundtrip():
+    band, gt = _fixture_band(), _gt(52, 5)
+    out, ogt = decode_geotiff(encode_geotiff(band, gt, rows_per_strip=13))
+    np.testing.assert_array_equal(out, band)
+    assert ogt == gt
+
+
+def test_negative_elevations_survive_predictor():
+    """Predictor deltas use wraparound arithmetic; deep negative voids
+    (-9999) next to peaks must reconstruct exactly."""
+    band = _fixture_band()
+    band[5, :] = -9999
+    band[6, :] = 8848
+    out, _ = decode_geotiff(
+        encode_geotiff(band, _gt(51, 4), compression="deflate", predictor=2)
+    )
+    np.testing.assert_array_equal(out, band)
