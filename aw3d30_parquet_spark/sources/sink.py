@@ -72,6 +72,7 @@ def ingest_tiles(
     set_name: str = "world",
     chunk_rows: int = 512_000,
     metrics: dict | None = None,
+    on_corrupt: str = "fail",
 ) -> Sequence[tuple[int, int]]:
     """Idempotent region ingest: decode + write only not-yet-done tiles.
 
@@ -90,7 +91,10 @@ def ingest_tiles(
         if metrics is not None:
             metrics.update(rows_written=0, tiles_written=0, skipped_tiles=len(done))
         return []
-    df = read_tiles(spark, tif_dir, set_name, chunk_rows, exclude_tiles=done)
+    df = read_tiles(
+        spark, tif_dir, set_name, chunk_rows, exclude_tiles=done,
+        on_corrupt=on_corrupt,
+    )
     if metrics is not None:
         from pyspark.sql import Observation
         from pyspark.sql import functions as F

@@ -13,9 +13,12 @@ stream↔batch equivalence directly (SURVEY §5.2 S1–S4).
 Replay source: the events table re-written as N ts-ordered Parquet
 chunks consumed by ``readStream`` with ``maxFilesPerTrigger=1`` — each
 chunk is one micro-batch, giving deterministic arrival order for
-watermark tests. At production scale the same operators sit on a Kafka/
-file-arrival source unchanged; state size is bounded by the watermark
-(late rows beyond it are dropped, state for closed windows evicted).
+watermark tests. The chunk *staging* helper lives in
+``tests/streaming_replay.py`` — it collects the fixture table to the
+driver, which is test-only behavior the package never does. At
+production scale the same operators sit on a Kafka/file-arrival source
+unchanged; state size is bounded by the watermark (late rows beyond it
+are dropped, state for closed windows evicted).
 """
 
 from __future__ import annotations
@@ -31,50 +34,6 @@ from aw3d30_parquet_spark.session import register_views
 #: micros TIMESTAMP_NTZ by session.register_views — never read the raw
 #: parquet here, its TIMESTAMP(NANOS) needs the legacy conf).
 _EVENTS_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
-
-
-def stage_event_chunks(
-    spark: SparkSession,
-    sf_dir: str,
-    stage_dir: str,
-    n_chunks: int = 8,
-    duplicate_every: int = 0,
-) -> None:
-    """Materialize ``events`` as ``n_chunks`` ts-ordered Parquet files.
-
-    Chunk k holds the k-th contiguous ts-range slice, written one file
-    per chunk with strictly increasing mtimes so the file stream source
-    replays them in event-time order. ``duplicate_every > 0`` re-appends
-    every k-th row of each chunk (intra- and cross-batch duplicates for
-    the stateful-dedup test S4).
-    """
-    import pandas as pd
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    register_views(spark, sf_dir)
-    events = spark.table("events").orderBy("ts", "event_id")
-    pdf = events.toPandas()
-    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
-    os.makedirs(stage_dir, exist_ok=True)
-    size = (len(pdf) + n_chunks - 1) // n_chunks
-    t0 = 1_700_000_000  # synthetic arrival clock: chunk k arrives at t0+k
-    prev = None
-    for k in range(n_chunks):
-        chunk = pdf.iloc[k * size : (k + 1) * size]
-        if chunk.empty:
-            continue
-        if duplicate_every:
-            # intra-batch dups from this chunk + cross-batch dups from the
-            # previous chunk (exercises state carried across micro-batches)
-            dups = [chunk.iloc[::duplicate_every]]
-            if prev is not None:
-                dups.append(prev.iloc[::duplicate_every])
-            chunk = pd.concat([chunk, *dups], ignore_index=True)
-            prev = pdf.iloc[k * size : (k + 1) * size]
-        path = os.path.join(stage_dir, f"chunk-{k:04d}.parquet")
-        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), path)
-        os.utime(path, (t0 + k, t0 + k))
 
 
 def read_event_stream(spark: SparkSession, stage_dir: str, sf_dir: str) -> DataFrame:

@@ -19,11 +19,11 @@ from aw3d30_parquet_spark.streaming.events import (
     run_to_memory,
     session_counts,
     sliding_counts,
-    stage_event_chunks,
     stream_static_join,
     tumbling_counts,
     windowed_counts_with_watermark,
 )
+from tests.streaming_replay import stage_event_chunks
 
 SF = "/root/testdata/sf0.001"
 
@@ -101,6 +101,20 @@ def test_s3b_watermark_drops_late(spark, tmp_path, batch_events):
     on_time_cnt = int(want_all.loc[want_all["w_start"] == late_w, "cnt"].iloc[0])
     got_cnt = int(got.loc[got["w_start"] == late_w, "cnt"].iloc[0])
     assert got_cnt == on_time_cnt  # i.e. the +1 straggler never landed
+    # and the stream result is NOT the batch-with-late-rows relation:
+    # batch (no watermark cutoff) counts the straggler, the stream drops it
+    all_pdf = batch_events.toPandas()
+    all_pdf["ts"] = all_pdf["ts"].astype("datetime64[us]")
+    batch_plus_late = windowed_counts_with_watermark(
+        batch_events.sparkSession.createDataFrame(
+            pd.concat([all_pdf, first], ignore_index=True)
+        )
+    ).toPandas()
+    late_batch_cnt = int(
+        batch_plus_late.loc[batch_plus_late["w_start"] == late_w, "cnt"].iloc[0]
+    )
+    assert late_batch_cnt == on_time_cnt + 1
+    assert got_cnt != late_batch_cnt
     shutil.rmtree(d, ignore_errors=True)
 
 
