@@ -79,3 +79,18 @@ def test_minhash_recall_vs_exact(spark):
     assert exact, "fixture should contain near-duplicates"
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"MinHash recall {recall:.2f} < 0.9"
+
+
+def test_d07_prefix_variant_equals_d04(spark):
+    """The prefix-filtered Jaccard join (scale variant) produces exactly
+    the inverted-index relation — candidate pruning is lossless."""
+    from aw3d30_parquet_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+    from aw3d30_parquet_spark.oracle import canonical_hash
+
+    sf = "/root/testdata/sf0.01"
+    h_direct = canonical_hash(ngram_jaccard_pairs(spark, sf).toPandas())
+    h_prefix = canonical_hash(ngram_jaccard_pairs_prefix(spark, sf).toPandas())
+    assert h_direct == h_prefix
