@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from aw3d30_parquet_spark.session import register_views
+from aw3d30_parquet_spark.session import register_views, spread
 
 #: md5 hex prefix thresholds: 'cc'/256 ≈ 0.797, 'e6'/256 ≈ 0.898 —
 #: lowercase-hex digests compare identically in Spark and DuckDB, so
@@ -41,7 +41,9 @@ SAMPLE_FRACTION = 0.1
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    return spark.table("documents")
+    # every pipeline op tokenizes/hashes text per row: fan the (single-
+    # split) scan out to all cores; no-op when splits >= parallelism
+    return spread(spark.table("documents"))
 
 
 def _split_col():
