@@ -114,9 +114,46 @@ def g02_spatial_box(spark: SparkSession, sf_dir: str) -> DataFrame:
 _G02_POINTS = 33 * 33
 _G02_SUM = 1000 * 33 * sum(range(16, 49)) + 33 * sum(range(16, 49))
 
+
+def g03_slope_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile terrain-gradient statistics over the decoded slope layer
+    (SURVEY §2.2 raster analytics: slope/aspect are the first derived
+    products of any DEM pipeline). The gradient is computed inside the
+    decode kernel — tile-local, zero shuffles before this aggregate —
+    and the ramp fixture makes every statistic closed-form: the band is
+    ``1000·y + x``, so ``dz/dx ≡ 1`` and ``dz/dy ≡ 1000`` everywhere,
+    including the one-sided borders (the ramp is linear)."""
+    from aw3d30_parquet_spark.sources.geotiff import read_tile_gradients
+
+    ensure_demo_tiles()
+    g = read_tile_gradients(spark, _DEMO_DIR, "netherlands")
+    return (
+        g.groupBy("tile_lat", "tile_lon")
+        .agg(
+            F.count("*").alias("points"),
+            F.sum(F.col("dzdx").cast("bigint")).alias("sum_dzdx"),
+            F.sum(F.col("dzdy").cast("bigint")).alias("sum_dzdy"),
+            F.max("dzdx").alias("max_dzdx"),
+            F.max("dzdy").alias("max_dzdy"),
+        )
+        .orderBy("tile_lat", "tile_lon")
+    )
+
+
+# linear ramp ⇒ constant gradient: Σdzdx = 64², Σdzdy = 1000·64²
+_G03_ROWS = ",\n".join(
+    f"  (CAST({la} AS INTEGER), CAST({lo} AS INTEGER),"
+    f" CAST({DEMO_SIZE * DEMO_SIZE} AS BIGINT),"
+    f" CAST({DEMO_SIZE * DEMO_SIZE} AS BIGINT),"
+    f" CAST({1000 * DEMO_SIZE * DEMO_SIZE} AS BIGINT),"
+    f" CAST(1.0 AS DOUBLE), CAST(1000.0 AS DOUBLE))"
+    for la, lo in DEMO_COORDS
+)
+
 QUERIES = {
     "g01_geotiff_ingest": g01_geotiff_ingest,
     "g02_spatial_box": g02_spatial_box,
+    "g03_slope_stats": g03_slope_stats,
 }
 ORACLE_SQL = {
     "g01_geotiff_ingest": f"""
@@ -129,5 +166,11 @@ ORDER BY tile_lat, tile_lon
 SELECT CAST({_G02_POINTS} AS BIGINT) AS points,
        CAST({_G02_SUM} AS BIGINT) AS sum_elev,
        CAST(1 AS BIGINT) AS tiles
+""",
+    "g03_slope_stats": f"""
+SELECT * FROM (VALUES
+{_G03_ROWS}
+) AS t(tile_lat, tile_lon, points, sum_dzdx, sum_dzdy, max_dzdx, max_dzdy)
+ORDER BY tile_lat, tile_lon
 """,
 }

@@ -160,6 +160,103 @@ def _decode_partition(batches: Iterable, chunk_rows: int, on_corrupt: str) -> It
 
 
 
+#: Schema of the per-cell terrain-gradient table (g03): elevation
+#: derivative per pixel step in x (east) and y (south→north negative),
+#: computed tile-locally — the raster analytics layer the reference's
+#: point table feeds into (slope/aspect are the first derived products
+#: of any DEM pipeline).
+GRADIENT_SCHEMA = StructType(
+    [
+        StructField("tile_lat", IntegerType(), False),
+        StructField("tile_lon", IntegerType(), False),
+        StructField("lat", DoubleType(), False),
+        StructField("lon", DoubleType(), False),
+        StructField("dzdx", DoubleType(), False),
+        StructField("dzdy", DoubleType(), False),
+    ]
+)
+
+
+def _gradient_partition(batches: Iterable, chunk_rows: int) -> Iterator:
+    """mapInPandas kernel: (path, content) tile rows → per-cell gradient.
+
+    ``np.gradient`` central differences (one-sided at tile borders) over
+    the decoded band, in elevation units per pixel step — entirely
+    tile-local, so the whole slope layer is computed without any
+    shuffle: the neighborhood a derivative needs is exactly the
+    neighborhood a tile already holds. (Cross-tile seams use one-sided
+    differences, the standard single-tile treatment; stitching seams
+    would need a 1-px halo exchange — a different operator.)
+    """
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        for path, content in zip(pdf["path"], pdf["content"]):
+            coord = parse_tile_key(os.path.basename(str(path)))
+            if coord is None:
+                continue
+            band, gt = decode_geotiff(bytes(content))
+            dzdy_grid, dzdx_grid = np.gradient(band.astype(np.float64))
+            height, width = band.shape
+            x = np.arange(width, dtype=np.float64)
+            rows_per_chunk = max(1, chunk_rows // width)
+            for y0 in range(0, height, rows_per_chunk):
+                y1 = min(y0 + rows_per_chunk, height)
+                yy = np.arange(y0, y1, dtype=np.float64)
+                lon = (gt[0] + x * gt[1])[None, :] + (yy * gt[2])[:, None]
+                lat = (x * gt[4])[None, :] + (gt[3] + yy * gt[5])[:, None]
+                n = (y1 - y0) * width
+                yield pd.DataFrame(
+                    {
+                        "tile_lat": np.full(n, coord[0], dtype="int32"),
+                        "tile_lon": np.full(n, coord[1], dtype="int32"),
+                        "lat": np.broadcast_to(lat, (y1 - y0, width)).reshape(n),
+                        "lon": np.broadcast_to(lon, (y1 - y0, width)).reshape(n),
+                        "dzdx": dzdx_grid[y0:y1].reshape(n),
+                        "dzdy": dzdy_grid[y0:y1].reshape(n),
+                    }
+                )
+
+
+def read_tile_gradients(
+    spark: SparkSession,
+    tif_dir: str,
+    set_name: str = "world",
+    chunk_rows: int = 512_000,
+) -> DataFrame:
+    """Tile scan → per-cell elevation gradient DataFrame (slope layer).
+
+    Same plan shape as :func:`read_tiles` — binaryFile scan with
+    file-level region pruning fused with a mapInPandas kernel, one task
+    per tile, zero Exchanges."""
+    from aw3d30_parquet_spark.session import ship_package
+
+    ship_package(spark)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "ALPSMLC30_*_DSM.tif")
+        .load(tif_dir)
+        .select("path", "content")
+    )
+    jpat = r"ALPSMLC30_([NS])(\d{3})([EW])(\d{3})_DSM"
+    (lat0, lat1), (lon0, lon1) = REGION_SETS[set_name]
+    path = F.col("path")
+    sign_lat = F.when(F.regexp_extract(path, jpat, 1) == "S", -1).otherwise(1)
+    sign_lon = F.when(F.regexp_extract(path, jpat, 3) == "W", -1).otherwise(1)
+    key_lat = sign_lat * F.regexp_extract(path, jpat, 2).cast("int")
+    key_lon = sign_lon * F.regexp_extract(path, jpat, 4).cast("int")
+    files = files.filter(
+        (F.regexp_extract(path, jpat, 0) != "")
+        & key_lat.between(lat0, lat1)
+        & key_lon.between(lon0, lon1)
+    )
+    return files.mapInPandas(
+        lambda it: _gradient_partition(it, chunk_rows),
+        schema=GRADIENT_SCHEMA,
+    )
+
+
 def read_tiles(
     spark: SparkSession,
     tif_dir: str,

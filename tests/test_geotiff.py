@@ -383,3 +383,40 @@ def test_negative_elevations_survive_predictor():
         encode_geotiff(band, _gt(51, 4), compression="deflate", predictor=2)
     )
     np.testing.assert_array_equal(out, band)
+
+
+# ------------------------------------------------------- g03 slope layer
+
+
+def test_gradient_kernel_values(spark, tif_dir):
+    """Per-cell gradients of the fixture ramp: dz/dx ≡ 1 (+ the two
+    pinned-extreme cells' neighborhoods), dz/dy ≡ 1000 — spot-check via
+    the non-extreme interior."""
+    import numpy as np
+
+    from aw3d30_parquet_spark.sources.geotiff import read_tile_gradients
+
+    g = read_tile_gradients(spark, tif_dir, "netherlands").toPandas()
+    assert len(g) == 2 * SIZE * SIZE  # two netherlands fixture tiles
+    # interior far from the pinned extremes: exact constants
+    mid = g[(g["lat"] % 1 > 0.3) & (g["lat"] % 1 < 0.7)]
+    assert np.allclose(mid["dzdx"], 1.0)
+    assert np.allclose(mid["dzdy"], 1000.0)
+
+
+def test_g03_oracle_closed_form(spark, duck_t2):
+    from aw3d30_parquet_spark.oracle import compare
+    from aw3d30_parquet_spark.sources import demo
+
+    df = demo.g03_slope_stats(spark, "/root/testdata/sf0.01")
+    ok, h1, h2 = compare(df, duck_t2, demo.ORACLE_SQL["g03_slope_stats"])
+    assert ok, (h1, h2)
+
+
+def test_gradient_scan_shuffle_free(spark, tif_dir):
+    from aw3d30_parquet_spark.plans import formatted_plan
+    from aw3d30_parquet_spark.sources.geotiff import read_tile_gradients
+
+    plan = formatted_plan(read_tile_gradients(spark, tif_dir, "netherlands"))
+    assert "Exchange" not in plan
+    assert "mapinpandas" in plan.lower()
