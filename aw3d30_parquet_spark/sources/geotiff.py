@@ -219,6 +219,30 @@ def _gradient_partition(batches: Iterable, chunk_rows: int) -> Iterator:
                 )
 
 
+def _key_coord_cols() -> tuple:
+    """JVM-side (key_lat, key_lon, key_valid) metadata columns parsed
+    from the file path — Java-regex variant of TILE_KEY_RE (positional
+    groups; Java lacks ``(?P<name>)``)."""
+    jpat = r"ALPSMLC30_([NS])(\d{3})([EW])(\d{3})_DSM"
+    path = F.col("path")
+    sign_lat = F.when(F.regexp_extract(path, jpat, 1) == "S", -1).otherwise(1)
+    sign_lon = F.when(F.regexp_extract(path, jpat, 3) == "W", -1).otherwise(1)
+    key_lat = sign_lat * F.regexp_extract(path, jpat, 2).cast("int")
+    key_lon = sign_lon * F.regexp_extract(path, jpat, 4).cast("int")
+    return key_lat, key_lon, F.regexp_extract(path, jpat, 0) != ""
+
+
+def _region_pruned_files(files: DataFrame, set_name: str) -> DataFrame:
+    """Apply key-parse + region predicate on file METADATA (before any
+    tile byte is decoded) — the Spark analogue of the reference
+    filtering during the S3 listing (``src/main.rs:316-321``)."""
+    key_lat, key_lon, valid = _key_coord_cols()
+    (lat0, lat1), (lon0, lon1) = REGION_SETS[set_name]
+    return files.filter(
+        valid & key_lat.between(lat0, lat1) & key_lon.between(lon0, lon1)
+    )
+
+
 def read_tile_gradients(
     spark: SparkSession,
     tif_dir: str,
@@ -239,19 +263,7 @@ def read_tile_gradients(
         .load(tif_dir)
         .select("path", "content")
     )
-    jpat = r"ALPSMLC30_([NS])(\d{3})([EW])(\d{3})_DSM"
-    (lat0, lat1), (lon0, lon1) = REGION_SETS[set_name]
-    path = F.col("path")
-    sign_lat = F.when(F.regexp_extract(path, jpat, 1) == "S", -1).otherwise(1)
-    sign_lon = F.when(F.regexp_extract(path, jpat, 3) == "W", -1).otherwise(1)
-    key_lat = sign_lat * F.regexp_extract(path, jpat, 2).cast("int")
-    key_lon = sign_lon * F.regexp_extract(path, jpat, 4).cast("int")
-    files = files.filter(
-        (F.regexp_extract(path, jpat, 0) != "")
-        & key_lat.between(lat0, lat1)
-        & key_lon.between(lon0, lon1)
-    )
-    return files.mapInPandas(
+    return _region_pruned_files(files, set_name).mapInPandas(
         lambda it: _gradient_partition(it, chunk_rows),
         schema=GRADIENT_SCHEMA,
     )
@@ -282,26 +294,13 @@ def read_tiles(
         .load(tif_dir)
         .select("path", "content")
     )
-    # Region predicate on the key, evaluated on file metadata (cheap,
-    # JVM-side) — mirrors list-time filtering in the reference. Java-regex
-    # variant of TILE_KEY_RE (positional groups; Java lacks (?P<name>)).
-    jpat = r"ALPSMLC30_([NS])(\d{3})([EW])(\d{3})_DSM"
-    (lat0, lat1), (lon0, lon1) = REGION_SETS[set_name]
-    path = F.col("path")
-    sign_lat = F.when(F.regexp_extract(path, jpat, 1) == "S", -1).otherwise(1)
-    sign_lon = F.when(F.regexp_extract(path, jpat, 3) == "W", -1).otherwise(1)
-    key_lat = sign_lat * F.regexp_extract(path, jpat, 2).cast("int")
-    key_lon = sign_lon * F.regexp_extract(path, jpat, 4).cast("int")
-    files = files.filter(
-        (F.regexp_extract(path, jpat, 0) != "")
-        & key_lat.between(lat0, lat1)
-        & key_lon.between(lon0, lon1)
-    )
+    files = _region_pruned_files(files, set_name)
     # Skip-if-exists subtraction, still at the file level (before any
     # raster byte is decoded) — the reference's idempotency check
     # (src/main.rs:144-146,171) lifted into the scan's metadata filter.
     exclude = {la * 1000 + lo for la, lo in exclude_tiles}
     if exclude:
+        key_lat, key_lon, _valid = _key_coord_cols()
         files = files.filter(
             ~(key_lat.cast("long") * 1000 + key_lon).isin(sorted(exclude))
         )

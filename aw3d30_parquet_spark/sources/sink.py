@@ -115,3 +115,68 @@ def ingest_tiles(
     else:
         write_tiles(df, out_dir, mode="append")
     return [t for t in pending if t in existing_tiles(out_dir)]
+
+
+def stream_ingest_tiles(
+    spark: SparkSession,
+    tif_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    set_name: str = "world",
+    chunk_rows: int = 512_000,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous tile ingest: new ``.tif`` arrivals → partitioned
+    Parquet, exactly once.
+
+    The batch pipeline as a Structured Streaming query — the file
+    source's checkpoint replaces the partition-tree manifest as the
+    idempotency mechanism (the reference's skip-if-exists,
+    ``src/main.rs:144-146``, upgraded to transactional exactly-once: a
+    tile is decoded and committed exactly once even across restarts
+    and mid-batch crashes). Region pruning still runs on file metadata
+    before any tile byte is read; the data plane stays the same
+    shuffle-free scan → mapInPandas decode → partitioned write.
+
+    ``available_now=True`` drains everything currently in the
+    directory then stops (incremental backfill); ``False`` keeps
+    watching for new tiles (a live feed off an object-store landing
+    prefix). Returns the started StreamingQuery — callers own
+    ``awaitTermination()``.
+    """
+    from aw3d30_parquet_spark.session import ship_package
+    from aw3d30_parquet_spark.sources.geotiff import (
+        POINT_SCHEMA,
+        _decode_partition,
+        _region_pruned_files,
+    )
+
+    ship_package(spark)
+    # binaryFile's fixed schema, stated explicitly (streaming file
+    # sources cannot infer)
+    binary_file_schema = (
+        "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
+    )
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_file_schema)
+        .option("pathGlobFilter", "ALPSMLC30_*_DSM.tif")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    files = reader.load(tif_dir).select("path", "content")
+    pts = _region_pruned_files(files, set_name).mapInPandas(
+        lambda it: _decode_partition(it, chunk_rows, "skip"),
+        schema=POINT_SCHEMA,
+    )
+    writer = (
+        pts.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("tile_lat", "tile_lon")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -420,3 +420,40 @@ def test_gradient_scan_shuffle_free(spark, tif_dir):
     plan = formatted_plan(read_tile_gradients(spark, tif_dir, "netherlands"))
     assert "Exchange" not in plan
     assert "mapinpandas" in plan.lower()
+
+
+# ------------------------------------------------- streaming tile ingest
+
+
+def test_stream_ingest_exactly_once(spark, tmp_path):
+    """File-arrival streaming ingest: drain the directory, then drop a
+    new tile and resume from the checkpoint — only the new tile's rows
+    are appended (exactly-once via the stream checkpoint, the
+    transactional upgrade of the reference's skip-if-exists)."""
+    from aw3d30_parquet_spark.sources.sink import stream_ingest_tiles
+
+    tif = tmp_path / "tiles"
+    tif.mkdir()
+    _write_fixture_tiles(str(tif), [(51, 4)])
+    out = str(tmp_path / "pts")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_ingest_tiles(spark, str(tif), out, ckpt, "netherlands")
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == SIZE * SIZE
+
+    # second tile arrives; restart drains ONLY the new file
+    _write_fixture_tiles(str(tif), [(52, 5)])
+    q = stream_ingest_tiles(spark, str(tif), out, ckpt, "netherlands")
+    q.awaitTermination()
+    df = spark.read.parquet(out)
+    assert df.count() == 2 * SIZE * SIZE
+    assert {tuple(r) for r in df.select("tile_lat", "tile_lon").distinct().collect()} == {
+        (51, 4),
+        (52, 5),
+    }
+
+    # idempotent no-op restart: nothing new, nothing re-emitted
+    q = stream_ingest_tiles(spark, str(tif), out, ckpt, "netherlands")
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 2 * SIZE * SIZE
