@@ -163,14 +163,15 @@ def ann_topk_lsh(
        vectors; exact cosine + top-k over C·q rows instead of N·q.
 
     Recall is tunable via n_candidates (asserted ≥0.8 against the
-    brute-force oracle in pytest V3). Bucket-exact LSH (the MLlib
-    BucketedRandomProjectionLSH route, still used for the near-dup
-    radius join in v04) degenerates on corpora with no near pairs:
-    at the bucket width that keeps 0.8 top-k recall on mid-angle
-    neighbors it admits every pair — a slower brute force. The
-    sketch-rank form keeps the pruning while staying exhaustive over
-    candidates, which is the honest 100 TB design: scan a thin sketch
-    column, touch full vectors for C ids per query.
+    brute-force oracle in pytest V3). Bucket-exact LSH (MLlib's
+    BucketedRandomProjectionLSH) degenerates on corpora with no near
+    pairs: at the bucket width that keeps 0.8 top-k recall on
+    mid-angle neighbors it admits every pair — a slower brute force.
+    The sketch-rank form keeps the pruning while staying exhaustive
+    over candidates, which is the honest 100 TB design: scan a thin
+    sketch column, touch full vectors for C ids per query. (v04's
+    near-dup join reuses the same signatures with banded buckets —
+    bucketing works there because its radius is tiny.)
     """
     emb = _emb(spark, sf_dir)
     sig = _simhash_signature(n_bits=n_bits)
@@ -298,31 +299,82 @@ def embedding_neardup_pairs(
     spark: SparkSession,
     sf_dir: str,
     cos_threshold: float = 0.999,
-    bucket_length: float = 0.1,
-    num_hash_tables: int = 6,
+    n_bits: int = 256,
+    band_bits: int = 32,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH similarity join."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    """Embedding-cosine near-duplicate pairs, native banded SimHash LSH.
 
-    import math
+    d06's native-banding shape applied to vectors (replaces the earlier
+    MLlib ``BucketedRandomProjectionLSH`` route, whose
+    ``approxSimilarityJoin`` re-evaluated its hash UDFs inside an
+    optimizer-inferred scan filter and shipped rows through Python):
 
-    feats = _normalized_features(_emb(spark, sf_dir))
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        bucketLength=bucket_length,
-        numHashTables=num_hash_tables,
-        seed=42,
+    1. one map-side pandas-UDF matmul packs a 256-bit hyperplane-sign
+       signature per vector (the same signature column v03's sketch
+       scan uses — at scale it is materialized once, next to the data);
+    2. the signature splits into 8 bands of 32 bits; candidates are
+       actual band collisions — an equi self-join on (band_id, value),
+       never all-pairs. At cos ≥ 0.999 (θ ≈ 2.6°) a band matches with
+       p ≈ 0.63, so ≥1-of-8 collides with p ≈ 1 − 3e-4; at cos ≈ 0.5
+       a band matches with p ≈ 2e-6 — the join stays sparse;
+    3. exact cosine (JVM ``zip_with``/``aggregate``) verifies every
+       candidate; the threshold filter is null-tolerant so no derived
+       isnotnull guard lands below the scan.
+    """
+    return _neardup_pairs_df(
+        _emb(spark, sf_dir), cos_threshold, n_bits, band_bits
     )
-    model = lsh.fit(feats)
-    max_dist = math.sqrt(2.0 * (1.0 - cos_threshold))
-    pairs = model.approxSimilarityJoin(feats, feats, max_dist, distCol="dist")
-    return (
-        pairs.select(
-            F.col("datasetA.vec_id").alias("id_a"),
-            F.col("datasetB.vec_id").alias("id_b"),
+
+
+def _neardup_pairs_df(
+    emb: DataFrame,
+    cos_threshold: float = 0.999,
+    n_bits: int = 256,
+    band_bits: int = 32,
+) -> DataFrame:
+    """Core of :func:`embedding_neardup_pairs` over any
+    (vec_id, embedding) relation — separable so tests can inject known
+    near-duplicates (the testdata corpus has none by construction)."""
+    sig = _simhash_signature(n_bits=n_bits)
+    sigd = emb.select("vec_id", sig("embedding").alias("sig"))
+    n_bands = n_bits // band_bits
+    per_word = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            (
+                F.shiftright(
+                    F.element_at("sig", j // per_word + 1),
+                    band_bits * (j % per_word),
+                ).bitwiseAND(F.lit(mask))
+            )
+            for j in range(n_bands)
+        ]
+    )
+    banded = sigd.select(
+        "vec_id", F.posexplode(bands).alias("band_id", "band_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    ver = cand.join(ea, "id_a").join(eb, "id_b").withColumn(
+        "cos", cosine(F.col("e_a"), F.col("e_b"))
+    )
+    return (
+        ver.filter(F.coalesce(F.col("cos") >= cos_threshold, F.lit(False)))
+        .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )
 

@@ -106,6 +106,18 @@ def test_native_minhash_has_no_python(spark):
     assert "pythonUDF" not in plan
 
 
+def test_neardup_native_banding(spark):
+    """v04: banded-signature near-dup join — the only Python is the
+    Arrow-batched signature matmul (map-side); no row-at-a-time eval,
+    and the candidate join is an equi hash join, never cartesian."""
+    from aw3d30_parquet_spark.functions import vectors
+
+    plan = formatted_plan(vectors.embedding_neardup_pairs(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_simhash_single_stage(spark):
     """d05: signature computation has no join/agg shuffle — only the
     final presentation sort exchanges data."""

@@ -103,3 +103,36 @@ def test_v4_neardup_pairs_exact_subset(spark, emb_np):
     # every comfortably-above-threshold pair must be found
     missed = truth - got
     assert not missed, f"near-dup pairs missed: {sorted(missed)[:5]}"
+
+
+def test_v4_neardup_finds_injected_duplicates(spark, emb_np):
+    """Non-vacuous near-dup check: clone 5 vectors with tiny noise
+    (cos > 0.9999) under shifted ids — the banded-LSH join must find
+    every injected pair and nothing below threshold."""
+    import pandas as pd
+
+    from aw3d30_parquet_spark.functions.vectors import _neardup_pairs_df
+
+    ids, mat = emb_np
+    rng = np.random.default_rng(7)
+    clones = mat[:5] + rng.normal(0, 1e-4, mat[:5].shape)
+    all_ids = np.concatenate([ids, ids[:5] + 1_000_000])
+    all_mat = np.concatenate([mat, clones])
+    pdf = pd.DataFrame(
+        {
+            "vec_id": all_ids.astype("int64"),
+            "embedding": [row.astype("float32") for row in all_mat],
+        }
+    )
+    emb = spark.createDataFrame(pdf)
+    got = {
+        (row.id_a, row.id_b) for row in _neardup_pairs_df(emb).collect()
+    }
+    want = {(int(i), int(i) + 1_000_000) for i in ids[:5]}
+    assert want <= got, f"missed injected pairs: {sorted(want - got)}"
+    # nothing spurious: every reported pair must truly clear the bar
+    unit = all_mat / np.linalg.norm(all_mat, axis=1)[:, None]
+    by_id = {int(v): i for i, v in enumerate(all_ids)}
+    for ia, ib in got:
+        cos = float(unit[by_id[ia]] @ unit[by_id[ib]])
+        assert cos >= 0.999 - 1e-9, (ia, ib, cos)
