@@ -195,6 +195,44 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     )
 
 
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t07: per-doc mean unigram surprisal −ln p(token) under the
+    corpus's own unigram LM — the classic cheap perplexity proxy for
+    pretraining-data quality filtering (rare-token-heavy docs score
+    high; boilerplate scores low).
+
+    Shape at 100 TB: one explode → term-frequency aggregate (partial
+    map-side combine), the 1-row total crossJoin-broadcast, one join of
+    tokens against the frequency relation (AQE broadcasts it while
+    vocabulary ≪ corpus; hash the term key if the vocabulary itself is
+    huge), one final per-doc aggregate. ``sum_tf`` is an exact integer
+    column so the hash check pins the join itself; the surprisal mean
+    is libm-backed (ln) and floor-rounded to 2 decimals — addends may
+    differ between engines in the last ulp, giving a boundary-hit
+    probability per row of ~1e-13 (the same accepted risk class as
+    t01/t02's ratio rounding).
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    total = tf.agg(F.sum("tf").cast("double").alias("n_total"))
+    nll = -F.log(F.col("tf").cast("double") / F.col("n_total"))
+    surprisal = F.floor(F.avg(nll) * 100 + 0.5).cast("bigint") / 100.0
+    return (
+        toks.join(tf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("tf").alias("sum_tf"),
+            surprisal.alias("surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "t01_token_stats": token_stats,
     "t02_quality_score": quality_score,
@@ -202,6 +240,7 @@ QUERIES = {
     "t04_lang_id": lang_id,
     "t05_doc_fingerprint": doc_fingerprint,
     "t06_tfidf_top_terms": tfidf_top_terms,
+    "t07_unigram_surprisal": unigram_surprisal,
 }
 
 ORACLE_SQL = {
@@ -237,6 +276,22 @@ FROM documents ORDER BY doc_id
 SELECT doc_id,
        md5(array_to_string(list_sort(regexp_split_to_array(trim(text), '\\s+')), ' ')) AS fp
 FROM documents ORDER BY doc_id
+""",
+    "t07_unigram_surprisal": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, count(*) AS tf FROM toks GROUP BY term
+), tot AS (
+  SELECT CAST(sum(tf) AS DOUBLE) AS n_total FROM tf
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(tf) AS BIGINT) AS sum_tf,
+       CAST(floor(avg(-ln(tf / n_total)) * 100 + 0.5) AS BIGINT) / 100.0
+         AS surprisal
+FROM toks JOIN tf USING (term) CROSS JOIN tot
+GROUP BY doc_id ORDER BY doc_id
 """,
 }
 
