@@ -180,3 +180,83 @@ def stream_ingest_tiles(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_tiles(
+    spark: SparkSession,
+    out_dir: str,
+    target_rows_per_file: int = 13_000_000,
+    tiles: Sequence[tuple[int, int]] | None = None,
+) -> dict:
+    """Small-file compaction of the partitioned point tree (OPTIMIZE).
+
+    Incremental ingests (especially the streaming sink, which commits
+    one file per tile per micro-batch, and chunked decodes, which emit
+    one file per Arrow batch) fragment tile partitions; parquet scan
+    cost at 100 TB is dominated by file count long before byte count
+    (task scheduling, footer reads, object-store GETs). This rewrites
+    fragmented partitions into ~``target_rows_per_file``-row files —
+    one file per 3600² AW3D30 tile at the default.
+
+    Spark-first mechanics, safe against partial failure:
+    - only partitions with >1 file (or more files than needed) are
+      rewritten — ``tiles=None`` selects them by listing the partition
+      tree, metadata only;
+    - the rewrite is one job: read ONLY those partitions (partition
+      pruning on tile_lat/tile_lon), ``maxRecordsPerFile`` bounds
+      output file size, and **dynamic partition overwrite** swaps each
+      partition atomically at commit — readers never see a partial
+      partition, untouched partitions are never rewritten.
+
+    Returns ``{"compacted_tiles": n, "files_before": a, "files_after": b}``.
+    """
+    from pyspark.sql import functions as F
+
+    def _files_per_tile() -> dict[tuple[int, int], int]:
+        out: dict[tuple[int, int], int] = {}
+        for la, lo in existing_tiles(out_dir):
+            p = os.path.join(out_dir, f"tile_lat={la}", f"tile_lon={lo}")
+            out[(la, lo)] = sum(f.endswith(".parquet") for f in os.listdir(p))
+        return out
+
+    before = _files_per_tile()
+    victims = [
+        t
+        for t, n in sorted(before.items())
+        if n > 1 and (tiles is None or t in set(tiles))
+    ]
+    if not victims:
+        return {"compacted_tiles": 0, "files_before": sum(before.values()),
+                "files_after": sum(before.values())}
+    df = spark.read.parquet(out_dir)
+    key = F.struct("tile_lat", "tile_lon")
+    pick = [F.struct(F.lit(la), F.lit(lo)) for la, lo in victims]
+    frag = df.filter(key.isin(pick))
+    old_conf = {
+        "spark.sql.sources.partitionOverwriteMode": spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        ),
+        "spark.sql.files.maxRecordsPerFile": spark.conf.get(
+            "spark.sql.files.maxRecordsPerFile", "0"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        spark.conf.set(
+            "spark.sql.files.maxRecordsPerFile", str(target_rows_per_file)
+        )
+        (
+            frag.repartition("tile_lat", "tile_lon")
+            .write.mode("overwrite")
+            .partitionBy("tile_lat", "tile_lon")
+            .parquet(out_dir)
+        )
+    finally:
+        for k, v in old_conf.items():
+            spark.conf.set(k, v)
+    after = _files_per_tile()
+    return {
+        "compacted_tiles": len(victims),
+        "files_before": sum(before.values()),
+        "files_after": sum(after.values()),
+    }

@@ -457,3 +457,49 @@ def test_stream_ingest_exactly_once(spark, tmp_path):
     q = stream_ingest_tiles(spark, str(tif), out, ckpt, "netherlands")
     q.awaitTermination()
     assert spark.read.parquet(out).count() == 2 * SIZE * SIZE
+
+
+# ------------------------------------------------------- sink compaction
+
+
+def test_compact_tiles_merges_fragments(spark, tif_dir, tmp_path):
+    """Fragmented tile partitions (one file per streaming micro-batch /
+    Arrow chunk) compact to one file each; rows and values unchanged;
+    untouched single-file partitions are not rewritten."""
+    import duckdb
+
+    from aw3d30_parquet_spark.sources.sink import compact_tiles, write_tiles
+
+    out = str(tmp_path / "pts")
+    # fragment tile (51,4) by writing it in 3 chunked appends
+    pts = read_tiles(spark, tif_dir, "netherlands")
+    t51 = pts.filter("tile_lat = 51")
+    for i in range(3):
+        write_tiles(t51.filter(f"pmod(elevation, 3) = {i}"), out)
+    write_tiles(pts.filter("tile_lat = 52"), out)  # single clean write
+
+    def rows_and_sum():
+        return duckdb.sql(
+            f"SELECT count(*), sum(elevation), count(DISTINCT tile_lat) "
+            f"FROM read_parquet('{out}/*/*/*.parquet')"
+        ).fetchone()
+
+    before = rows_and_sum()
+    import glob
+
+    frag_files = glob.glob(f"{out}/tile_lat=51/tile_lon=4/*.parquet")
+    assert len(frag_files) >= 3
+    clean_files_before = set(glob.glob(f"{out}/tile_lat=52/*/*.parquet"))
+
+    stats = compact_tiles(spark, out, target_rows_per_file=1_000_000)
+    assert stats["compacted_tiles"] >= 1
+    assert stats["files_after"] < stats["files_before"]
+    assert len(glob.glob(f"{out}/tile_lat=51/tile_lon=4/*.parquet")) == 1
+    # values identical after compaction
+    assert rows_and_sum() == before
+    # clean partition untouched (same physical files)
+    assert set(glob.glob(f"{out}/tile_lat=52/*/*.parquet")) == clean_files_before
+
+    # idempotent: second run is a no-op
+    stats2 = compact_tiles(spark, out)
+    assert stats2["compacted_tiles"] == 0
