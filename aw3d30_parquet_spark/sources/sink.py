@@ -260,3 +260,124 @@ def compact_tiles(
         "files_before": sum(before.values()),
         "files_after": sum(after.values()),
     }
+
+
+#: Mergeable per-tile statistics kept by the continuous rollup —
+#: count/sum/min/max merge associatively across micro-batches (mean is
+#: derived at read time), so maintenance is O(affected tiles) per batch.
+_ROLLUP_COLS = ("n_points", "sum_elev", "min_elev", "max_elev")
+
+
+def tile_rollup_read(spark: SparkSession, rollup_dir: str) -> DataFrame:
+    """The rollup table with the derived mean — the read-side view."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(rollup_dir)
+    return df.withColumn(
+        "mean_elev",
+        F.col("sum_elev").cast("double") / F.col("n_points").cast("double"),
+    )
+
+
+def stream_tile_rollup(
+    spark: SparkSession,
+    tif_dir: str,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    set_name: str = "world",
+    chunk_rows: int = 512_000,
+):
+    """Continuously-maintained per-tile elevation rollup (the
+    "hypertable continuous aggregate" pattern, Spark-first).
+
+    A Structured Streaming query over the tile landing directory keeps
+    a small per-tile stats table (count/sum/min/max elevation) up to
+    date incrementally: each micro-batch aggregates only its own new
+    tiles' points, merges them with the existing rows for exactly the
+    affected tiles, and commits via dynamic partition overwrite — an
+    upsert with plain Parquet, atomic per partition. Untouched tiles
+    are never read or rewritten, so maintenance cost is O(new data),
+    not O(table): the incremental-view shape that makes a 64 800-tile
+    world rollup cheap to keep fresh forever.
+
+    foreachBatch is the right tool (not a windowed agg): the combine
+    is keyed by tile, not time, and needs a read-merge-write against
+    an external table — exactly what foreachBatch's batch-scoped
+    DataFrame + checkpointed batch id give exactly-once semantics for.
+    """
+    from pyspark.sql import functions as F
+
+    from aw3d30_parquet_spark.session import ship_package
+    from aw3d30_parquet_spark.sources.geotiff import (
+        POINT_SCHEMA,
+        _decode_partition,
+        _region_pruned_files,
+    )
+
+    ship_package(spark)
+    binary_file_schema = (
+        "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_file_schema)
+        .option("pathGlobFilter", "ALPSMLC30_*_DSM.tif")
+        .load(tif_dir)
+        .select("path", "content")
+    )
+    pts = _region_pruned_files(files, set_name).mapInPandas(
+        lambda it: _decode_partition(it, chunk_rows, "skip"),
+        schema=POINT_SCHEMA,
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        delta = (
+            batch_df.groupBy("tile_lat", "tile_lon")
+            .agg(
+                F.count("*").alias("n_points"),
+                F.sum("elevation").alias("sum_elev"),
+                F.min("elevation").alias("min_elev"),
+                F.max("elevation").alias("max_elev"),
+            )
+        )
+        if os.path.isdir(rollup_dir) and any(
+            not f.startswith(("_", ".")) for f in os.listdir(rollup_dir)
+        ):
+            existing = s.read.parquet(rollup_dir)
+            affected = delta.select("tile_lat", "tile_lon")
+            prior = existing.join(
+                F.broadcast(affected), ["tile_lat", "tile_lon"], "left_semi"
+            )
+            merged = (
+                prior.unionByName(delta)
+                .groupBy("tile_lat", "tile_lon")
+                .agg(
+                    F.sum("n_points").alias("n_points"),
+                    F.sum("sum_elev").alias("sum_elev"),
+                    F.min("min_elev").alias("min_elev"),
+                    F.max("max_elev").alias("max_elev"),
+                )
+            )
+        else:
+            merged = delta
+        old = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        try:
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            (
+                # one row per tile: co-locate rows of a lat band so the
+                # dynamic overwrite writes one file per partition dir
+                merged.repartition("tile_lat")
+                .write.mode("overwrite")
+                .partitionBy("tile_lat")
+                .parquet(rollup_dir)
+            )
+        finally:
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    return (
+        pts.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -503,3 +503,55 @@ def test_compact_tiles_merges_fragments(spark, tif_dir, tmp_path):
     # idempotent: second run is a no-op
     stats2 = compact_tiles(spark, out)
     assert stats2["compacted_tiles"] == 0
+
+
+# ------------------------------------------------- continuous tile rollup
+
+
+def test_stream_tile_rollup_incremental(spark, tmp_path):
+    """The continuous per-tile aggregate equals a batch recompute after
+    each incremental arrival, and later batches only touch the new
+    tiles' partitions."""
+    from pyspark.sql import functions as F
+
+    from aw3d30_parquet_spark.sources.sink import (
+        stream_tile_rollup,
+        tile_rollup_read,
+    )
+
+    tif = tmp_path / "tiles"
+    tif.mkdir()
+    _write_fixture_tiles(str(tif), [(51, 4)])
+    roll = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_tile_rollup(spark, str(tif), roll, ckpt, "netherlands")
+    q.awaitTermination()
+    got1 = {
+        (r.tile_lat, r.tile_lon): (r.n_points, r.sum_elev, r.min_elev, r.max_elev)
+        for r in spark.read.parquet(roll).collect()
+    }
+    band = _fixture_band()
+    want_tile = (
+        SIZE * SIZE,
+        int(band.sum()),
+        int(band.min()),
+        int(band.max()),
+    )
+    assert got1 == {(51, 4): want_tile}
+
+    # the second tile arrives; rollup gains one row, first row unchanged
+    _write_fixture_tiles(str(tif), [(52, 5)])
+    q = stream_tile_rollup(spark, str(tif), roll, ckpt, "netherlands")
+    q.awaitTermination()
+    got2 = {
+        (r.tile_lat, r.tile_lon): (r.n_points, r.sum_elev, r.min_elev, r.max_elev)
+        for r in spark.read.parquet(roll).collect()
+    }
+    assert got2 == {(51, 4): want_tile, (52, 5): want_tile}
+    # derived mean on the read view
+    means = {
+        (r.tile_lat, r.tile_lon): r.mean_elev
+        for r in tile_rollup_read(spark, roll).collect()
+    }
+    assert abs(means[(51, 4)] - band.mean()) < 1e-9
