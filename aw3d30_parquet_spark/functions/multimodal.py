@@ -128,14 +128,29 @@ def _fabricate_payload(doc_id: int) -> bytes:
     return head + (((s + np.arange(n)) % 256).astype(np.uint8)).tobytes()
 
 
-def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → media table (media_id, kind, payload binary)."""
+#: media kind by id (media_params' doc_id % 3 arm) — lets callers prune
+#: the work list BEFORE fabrication/decode (a filter above mapInPandas
+#: cannot be pushed through the Python stage by Catalyst).
+_KIND_MOD = {"image": 0, "audio": 1, "video": 2}
+
+
+def media_table(
+    spark: SparkSession, sf_dir: str, kind: str | None = None
+) -> DataFrame:
+    """documents → media table (media_id, kind, payload binary).
+
+    ``kind`` prunes the id list before any payload is fabricated or
+    decoded — the analogue of partition pruning for the media corpus
+    (real pipelines store kind as a partition column for exactly this
+    reason)."""
     register_views(spark, sf_dir)
     from aw3d30_parquet_spark.session import spread
 
     # fabrication + downstream decode are compute-bound Python kernels:
     # fan the single-split scan out to all cores (no-op at real scale)
     ids = spread(spark.table("documents").select(F.col("doc_id").alias("media_id")))
+    if kind is not None:
+        ids = ids.filter(F.pmod("media_id", F.lit(3)) == _KIND_MOD[kind])
 
     def fabricate(batches: Iterable) -> Iterator:
         import pandas as pd
@@ -364,5 +379,90 @@ SELECT kind, count(*) AS cnt,
 FROM sized GROUP BY kind ORDER BY kind
 """
 
-QUERIES = {"m01_media_metadata": m01_media_metadata}
-ORACLE_SQL = {"m01_media_metadata": _M01_ORACLE}
+def m02_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fabricate → nearest-neighbor resize to 8×8 → decode → aggregate.
+
+    Drives the full resize path (decode, index-map resample, re-encode,
+    re-decode) and pins its CONTENT: ``intensity`` is the mean pixel of
+    the resized image — every picked pixel is ``(seed + flat_idx) % 256``
+    so the oracle recomputes the identical sum arithmetically. The
+    per-row intensity is an exact binary rational (denominator 64·c, a
+    power of two), so the float sum is merge-order-exact."""
+    feats = extract_features(
+        resize_images(media_table(spark, sf_dir, kind="image"), 8, 8)
+    )
+    return (
+        feats.groupBy("channels")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("payload_bytes").alias("total_bytes"),
+            F.round(F.sum("intensity"), 2).alias("sum_intensity"),
+        )
+        .orderBy("channels")
+    )
+
+
+#: resized pixel (y',x',ch) picks source flat index
+#: (y'·h//8)·w·c + (x'·w//8)·c + ch; value = (seed + idx) % 256.
+_M02_ORACLE = """
+WITH params AS (
+  SELECT doc_id, doc_id % 256 AS seed,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         16 + (doc_id % 8) * 4 AS w,
+         12 + (doc_id % 5) * 4 AS h,
+         1 + (doc_id % 2)      AS c
+  FROM documents
+), imgs AS (
+  SELECT * FROM params WHERE kind = 'image'
+), pix AS (
+  SELECT i.doc_id, i.c,
+         (i.seed + ((y.y * i.h) // 8) * i.w * i.c
+                 + ((x.x * i.w) // 8) * i.c + ch.ch) % 256 AS v
+  FROM imgs i, range(8) y(y), range(8) x(x), range(2) ch(ch)
+  WHERE ch.ch < i.c
+), per_doc AS (
+  SELECT doc_id, c, sum(v) AS sum_v FROM pix GROUP BY doc_id, c
+)
+SELECT CAST(c AS INTEGER) AS channels, count(*) AS cnt,
+       CAST(count(*) * (16 + 64 * c) AS BIGINT) AS total_bytes,
+       round(sum(CAST(sum_v AS DOUBLE) / (64.0 * c)), 2) AS sum_intensity
+FROM per_doc GROUP BY c ORDER BY channels
+"""
+
+
+def m03_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fabricate → sample every 2nd video frame (UDTF: 1 row →
+    ceil(n_frames/2) rows) → aggregate row counts and frame bytes —
+    pins the generator's fan-out and per-frame sizing."""
+    frames = sample_frames(media_table(spark, sf_dir, kind="video"), every_k=2)
+    return frames.agg(
+        F.count("*").alias("n_frames"),
+        F.countDistinct("media_id").alias("n_videos"),
+        F.sum(F.octet_length("frame")).alias("total_bytes"),
+    )
+
+
+_M03_ORACLE = """
+WITH params AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         16 + (doc_id % 4) * 8 AS vid_w,
+         4 + doc_id % 6        AS vid_f
+  FROM documents
+)
+SELECT CAST(sum((vid_f + 1) // 2) AS BIGINT) AS n_frames,
+       count(*) AS n_videos,
+       CAST(sum(((vid_f + 1) // 2) * vid_w * 16) AS BIGINT) AS total_bytes
+FROM params WHERE kind = 'video'
+"""
+
+QUERIES = {
+    "m01_media_metadata": m01_media_metadata,
+    "m02_image_resize_stats": m02_image_resize_stats,
+    "m03_frame_sample_stats": m03_frame_sample_stats,
+}
+ORACLE_SQL = {
+    "m01_media_metadata": _M01_ORACLE,
+    "m02_image_resize_stats": _M02_ORACLE,
+    "m03_frame_sample_stats": _M03_ORACLE,
+}
