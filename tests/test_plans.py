@@ -192,3 +192,23 @@ def test_media_decode_has_no_rowwise_python(spark):
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan
     assert plan.lower().count("mapinpandas") >= 2
+
+
+def test_sink_partition_pruning(spark, tmp_path):
+    """The partitioned point tree delivers partition pruning: a tile
+    predicate over the ingested output appears as PartitionFilters on
+    the scan and prunes to one directory — the property that replaces
+    the reference's filename-encoded partitioning at scale."""
+    from aw3d30_parquet_spark.sources.sink import write_tiles
+
+    tif_dir = ensure_demo_tiles(str(tmp_path / "tiles"))
+    out = str(tmp_path / "pts")
+    write_tiles(read_tiles(spark, tif_dir, "netherlands"), out)
+    df = spark.read.parquet(out).filter(
+        "tile_lat = 51 AND tile_lon = 4 AND elevation > 100"
+    )
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan
+    assert "tile_lat" in plan.split("PartitionFilters")[1].splitlines()[0]
+    # the data predicate still pushes into parquet
+    assert "GreaterThan(elevation,100)" in plan
