@@ -169,7 +169,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     Python recomputation in pytest, rows-only for the driver.
     """
     docs = _docs(spark, sf_dir)
-    n_docs = docs.count()  # scalar, metadata-scale (one count job)
+    # corpus size as a broadcast 1-row relation, not a driver .count()
+    # scalar — keeps the whole query one lazy plan (no extra job, no
+    # driver materialization in a package path)
+    n_docs_rel = docs.agg(F.count("*").alias("n_docs"))
     terms = docs.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
     )
@@ -178,9 +181,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     # distinct there, so this is a plain count, not a countDistinct
     # over a second scan+explode of the corpus.
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
-    scored = tf.join(F.broadcast(df_), "term").withColumn(
-        "score", F.col("tf") * idf
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs_rel))
+        .withColumn("score", F.col("tf") * idf)
     )
     from pyspark.sql.window import Window
 

@@ -555,3 +555,26 @@ def test_stream_tile_rollup_incremental(spark, tmp_path):
         for r in tile_rollup_read(spark, roll).collect()
     }
     assert abs(means[(51, 4)] - band.mean()) < 1e-9
+
+
+@settings(deadline=None, max_examples=25)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    predictor=st.sampled_from([1, 2]),
+    rps=st.integers(1, 41),
+)
+def test_deflate_roundtrip_property(h, w, seed, predictor, rps):
+    """Any int32 raster × any strip height × either predictor survives
+    the DEFLATE encode/decode round trip bit-exactly (wraparound deltas
+    included — full-range values stress the modular arithmetic)."""
+    rng = np.random.default_rng(seed)
+    band = rng.integers(-(2**31), 2**31 - 1, size=(h, w), dtype=np.int32)
+    gt = _gt(10, 10)
+    data = encode_geotiff(
+        band, gt, compression="deflate", predictor=predictor, rows_per_strip=rps
+    )
+    got_band, got_gt = decode_geotiff(data)
+    np.testing.assert_array_equal(band, got_band)
+    assert np.allclose(got_gt, gt)
