@@ -65,6 +65,22 @@ def _cmd_ingest(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_optimize(args: argparse.Namespace) -> int:
+    from aw3d30_parquet_spark.session import get_spark
+    from aw3d30_parquet_spark.sources.sink import compact_tiles
+
+    spark = get_spark(app_name="aw3d30-optimize")
+    stats = compact_tiles(
+        spark, args.parquet_dir, target_rows_per_file=args.target_rows
+    )
+    print(
+        f"compacted {stats['compacted_tiles']} tiles: "
+        f"{stats['files_before']} -> {stats['files_after']} files",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def _cmd_query(args: argparse.Namespace) -> int:
     from aw3d30_parquet_spark.session import get_spark
 
@@ -111,6 +127,13 @@ def main(argv: list[str] | None = None) -> int:
     p_ing.add_argument("--demo-tiles", type=int, default=4)
     p_ing.add_argument("--on-corrupt", default="fail", choices=["fail", "skip"])
     p_ing.set_defaults(fn=_cmd_ingest)
+
+    p_opt = sub.add_parser(
+        "optimize", help="compact fragmented tile partitions (small files)"
+    )
+    p_opt.add_argument("--parquet-dir", default="/tmp/aw3d30/parquet")
+    p_opt.add_argument("--target-rows", type=int, default=13_000_000)
+    p_opt.set_defaults(fn=_cmd_optimize)
 
     p_q = sub.add_parser("query", help="run a registered query by name")
     p_q.add_argument("--name", required=True)

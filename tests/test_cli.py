@@ -41,3 +41,22 @@ def test_cli_ingest_demo_writes_partition_tree(spark, tmp_path):
 
 def test_cli_query_unknown_name_errors(spark):
     assert main(["query", "--name", "nope", "--repo-root", "/root/repo"]) == 2
+
+
+def test_cli_optimize_compacts(spark, tmp_path):
+    from aw3d30_parquet_spark.sources.sink import write_tiles
+    from tests.test_geotiff import FIXTURE_COORDS, _write_fixture_tiles
+    from aw3d30_parquet_spark.sources.geotiff import read_tiles
+
+    import glob
+
+    tif = tmp_path / "tif"
+    tif.mkdir()
+    _write_fixture_tiles(str(tif), [(51, 4)])
+    out = str(tmp_path / "pts")
+    pts = read_tiles(spark, str(tif), "netherlands")
+    for i in range(2):
+        write_tiles(pts.filter(f"pmod(elevation, 2) = {i}"), out)
+    assert len(glob.glob(f"{out}/*/*/*.parquet")) >= 2
+    assert main(["optimize", "--parquet-dir", out]) == 0
+    assert len(glob.glob(f"{out}/*/*/*.parquet")) == 1
