@@ -349,6 +349,59 @@ def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURRICULUM_PHASES = 4
+
+
+def curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p09: curriculum assignment — rank the corpus by a quality proxy
+    (stopword basis points, exact integer) and split the GLOBAL rank
+    into K equal phases (clean/natural text first), the standard
+    curriculum-learning data ordering.
+
+    The global rank uses the factored distributed-rank operator
+    (:mod:`aw3d30_parquet_spark.operators.ranking` — range-partitioned
+    sort + per-partition row_number + broadcast offsets), NOT an
+    ``ntile() OVER (ORDER BY ...)`` single-partition window: ranking
+    100 TB of documents is exactly where that plan shape dies. doc_id
+    tiebreak ⇒ deterministic total order; the oracle reproduces the
+    split with SQL ntile (single-node DuckDB can afford the global
+    window; the engine cannot assume it)."""
+    from aw3d30_parquet_spark.functions.text import STOPWORDS
+    from aw3d30_parquet_spark.operators.ranking import (
+        ntile_expr,
+        with_global_rank,
+    )
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    scored = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(
+            F.filter(toks, lambda t: t.isin(*STOPWORDS))
+        ).alias("stop_cnt"),
+    )
+    scored = scored.withColumn(
+        "score_bp", F.expr("stop_cnt * 10000 DIV n_tok")
+    )
+    ranked = with_global_rank(
+        scored, [F.col("score_bp").desc(), F.col("doc_id")]
+    )
+    phase = ntile_expr("_r", "_n", CURRICULUM_PHASES)
+    return (
+        ranked.select(
+            phase.cast("int").alias("phase"), "n_tok", "score_bp"
+        )
+        .groupBy("phase")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("phase_tokens"),
+            F.min("score_bp").alias("min_bp"),
+            F.max("score_bp").alias("max_bp"),
+        )
+        .orderBy("phase")
+    )
+
+
 QUERIES = {
     "p01_hash_split": hash_split_assign,
     "p02_pack_token_bins": pack_token_bins,
@@ -358,6 +411,7 @@ QUERIES = {
     "p06_quality_funnel": quality_funnel,
     "p07_repetition_filter": repetition_filter,
     "p08_shard_assign": shard_assign,
+    "p09_curriculum_bins": curriculum_bins,
 }
 
 ORACLE_SQL = {
@@ -485,6 +539,28 @@ SELECT lang, count(*) AS n_docs,
        CAST(floor(sum(n_distinct) * 10000.0 / sum(n_words)) AS BIGINT)
          AS distinct_bp
 FROM per_doc GROUP BY lang ORDER BY lang
+""",
+    # p09: DuckDB affords the global ntile window single-node; the
+    # engine derives the identical split with distributed rank
+    "p09_curriculum_bins": """
+WITH scored AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+             t -> t IN ('the','and','of','to','in','is','that','for')))
+           AS stop_cnt
+  FROM documents
+), ranked AS (
+  SELECT n_tok, (stop_cnt * 10000) // n_tok AS score_bp,
+         ntile(4) OVER (ORDER BY (stop_cnt * 10000) // n_tok DESC, doc_id)
+           AS phase
+  FROM scored
+)
+SELECT phase, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS phase_tokens,
+       CAST(min(score_bp) AS BIGINT) AS min_bp,
+       CAST(max(score_bp) AS BIGINT) AS max_bp
+FROM ranked GROUP BY phase ORDER BY phase
 """,
     # hex-prefix → int: Spark conv(_,16,10), DuckDB '0x' cast — same
     # 16-bit value, same mod

@@ -617,55 +617,22 @@ def q38_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     compiles to (that form funnels the whole fact table through one
     task; it is the only plan shape that cannot survive 100 TB).
 
-    Scale-safe derivation with identical output:
-    1. range-partition + sort by (o_totalprice, o_orderkey) — a
-       distributed sort, the same machinery as orderBy;
-    2. row_number per range partition (window keyed by partition id —
-       parallel across partitions);
-    3. broadcast the per-partition row counts (one tiny row per
-       partition) and add the exclusive prefix offset → exact global
-       rank r of every row;
-    4. ntile's bucket is a closed form of (r, N): the first N%k buckets
-       take ceil(N/k) rows, the rest floor(N/k) — positional split, so
-       ties at a value boundary land exactly as ntile places them.
-    The only single-partition window left runs over the ≤#partitions
-    count rows. The o_orderkey tiebreak keeps the total order (and thus
-    the bucketing) deterministic across engines.
+    Uses the factored distributed-rank operator
+    (:mod:`aw3d30_parquet_spark.operators.ranking`): range-partitioned
+    sort → per-partition row_number → broadcast prefix offsets → exact
+    global rank, then ntile's positional split as a closed-form integer
+    expression. Identical output to the SQL form; the o_orderkey
+    tiebreak keeps the total order deterministic across engines. See
+    the ranking module docstring for why the two-branch recompute is
+    sound (fixed-seed range sampling)."""
+    from aw3d30_parquet_spark.operators.ranking import (
+        ntile_expr,
+        with_global_rank,
+    )
 
-    Note: the counts branch re-executes the (column-pruned) scan +
-    range exchange rather than caching the fact table — correct because
-    Spark's RangePartitioner samples with a fixed seed over a
-    deterministic scan, so both executions produce identical partition
-    boundaries; pinned by the partitioning-variance test in
-    tests/test_float_stability.py."""
     orders = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
-    part = orders.repartitionByRange(
-        32, "o_totalprice", "o_orderkey"
-    ).withColumn("_pid", F.spark_partition_id())
-    w_local = Window.partitionBy("_pid").orderBy("o_totalprice", "o_orderkey")
-    local = part.withColumn("_rn", F.row_number().over(w_local))
-    counts = local.groupBy("_pid").agg(F.count("*").alias("_c"))
-    w_prev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    offs = counts.select(
-        "_pid",
-        F.coalesce(F.sum("_c").over(w_prev), F.lit(0)).alias("_off"),
-        F.sum("_c").over(w_all).alias("_n"),
-    )
-    # integer DIV end-to-end — no double quotient to mis-floor at any N
-    bucket = F.expr(
-        """CASE WHEN _r <= (_n % 4) * (_n DIV 4 + 1)
-                THEN (_r - 1) DIV (_n DIV 4 + 1)
-                ELSE (_n % 4) + (_r - (_n % 4) * (_n DIV 4 + 1) - 1)
-                     DIV (_n DIV 4)
-           END + 1"""
-    )
-    ranked = (
-        local.join(F.broadcast(offs), "_pid")
-        .withColumn("_r", F.col("_rn") + F.col("_off"))
-        .select("o_totalprice", bucket.cast("int").alias("bucket"))
+    ranked = with_global_rank(orders, ["o_totalprice", "o_orderkey"]).select(
+        "o_totalprice", ntile_expr("_r", "_n", 4).cast("int").alias("bucket")
     )
     return (
         ranked.groupBy("bucket")
