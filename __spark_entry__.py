@@ -33,15 +33,24 @@ def entry(spark: SparkSession) -> DataFrame:
     return q06_star_join(spark, SMOKE_SF_DIR)
 
 
-def _round1_checked(name: str) -> bool:
-    """Queries the driver already hash-verified in round 1 (its capture
-    covered only the first 50 registration-order entries: q01–q48 plus
-    the two a-sketches)."""
-    if name.startswith("a0"):
-        return True
-    if name.startswith("q") and name[1:3].isdigit():
-        return int(name[1:3]) <= 48
-    return False
+def _driver_checked() -> set[str]:
+    """Names with a row in ANY prior round's CORRECTNESS_r*.json — the
+    driver's per-round capture is bounded (~50 entries in registration
+    order), so queries it has already recorded rotate to the back and
+    the never-checked ones come first. Reading the accumulated result
+    files makes the rotation automatic every round."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                seen.update(json.load(fh).keys())
+        except Exception:
+            continue
+    return seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -50,7 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Registration order is the driver's check order, and its per-round
     capture is bounded — so the queries with no CORRECTNESS row yet come
     FIRST, round-robin interleaved by family (d/g/m/p/s/t/u/v + q49+) so
-    any prefix of the dict samples every family; round-1-verified entries
+    any prefix of the dict samples every family; already-recorded entries
     follow in their original order.
     """
     from aw3d30_parquet_spark.operators.relational import RELATIONAL_QUERIES
@@ -70,7 +79,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     combined.update(streaming_events.QUERIES)
 
-    fresh = [n for n in combined if not _round1_checked(n)]
+    checked = _driver_checked()
+    fresh = [n for n in combined if n not in checked]
     by_family: dict[str, list[str]] = {}
     for n in sorted(fresh):
         by_family.setdefault(n[0], []).append(n)
@@ -82,7 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if lane:
             interleaved.append(lane.pop(0))
         i += 1
-    ordered = interleaved + [n for n in combined if _round1_checked(n)]
+    ordered = interleaved + [n for n in combined if n in checked]
     return {n: combined[n] for n in ordered}
 
 
