@@ -1,10 +1,12 @@
 """Result canonicalization + DuckDB oracle harness (t2 gate, SURVEY §5.2).
 
-Canonicalization rules (SURVEY §2.3): floats ``%.2f`` (queries round
-first), naive datetimes ISO-8601 with microseconds, dates ``%Y-%m-%d``,
-null ``\\N``; columns sorted by name; rows sorted; SHA-256 over
-``|``-joined cells. Matches the driver's order-insensitive value-hash
-contract.
+Canonicalization rules (SURVEY §2.3): floats at FULL precision via
+``repr`` (STRICT — int/float dtype skew and ulp drift must fail here,
+not only in the driver; queries are responsible for producing
+bit-identical values on both engines), naive datetimes ISO-8601 with
+microseconds, dates midnight-datetimes, null ``\\N``; columns sorted by
+name; rows sorted; SHA-256 over ``|``-joined cells. Matches the
+driver's order-insensitive value-hash contract.
 """
 
 from __future__ import annotations
