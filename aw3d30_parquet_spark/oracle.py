@@ -15,8 +15,6 @@ import datetime as _dt
 import hashlib
 import math
 import os
-from typing import Iterable
-
 import pandas as pd
 
 
