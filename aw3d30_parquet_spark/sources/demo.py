@@ -150,10 +150,40 @@ _G03_ROWS = ",\n".join(
     for la, lo in DEMO_COORDS
 )
 
+def g04_overview_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overview-pyramid level (the raster downsample every GIS stack
+    materializes): aggregate the point table into 8×8-pixel blocks per
+    tile — count/sum/min/max elevation per block — expressed as a pure
+    relational groupBy over the decoded points, so it partition-prunes
+    on tile and pushes down like any other query (no raster-library
+    resample kernel needed for reduction overviews).
+
+    Block keys derive from lat/lon via the affine inverse; the fixture
+    pixel size 1/64° is a power of two, so the arithmetic is exact and
+    the oracle recomputes the identical blocks from the ramp formula."""
+    ensure_demo_tiles()
+    pts = read_tiles(spark, _DEMO_DIR, "netherlands")
+    by = F.floor((F.col("tile_lat") + 1 - F.col("lat")) * 8).cast("int")
+    bx = F.floor((F.col("lon") - F.col("tile_lon")) * 8).cast("int")
+    return (
+        pts.groupBy(
+            "tile_lat", "tile_lon", by.alias("by"), bx.alias("bx")
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("elevation").alias("sum_elev"),
+            F.min("elevation").alias("min_elev"),
+            F.max("elevation").alias("max_elev"),
+        )
+        .orderBy("tile_lat", "tile_lon", "by", "bx")
+    )
+
+
 QUERIES = {
     "g01_geotiff_ingest": g01_geotiff_ingest,
     "g02_spatial_box": g02_spatial_box,
     "g03_slope_stats": g03_slope_stats,
+    "g04_overview_downsample": g04_overview_downsample,
 }
 ORACLE_SQL = {
     "g01_geotiff_ingest": f"""
@@ -172,5 +202,23 @@ SELECT * FROM (VALUES
 {_G03_ROWS}
 ) AS t(tile_lat, tile_lon, points, sum_dzdx, sum_dzdy, max_dzdx, max_dzdy)
 ORDER BY tile_lat, tile_lon
+""",
+    # g04: recompute the ramp grid (v = 1000·y + x) and its 8×8 blocks
+    "g04_overview_downsample": f"""
+WITH tiles AS (
+  SELECT * FROM (VALUES {", ".join(f"({la}, {lo})" for la, lo in DEMO_COORDS)})
+    AS t(tile_lat, tile_lon)
+), grid AS (
+  SELECT tile_lat, tile_lon,
+         CAST(y.y // 8 AS INTEGER) AS by, CAST(x.x // 8 AS INTEGER) AS bx,
+         1000 * y.y + x.x AS v
+  FROM tiles, range({DEMO_SIZE}) y(y), range({DEMO_SIZE}) x(x)
+)
+SELECT tile_lat, tile_lon, by, bx, count(*) AS cnt,
+       CAST(sum(v) AS BIGINT) AS sum_elev,
+       CAST(min(v) AS INTEGER) AS min_elev,
+       CAST(max(v) AS INTEGER) AS max_elev
+FROM grid GROUP BY tile_lat, tile_lon, by, bx
+ORDER BY tile_lat, tile_lon, by, bx
 """,
 }

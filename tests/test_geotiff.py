@@ -578,3 +578,12 @@ def test_deflate_roundtrip_property(h, w, seed, predictor, rps):
     got_band, got_gt = decode_geotiff(data)
     np.testing.assert_array_equal(band, got_band)
     assert np.allclose(got_gt, gt)
+
+
+def test_g04_overview_oracle(spark, duck_t2):
+    from aw3d30_parquet_spark.oracle import compare
+    from aw3d30_parquet_spark.sources import demo
+
+    df = demo.g04_overview_downsample(spark, "/root/testdata/sf0.01")
+    ok, h1, h2 = compare(df, duck_t2, demo.ORACLE_SQL["g04_overview_downsample"])
+    assert ok, (h1, h2)
