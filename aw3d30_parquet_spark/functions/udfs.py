@@ -136,6 +136,7 @@ def scalar_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "u01_grouped_agg_median": u01_grouped_agg_median,
     "u02_label_centroids": u02_label_centroids,
+    "u03_scalar_cosine": scalar_cosine_scores,
 }
 
 ORACLE_SQL = {
@@ -167,5 +168,19 @@ FROM (SELECT label, sqrt(sum(c * c)) AS cn FROM cent GROUP BY label) c
 JOIN (SELECT label, count(*) AS n FROM embeddings GROUP BY label) n USING (label)
 JOIN (SELECT label, avg(dist) AS md FROM dist GROUP BY label) r USING (label)
 ORDER BY c.label
+""",
+    # u03: same cosine in DuckDB list arithmetic (float64 lists; the
+    # u02 note on numpy-vs-sequential summation ulps applies — round(4))
+    "u03_scalar_cosine": """
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE vec_id = 0
+)
+SELECT e.vec_id,
+       round(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qe)
+             / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                      list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos
+FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY e.vec_id
 """,
 }
