@@ -445,3 +445,107 @@ ORDER BY id_a, id_b
 # d07 computes the same relation as d04 by a different algorithm
 # (prefix filtering) — same oracle, plus a direct d04≡d07 pytest pin.
 ORACLE_SQL["d07_ngram_jaccard_prefix"] = ORACLE_SQL["d04_ngram_jaccard_pairs"]
+
+
+def neardup_components(
+    spark: SparkSession, sf_dir: str, max_iters: int = 20
+) -> DataFrame:
+    """d08: near-dup pair graph → connected components (dedup clusters).
+
+    Pairs alone don't dedup a corpus — transitive chains (A≈B≈C with
+    A,C below threshold) must collapse to ONE keeper, so the final step
+    of every near-dedup pipeline is connected components over the pair
+    graph. Computed by iterative min-label propagation (each node takes
+    the smallest doc_id reachable so far; the classic Spark pattern for
+    components): per iteration one join + one aggregate over the PAIR
+    GRAPH only — nodes ≈ 2·|pairs| ≪ corpus — and the iteration count
+    is bounded by the component diameter (near-dup clusters are
+    clique-ish, so 1–3 in practice; ``max_iters`` is a backstop).
+    The driver-side convergence check is one count() per iteration over
+    that tiny graph — the same justified driver loop any iterative
+    algorithm (k-means, PageRank) runs.
+
+    Output: one row per multi-doc cluster — canonical keeper (min id),
+    cluster size, members as a sorted id string (deterministic).
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    ).persist()
+    labels = (
+        edges.select(F.col("id_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.id_b == labels.node)
+            .groupBy("id_a")
+            .agg(F.min("label").alias("neigh_min"))
+        )
+        updated = (
+            labels.join(neigh, labels.node == neigh.id_a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("neigh_min", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), F.col("u.node") == F.col("l.node"))
+            .filter(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    out = (
+        labels.groupBy("label")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.concat_ws(",", F.array_sort(F.collect_list("node"))).alias(
+                "members"
+            ),
+        )
+        .select(
+            F.col("label").alias("keeper"), "cluster_size", "members"
+        )
+        .orderBy("keeper")
+    )
+    edges.unpersist()
+    return out
+
+
+QUERIES["d08_neardup_components"] = neardup_components
+
+# d08 oracle: the same components via a recursive CTE — DuckDB computes
+# the transitive closure of the (bidirectional) pair graph and takes the
+# min reachable id per node; tiny graph (nodes ≈ 2·|pairs|), so the
+# closure is affordable single-node.
+ORACLE_SQL["d08_neardup_components"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({ORACLE_SQL["d04_ngram_jaccard_pairs"]}) dp
+), edges AS (
+  SELECT id_a, id_b FROM pairs
+  UNION ALL
+  SELECT id_b AS id_a, id_a AS id_b FROM pairs
+), nodes AS (
+  SELECT DISTINCT id_a AS node FROM edges
+), reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.id_a, r.lbl FROM edges e JOIN reach r ON e.id_b = r.node
+), best AS (
+  SELECT node, min(lbl) AS label FROM reach GROUP BY node
+)
+SELECT label AS keeper, count(*) AS cluster_size,
+       array_to_string(list_sort(list(node)), ',') AS members
+FROM best GROUP BY label ORDER BY keeper
+"""
