@@ -86,6 +86,10 @@ def main() -> None:
         "metric": "declared_suite_total_sec",
         "value": total,
         "unit": "sec",
+        # the registered suite grows round over round — carry the
+        # denominator so totals stay comparable across rounds
+        "n_queries": len(per_query),
+        "mean_sec": round(total / max(1, len(per_query)), 4),
         "queries": {k: round(v, 3) for k, v in per_query.items()},
         "sf": sf,
         "ingest": _bench_ingest(spark),
