@@ -179,11 +179,56 @@ def g04_overview_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Standard hillshade illumination parameters (GDAL defaults) and the
+#: vertical-exaggeration factor (z units per pixel step → slope scale;
+#: 0.001 keeps the ramp's 1000/px cliff inside the informative range).
+_HS_AZIMUTH_DEG = 315.0
+_HS_ALTITUDE_DEG = 45.0
+_HS_Z_FACTOR = 0.001
+
+
+def g05_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hillshade (the classic DEM visualization product) over the
+    gradient layer, entirely JVM-side trig — slope/aspect from
+    (dz/dx, dz/dy), Lambertian illumination at the GDAL-default
+    315°/45° sun. On the linear-ramp fixture the gradient (and hence
+    the shade) is one constant per cell, so per-tile aggregates are
+    closed-form; the oracle recomputes the same formula from the known
+    gradient (libm-ulp differences absorbed by round(4))."""
+    from aw3d30_parquet_spark.sources.geotiff import read_tile_gradients
+
+    ensure_demo_tiles()
+    g = read_tile_gradients(spark, _DEMO_DIR, "netherlands")
+    zen = F.radians(F.lit(90.0 - _HS_ALTITUDE_DEG))
+    az = F.radians(F.lit(_HS_AZIMUTH_DEG))
+    slope = F.atan(
+        F.lit(_HS_Z_FACTOR)
+        * F.sqrt(F.col("dzdx") * F.col("dzdx") + F.col("dzdy") * F.col("dzdy"))
+    )
+    aspect = F.atan2(F.col("dzdy"), -F.col("dzdx"))
+    shade = F.lit(255.0) * (
+        F.cos(zen) * F.cos(slope)
+        + F.sin(zen) * F.sin(slope) * F.cos(az - aspect)
+    )
+    shade = F.greatest(shade, F.lit(0.0))
+    return (
+        g.groupBy("tile_lat", "tile_lon")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.avg(shade), 4).alias("mean_shade"),
+            F.round(F.min(shade), 4).alias("min_shade"),
+            F.round(F.max(shade), 4).alias("max_shade"),
+        )
+        .orderBy("tile_lat", "tile_lon")
+    )
+
+
 QUERIES = {
     "g01_geotiff_ingest": g01_geotiff_ingest,
     "g02_spatial_box": g02_spatial_box,
     "g03_slope_stats": g03_slope_stats,
     "g04_overview_downsample": g04_overview_downsample,
+    "g05_hillshade": g05_hillshade,
 }
 ORACLE_SQL = {
     "g01_geotiff_ingest": f"""
@@ -220,5 +265,25 @@ SELECT tile_lat, tile_lon, by, bx, count(*) AS cnt,
        CAST(max(v) AS INTEGER) AS max_elev
 FROM grid GROUP BY tile_lat, tile_lon, by, bx
 ORDER BY tile_lat, tile_lon, by, bx
+""",
+    # g05: constant gradient (1, 1000) on the ramp ⇒ one shade value;
+    # same Lambertian formula, libm ulps absorbed by round(4)
+    "g05_hillshade": f"""
+WITH hs AS (
+  SELECT greatest(0.0,
+           255.0 * (cos(radians(45.0))
+                      * cos(atan(0.001 * sqrt(1.0*1.0 + 1000.0*1000.0)))
+                    + sin(radians(45.0))
+                      * sin(atan(0.001 * sqrt(1.0*1.0 + 1000.0*1000.0)))
+                      * cos(radians(315.0) - atan2(1000.0, -1.0)))) AS v
+)
+SELECT * FROM (
+  SELECT t.tile_lat, t.tile_lon,
+         CAST({DEMO_SIZE * DEMO_SIZE} AS BIGINT) AS cnt,
+         round(v, 4) AS mean_shade, round(v, 4) AS min_shade,
+         round(v, 4) AS max_shade
+  FROM (VALUES {", ".join(f"({la}, {lo})" for la, lo in DEMO_COORDS)})
+    AS t(tile_lat, tile_lon), hs
+) ORDER BY tile_lat, tile_lon
 """,
 }

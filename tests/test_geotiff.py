@@ -587,3 +587,15 @@ def test_g04_overview_oracle(spark, duck_t2):
     df = demo.g04_overview_downsample(spark, "/root/testdata/sf0.01")
     ok, h1, h2 = compare(df, duck_t2, demo.ORACLE_SQL["g04_overview_downsample"])
     assert ok, (h1, h2)
+
+
+def test_g05_hillshade_oracle(spark, duck_t2):
+    from aw3d30_parquet_spark.oracle import compare
+    from aw3d30_parquet_spark.sources import demo
+
+    df = demo.g05_hillshade(spark, "/root/testdata/sf0.01")
+    # non-degenerate: the z-scaled ramp shade sits strictly inside (0, 255)
+    row = df.collect()[0]
+    assert 0.0 < row.mean_shade < 255.0
+    ok, h1, h2 = compare(df, duck_t2, demo.ORACLE_SQL["g05_hillshade"])
+    assert ok, (h1, h2)
