@@ -105,8 +105,10 @@ def main() -> None:
     line = json.dumps(result, separators=(",", ":"))
     if len(line) > 3000:
         # Shrink below the capture window: every query name's 3-char
-        # family code (q01, d04, v05, ...) is unique by construction.
+        # family code (q01, d04, v05, ...) is unique by construction;
+        # full names + timings live in bench_results.json.
         result["queries"] = {k[:3]: v for k, v in result["queries"].items()}
+        result["key_style"] = "3-char family codes (full names in bench_results.json)"
         line = json.dumps(result, separators=(",", ":"))
     sys.stdout.flush()
     print(line, flush=True)
