@@ -693,7 +693,10 @@ def a01_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        # rsd 0.02 → ~2^15 registers per sketch (vs ~2^18 at 0.01):
+        # 4× smaller partials to update and merge for an error budget
+        # still well inside the ±5% tolerance the T5 test pins
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
         .orderBy("event_type")
     )
 
