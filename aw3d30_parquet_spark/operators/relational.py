@@ -1218,6 +1218,51 @@ def q64_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q65_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → later click → later
+    purchase) — the sequence-match query behind every product-analytics
+    funnel. One window pass per user (the q28 as-of carry pattern,
+    chained): carry the earliest signup time forward, mark clicks after
+    it, carry the earliest such click, mark purchases after that; then
+    one aggregate counts users surviving each stage. At 100 TB this is
+    a single shuffle by user_id + codegen conditionals — no self-joins,
+    no per-stage scans."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    signup_ts = F.when(F.col("event_type") == "signup", F.col("ts"))
+    carried_signup = F.min(signup_ts).over(w)
+    staged = ev.withColumn("t_signup", carried_signup)
+    click_after = F.when(
+        (F.col("event_type") == "click")
+        & F.col("t_signup").isNotNull()
+        & (F.col("ts") > F.col("t_signup")),
+        F.col("ts"),
+    )
+    staged = staged.withColumn("t_click", F.min(click_after).over(w))
+    purchase_ok = (
+        (F.col("event_type") == "purchase")
+        & F.col("t_click").isNotNull()
+        & (F.col("ts") > F.col("t_click"))
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.col("t_signup").isNotNull().cast("int")).alias("s1"),
+        F.max(F.col("t_click").isNotNull().cast("int")).alias("s2"),
+        F.max(purchase_ok.cast("int")).alias("s3"),
+    )
+    return per_user.agg(
+        F.count("*").alias("users"),
+        F.sum("s1").alias("signed_up"),
+        F.sum("s2").alias("clicked_after"),
+        F.sum("s3").alias("purchased_after"),
+    )
+
+
 RELATIONAL_QUERIES = {
     "q01_scan_project": q01_scan_project,
     "a01_approx_count_distinct": a01_approx_count_distinct,
@@ -1285,4 +1330,5 @@ RELATIONAL_QUERIES = {
     "q62_bool_agg_cume_dist": q62_bool_agg_cume_dist,
     "q63_try_arithmetic": q63_try_arithmetic,
     "q64_width_bucket_histogram": q64_width_bucket_histogram,
+    "q65_event_funnel": q65_event_funnel,
 }

@@ -553,4 +553,36 @@ SELECT CASE WHEN o_totalprice < 0.0 THEN 0
        round(max(o_totalprice), 2) AS hi
 FROM orders GROUP BY 1 ORDER BY bucket
 """,
+    # q65: same chained-carry windows; exact integer stage counts
+    "q65_event_funnel": """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE event_type IN ('signup', 'click', 'purchase')
+), st AS (
+  SELECT user_id, ts, event_id, event_type,
+         min(CASE WHEN event_type = 'signup' THEN ts END) OVER w AS t_signup
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), st2 AS (
+  SELECT user_id, ts, event_type, t_signup,
+         min(CASE WHEN event_type = 'click' AND t_signup IS NOT NULL
+                       AND ts > t_signup THEN ts END) OVER w AS t_click
+  FROM st
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), pu AS (
+  SELECT user_id,
+         max(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS s1,
+         max(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+         max(CASE WHEN event_type = 'purchase' AND t_click IS NOT NULL
+                       AND ts > t_click THEN 1 ELSE 0 END) AS s3
+  FROM st2 GROUP BY user_id
+)
+SELECT count(*) AS users,
+       CAST(sum(s1) AS BIGINT) AS signed_up,
+       CAST(sum(s2) AS BIGINT) AS clicked_after,
+       CAST(sum(s3) AS BIGINT) AS purchased_after
+FROM pu
+""",
 }
