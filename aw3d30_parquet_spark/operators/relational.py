@@ -1263,6 +1263,44 @@ def q65_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q66_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts — the standard growth-analytics matrix:
+    users bucketed by signup week, counted distinct in each subsequent
+    activity week (offset 0–3). One broadcast-size signup relation
+    (first signup per user) joins back to the event stream; conditional
+    count-distincts pivot the offsets to columns. At scale: the signup
+    relation is |users|-sized (broadcast or shuffled by user_id — the
+    same key the event join needs), and the distinct counts are the
+    only shuffle-heavy step, swappable for HLL++ at extreme
+    cardinality (a01's posture)."""
+    ev = _t(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    acts = ev.join(signups, "user_id").filter(F.col("ts") >= F.col("t0"))
+    week_off = F.expr(
+        "datediff(cast(ts as date), cast(t0 as date)) DIV 7"
+    ).cast("int")
+    cohort = F.date_trunc("week", F.col("t0")).cast("date")
+    staged = acts.select(
+        cohort.alias("cohort"), week_off.alias("w"), "user_id"
+    ).filter(F.col("w").between(0, 3))
+    return (
+        staged.groupBy("cohort")
+        .agg(
+            *[
+                F.countDistinct(
+                    F.when(F.col("w") == i, F.col("user_id"))
+                ).alias(f"w{i}")
+                for i in range(4)
+            ]
+        )
+        .orderBy("cohort")
+    )
+
+
 RELATIONAL_QUERIES = {
     "q01_scan_project": q01_scan_project,
     "a01_approx_count_distinct": a01_approx_count_distinct,
@@ -1331,4 +1369,5 @@ RELATIONAL_QUERIES = {
     "q63_try_arithmetic": q63_try_arithmetic,
     "q64_width_bucket_histogram": q64_width_bucket_histogram,
     "q65_event_funnel": q65_event_funnel,
+    "q66_retention_cohorts": q66_retention_cohorts,
 }

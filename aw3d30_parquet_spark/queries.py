@@ -585,4 +585,25 @@ SELECT count(*) AS users,
        CAST(sum(s3) AS BIGINT) AS purchased_after
 FROM pu
 """,
+    # q66: same cohort arithmetic; count(DISTINCT CASE ...) pivots the
+    # week offsets; date_trunc('week') is Monday-start in both engines
+    "q66_retention_cohorts": """
+WITH signups AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), acts AS (
+  SELECT CAST(date_trunc('week', s.t0) AS DATE) AS cohort,
+         date_diff('day', CAST(s.t0 AS DATE), CAST(e.ts AS DATE)) // 7 AS w,
+         e.user_id
+  FROM events e JOIN signups s USING (user_id)
+  WHERE e.ts >= s.t0
+)
+SELECT cohort,
+       count(DISTINCT CASE WHEN w = 0 THEN user_id END) AS w0,
+       count(DISTINCT CASE WHEN w = 1 THEN user_id END) AS w1,
+       count(DISTINCT CASE WHEN w = 2 THEN user_id END) AS w2,
+       count(DISTINCT CASE WHEN w = 3 THEN user_id END) AS w3
+FROM acts WHERE w BETWEEN 0 AND 3
+GROUP BY cohort ORDER BY cohort
+""",
 }
