@@ -480,30 +480,31 @@ def neardup_components(
         .withColumn("label", F.col("node"))
         .persist()
     )
+    pinned = labels  # the persisted handle for the current generation
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.id_b == labels.node)
             .groupBy("id_a")
             .agg(F.min("label").alias("neigh_min"))
         )
+        # carry the old label through the join so convergence is read off
+        # the SAME materialization — one job per iteration, not a second
+        # labels⋈updated join (labels can only decrease, so `<` suffices)
         updated = (
             labels.join(neigh, labels.node == neigh.id_a, "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce("neigh_min", F.col("label"))
                 ).alias("label"),
             )
             .persist()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), F.col("u.node") == F.col("l.node"))
-            .filter(F.col("u.label") != F.col("l.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = updated
+        changed = updated.filter(F.col("label") < F.col("old_label")).count()
+        pinned.unpersist()
+        pinned = updated
+        labels = updated.select("node", "label")
         if changed == 0:
             break
     out = (
@@ -524,6 +525,73 @@ def neardup_components(
 
 
 QUERIES["d08_neardup_components"] = neardup_components
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d09: snapshot-vs-corpus incremental dedup — the daily-crawl op.
+
+    A live corpus is never deduped from scratch: each new snapshot
+    (here the ``doc_id % 10 >= 8`` slice; the existing corpus is the
+    rest) is checked against the accumulated corpus AND within itself,
+    and only first-seen content ships. Per-source audit counts out.
+
+    Scale shape: the corpus side collapses to *distinct* content
+    digests before the join (map-side partial distinct — the shuffle
+    carries unique 32-byte digests, not text), the snapshot side is the
+    small delta, and the within-snapshot dedup window partitions by
+    digest — so nothing ever shuffles document text and the corpus scan
+    is one pass. At 100 TB the corpus digest set is itself a maintained
+    table (the d01 output), making this a delta-sized job.
+    """
+    docs = _docs(spark, sf_dir)
+    is_snap = F.col("doc_id") % 10 >= 8
+    snap = docs.filter(is_snap).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    corpus_h = (
+        docs.filter(~is_snap)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    flagged = (
+        snap.withColumn("rn", F.row_number().over(w))
+        .join(corpus_h, "h", "left")
+    )
+    new = F.col("in_corpus").isNull()
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_snapshot"),
+            F.count(F.when(~new, 1)).alias("dup_vs_corpus"),
+            F.count(F.when(new & (F.col("rn") > 1), 1)).alias(
+                "dup_within"
+            ),
+            F.count(F.when(new & (F.col("rn") == 1), 1)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["d09_incremental_dedup"] = incremental_dedup
+
+ORACLE_SQL["d09_incremental_dedup"] = """
+WITH snap AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents WHERE doc_id % 10 >= 8
+), corpus AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 < 8
+), flagged AS (
+  SELECT s.source, c.h IS NOT NULL AS in_corpus,
+         row_number() OVER (PARTITION BY s.h ORDER BY s.doc_id) AS rn
+  FROM snap s LEFT JOIN corpus c USING (h)
+)
+SELECT source, count(*) AS n_snapshot,
+       count(CASE WHEN in_corpus THEN 1 END) AS dup_vs_corpus,
+       count(CASE WHEN NOT in_corpus AND rn > 1 THEN 1 END) AS dup_within,
+       count(CASE WHEN NOT in_corpus AND rn = 1 THEN 1 END) AS n_kept
+FROM flagged GROUP BY source ORDER BY source
+"""
 
 # d08 oracle: the same components via a recursive CTE — DuckDB computes
 # the transitive closure of the (bidirectional) pair graph and takes the

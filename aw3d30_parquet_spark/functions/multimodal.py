@@ -128,6 +128,46 @@ def _fabricate_payload(doc_id: int) -> bytes:
     return head + (((s + np.arange(n)) % 256).astype(np.uint8)).tobytes()
 
 
+def _fabricate_batch(mids: np.ndarray) -> list[bytes]:
+    """Vectorized `_fabricate_payload` over a batch of ids.
+
+    All body values follow (seed_i + arange(n_i)) <mod>; one flat ramp
+    ``global_idx - row_start + seed`` over the batch generates every
+    body in a single numpy pass, and the per-row cost drops to a slice
+    + header concat. Byte-identical to `_fabricate_payload` (pinned by
+    a pytest property), which stays as the readable one-row spec.
+    """
+    mids = np.asarray(mids, dtype=np.int64)
+    kinds = mids % 3  # 0 image, 1 audio, 2 video (media_params order)
+    seeds = mids % 256
+    w = np.where(kinds == 0, 16 + (mids % 8) * 4, 16 + (mids % 4) * 8)
+    h = np.where(kinds == 0, 12 + (mids % 5) * 4, 16)
+    c = np.where(kinds == 0, 1 + (mids % 2), 4 + mids % 6)  # channels|frames
+    ns = np.where(kinds == 1, 256 + (mids % 10) * 64, w * h * c)
+    starts = np.concatenate([[0], np.cumsum(ns)])
+    ramp = (
+        np.arange(starts[-1], dtype=np.int64)
+        - np.repeat(starts[:-1], ns)
+        + np.repeat(seeds, ns)
+    )
+    u8 = (ramp % 256).astype(np.uint8)  # image/video bodies
+    i2 = (ramp % 4096 - 2048).astype("<i2")  # audio bodies
+    out: list[bytes] = []
+    for i, mid in enumerate(mids):
+        lo, hi = starts[i], starts[i + 1]
+        if kinds[i] == 0:
+            head = _pack_header(_MAGIC_IMAGE, int(w[i]), int(h[i]), int(c[i]))
+            out.append(head + u8[lo:hi].tobytes())
+        elif kinds[i] == 1:
+            sr = 8000 + int(mid % 4) * 4000
+            head = _pack_header(_MAGIC_AUDIO, sr, int(ns[i]), 0)
+            out.append(head + i2[lo:hi].tobytes())
+        else:
+            head = _pack_header(_MAGIC_VIDEO, int(w[i]), int(h[i]), int(c[i]))
+            out.append(head + u8[lo:hi].tobytes())
+    return out
+
+
 #: media kind by id (media_params' doc_id % 3 arm) — lets callers prune
 #: the work list BEFORE fabrication/decode (a filter above mapInPandas
 #: cannot be pushed through the Python stage by Catalyst).
@@ -160,8 +200,10 @@ def media_table(
             yield pd.DataFrame(
                 {
                     "media_id": mids,
-                    "kind": [media_params(int(i))["kind"] for i in mids],
-                    "payload": [_fabricate_payload(int(i)) for i in mids],
+                    "kind": np.take(
+                        np.array(["image", "audio", "video"]), mids % 3
+                    ),
+                    "payload": _fabricate_batch(mids),
                 }
             )
 
@@ -456,13 +498,61 @@ SELECT CAST(sum((vid_f + 1) // 2) AS BIGINT) AS n_frames,
 FROM params WHERE kind = 'video'
 """
 
+def m04_audio_energy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fabricate → decode audio → per-sample-rate energy aggregate.
+
+    Pins the audio DECODE content exactly: ``intensity`` is the decoded
+    signal's RMS, so ``round(intensity²·n_samples)`` recovers the exact
+    integer sum-of-squares (sumsq < 2⁵³, float64-exact up to the one
+    division sqrt round-trips through), and the per-rate totals are
+    integer sums — merge-order-proof, unlike summing float RMS values.
+    The oracle regenerates the identical samples arithmetically.
+    """
+    feats = extract_features(media_table(spark, sf_dir, kind="audio"))
+    energy = F.round(
+        F.col("intensity") * F.col("intensity") * F.col("n_samples")
+    ).cast("bigint")
+    return (
+        feats.groupBy("sample_rate")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("n_samples").alias("total_samples"),
+            F.sum(energy).alias("total_energy"),
+        )
+        .orderBy("sample_rate")
+    )
+
+
+#: audio sample i of doc d: ((d%256 + i) % 4096) - 2048, n = 256+(d%10)·64
+_M04_ORACLE = """
+WITH params AS (
+  SELECT doc_id, doc_id % 256 AS s,
+         8000 + (doc_id % 4) * 4000 AS sr,
+         256 + (doc_id % 10) * 64 AS n
+  FROM documents WHERE doc_id % 3 = 1
+), pix AS (
+  SELECT doc_id, sr, n, ((s + unnest(range(n))) % 4096) - 2048 AS v
+  FROM params
+), per_doc AS (
+  SELECT doc_id, sr, n, sum(v * v) AS sumsq
+  FROM pix GROUP BY doc_id, sr, n
+)
+SELECT CAST(sr AS INTEGER) AS sample_rate, count(*) AS cnt,
+       CAST(sum(n) AS BIGINT) AS total_samples,
+       CAST(sum(sumsq) AS BIGINT) AS total_energy
+FROM per_doc GROUP BY sr ORDER BY sample_rate
+"""
+
+
 QUERIES = {
     "m01_media_metadata": m01_media_metadata,
     "m02_image_resize_stats": m02_image_resize_stats,
     "m03_frame_sample_stats": m03_frame_sample_stats,
+    "m04_audio_energy_stats": m04_audio_energy_stats,
 }
 ORACLE_SQL = {
     "m01_media_metadata": _M01_ORACLE,
     "m02_image_resize_stats": _M02_ORACLE,
     "m03_frame_sample_stats": _M03_ORACLE,
+    "m04_audio_energy_stats": _M04_ORACLE,
 }

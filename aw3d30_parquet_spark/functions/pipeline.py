@@ -402,6 +402,76 @@ def curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: target mixture, integer percent by language (sums to 100) — the
+#: data-mixture spec a pretraining run declares ("40% en, 20% de, …")
+MIXTURE_PCT = {"en": 40, "de": 20, "fr": 15, "es": 15, "zh": 10}
+MIXTURE_BUDGET_FRAC_PCT = 50  # token budget = 50% of the corpus
+
+
+def mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p10: data-mixture rebalancing — fill a global token budget with
+    declared per-language shares, keeping a deterministic greedy prefix
+    of each stratum (content-keyed order, same stability argument as
+    p03). The op every mixture-weighted pretraining build runs between
+    curation and tokenization.
+
+    Exact-integer spec (oracle-stable): budget = total_tokens·50 DIV
+    100; per-lang target = budget·pct DIV 100; a doc is kept while the
+    EXCLUSIVE running token count is below target (the p02 boundary
+    rule), so realized tokens may overshoot by at most one document.
+
+    Scale shape: one scan computes (lang, md5, n_tok); the global total
+    is a partial+final agg to ONE row whose derived 5-row target table
+    is broadcast back; the per-stratum cumsum windows by lang over
+    (md5, doc_id) — shuffles 16-byte digests and ints, never text; no
+    global window anywhere.
+    """
+    per_doc = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+    )
+    total = per_doc.agg(F.sum("n_tok").alias("total_tok"))
+    pct = F.create_map(
+        *[F.lit(x) for kv in MIXTURE_PCT.items() for x in kv]
+    )
+    targets = total.select(
+        F.explode(pct).alias("lang", "pct"),
+        F.expr(
+            f"total_tok * {MIXTURE_BUDGET_FRAC_PCT} DIV 100"
+        ).alias("budget"),
+    ).select(
+        "lang",
+        F.expr("budget * pct DIV 100").alias("target_tok"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_doc.withColumn(
+        "cum_excl", F.sum("n_tok").over(w) - F.col("n_tok")
+    )
+    return (
+        cum.join(F.broadcast(targets), "lang")
+        .groupBy("lang")
+        .agg(
+            F.first("target_tok").alias("target_tok"),
+            F.count(F.when(F.col("cum_excl") < F.col("target_tok"), 1))
+            .alias("kept_docs"),
+            F.sum(
+                F.when(
+                    F.col("cum_excl") < F.col("target_tok"), F.col("n_tok")
+                )
+            ).alias("kept_tokens"),
+            F.count("*").alias("stratum_docs"),
+            F.sum("n_tok").alias("stratum_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "p01_hash_split": hash_split_assign,
     "p02_pack_token_bins": pack_token_bins,
@@ -412,6 +482,7 @@ QUERIES = {
     "p07_repetition_filter": repetition_filter,
     "p08_shard_assign": shard_assign,
     "p09_curriculum_bins": curriculum_bins,
+    "p10_mixture_budget": mixture_budget,
 }
 
 ORACLE_SQL = {
@@ -574,5 +645,34 @@ WITH s AS (
 SELECT shard_id, count(*) AS n_docs,
        CAST(sum(n_tok) AS BIGINT) AS shard_tokens
 FROM s GROUP BY shard_id ORDER BY shard_id
+""",
+    # all-integer spec (DIV-derived budget/targets, exclusive-cumsum
+    # boundary) — no float in the kept/target arithmetic on either side
+    "p10_mixture_budget": f"""
+WITH per_doc AS (
+  SELECT doc_id, lang, md5(text) AS h,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+  FROM documents
+), tot AS (
+  SELECT sum(n_tok) * {MIXTURE_BUDGET_FRAC_PCT} // 100 AS budget FROM per_doc
+), targets AS (
+  SELECT m.lang, CAST(tot.budget * m.pct // 100 AS BIGINT) AS target_tok
+  FROM (VALUES {",".join(f"('{k}',{v})" for k, v in MIXTURE_PCT.items())})
+       m(lang, pct), tot
+), cum AS (
+  SELECT lang, n_tok,
+         sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+           AS cum_excl
+  FROM per_doc
+)
+SELECT c.lang, any_value(t.target_tok) AS target_tok,
+       count(CASE WHEN c.cum_excl < t.target_tok THEN 1 END) AS kept_docs,
+       CAST(sum(CASE WHEN c.cum_excl < t.target_tok THEN c.n_tok END)
+            AS BIGINT) AS kept_tokens,
+       count(*) AS stratum_docs,
+       CAST(sum(c.n_tok) AS BIGINT) AS stratum_tokens
+FROM cum c JOIN targets t USING (lang)
+GROUP BY c.lang ORDER BY c.lang
 """,
 }

@@ -25,6 +25,15 @@ def test_media_schema_and_kinds(spark, media):
     assert media.count() == 500  # one media row per document
 
 
+def test_fabricate_batch_matches_scalar_spec():
+    """The vectorized batch fabricator is byte-identical to the one-row
+    spec `_fabricate_payload` across all kinds and seed wraps."""
+    ids = np.array([0, 1, 2, 3, 7, 100, 255, 256, 257, 499, 1023])
+    got = mm._fabricate_batch(ids)
+    for mid, payload in zip(ids, got):
+        assert payload == mm._fabricate_payload(int(mid)), mid
+
+
 def test_decode_roundtrip_golden():
     """Fabricated payload decodes back to the exact seeded sample array."""
     for doc_id in (0, 1, 2, 7, 100, 255, 256, 499):
