@@ -405,12 +405,173 @@ def _neardup_pairs_df(
     )
 
 
+#: (session id, sf_dir, M, K) → (codes DF, flat codebook ndarray).
+#: Like the IVF index: a build-once artifact (at 100 TB the uint8 code
+#: table is materialized next to the corpus — 8 bytes/vector vs 256 —
+#: and the codebook is a tiny sidecar every executor holds).
+_PQ_INDEX: dict[tuple, tuple] = {}
+
+PQ_M = 8  # subspaces (64-dim → 8 × 8-dim)
+PQ_K = 16  # centroids per subspace (4-bit codes)
+PQ_TRAIN_SAMPLE = 4096  # codebooks train on a bounded sample (faiss-style)
+
+
+def _pq_train(vecs, m: int = PQ_M, k: int = PQ_K, iters: int = 10):
+    """Per-subspace Lloyd's k-means over a bounded training sample —
+    driver-side numpy on ≤PQ_TRAIN_SAMPLE rows (codebook training is
+    sample-based at any scale; the full corpus is only ever *encoded*).
+    Returns (m, k, sub_dim) centroids."""
+    import numpy as np
+
+    n, dim = vecs.shape
+    sd = dim // m
+    rng = np.random.RandomState(42)
+    books = np.empty((m, k, sd))
+    for j in range(m):
+        x = vecs[:, j * sd : (j + 1) * sd]
+        c = x[rng.choice(n, k, replace=False)].copy()
+        for _ in range(iters):
+            d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            for ci in range(k):
+                pts = x[a == ci]
+                if len(pts):
+                    c[ci] = pts.mean(0)
+        books[j] = c
+    return books
+
+
+def _pq_index(spark: SparkSession, sf_dir: str):
+    key = (id(spark._jsparkSession), sf_dir, PQ_M, PQ_K)
+    if key in _PQ_INDEX:
+        return _PQ_INDEX[key]
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    emb = _emb(spark, sf_dir)
+    sample = np.vstack(
+        emb.select("embedding")
+        .limit(PQ_TRAIN_SAMPLE)
+        .toPandas()["embedding"]
+        .to_numpy()
+    ).astype(np.float64)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    books = _pq_train(sample / norms)
+
+    def _enc(col):
+        x = np.vstack(col.to_numpy()).astype(np.float64)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        m, k, sd = books.shape
+        codes = np.empty((len(x), m), np.int32)
+        for j in range(m):
+            d = (
+                (x[:, None, j * sd : (j + 1) * sd] - books[None, j]) ** 2
+            ).sum(-1)
+            codes[:, j] = d.argmin(1)
+        return pd.Series(list(codes))
+
+    encode = pandas_udf(_enc, "array<int>")
+    codes = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        encode("embedding").alias("codes"),
+    ).persist()
+    codes.count()  # materialize the build-once artifact
+    _PQ_INDEX[key] = (codes, books)
+    return codes, books
+
+
+def ann_topk_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+    n_candidates: int = 100,
+) -> DataFrame:
+    """v06: approximate top-k via product quantization (PQ) + exact
+    rerank — the memory-resident scale path for embedding search.
+
+    Index build (once, memoized like IVF): per-subspace codebooks train
+    on a bounded sample; the corpus encodes to M=8 4-bit codes — an
+    8-byte representation of a 256-byte vector, so at 100 TB the scan
+    side shrinks 32× and fits executor memory where raw vectors don't.
+
+    Query path is asymmetric distance computation (ADC): each query
+    precomputes its M×K inner-product lookup table against the
+    codebooks (tiny, computed driver-side from the broadcast-scale
+    query set); the corpus scan scores each row with M ``element_at``
+    lookups summed in codegen — no Python, no full-vector touches.
+    Top-``n_candidates`` per query then rerank with exact cosine
+    (v03's two-stage shape; recall pinned ≥0.75 vs brute force in
+    pytest V6)."""
+    import numpy as np
+
+    codes, books = _pq_index(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    qp = queries.toPandas()  # bounded query set (broadcast-scale)
+    qv = np.vstack(qp["q_emb"].to_numpy()).astype(np.float64)
+    qv /= np.linalg.norm(qv, axis=1, keepdims=True)
+    m, kk, sd = books.shape
+    # per-query flat LUT: lut[j*K + c] = <q_sub_j, centroid_jc>
+    luts = np.einsum(
+        "qjd,jcd->qjc", qv.reshape(len(qv), m, sd), books
+    ).reshape(len(qv), m * kk)
+    lut_rows = [
+        (int(qid), [float(v) for v in row])
+        for qid, row in zip(qp["query_id"], luts)
+    ]
+    lut_df = spark.createDataFrame(
+        lut_rows, "query_id bigint, lut array<double>"
+    )
+    score = sum(
+        F.element_at(
+            "lut", F.element_at("codes", j + 1) + F.lit(j * kk + 1)
+        )
+        for j in range(m)
+    )
+    scored = codes.join(
+        F.broadcast(lut_df), F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", score.alias("adc"))
+    wh = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("r", F.row_number().over(wh))
+        .filter(F.col("r") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    rerank = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos")
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 QUERIES = {
     "v01_embedding_dims": embedding_dims,
     "v02_ann_topk_bruteforce": ann_topk_bruteforce,
     "v03_ann_topk_lsh": ann_topk_lsh,
     "v04_embedding_neardup": embedding_neardup_pairs,
     "v05_ann_topk_ivf": ann_topk_ivf,
+    "v06_ann_topk_pq": ann_topk_pq,
 }
 
 ORACLE_SQL = {

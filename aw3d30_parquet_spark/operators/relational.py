@@ -1301,6 +1301,38 @@ def q66_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_SEC = 1800
+
+
+def q67_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (30-min inactivity cutoff) — the
+    batch twin of the streaming session window (SURVEY §2 row 54): a
+    session break is a gap > the cutoff, the session id is the running
+    count of breaks, output is the session-length histogram.
+
+    One shuffle by user_id serves both window passes (lag for the gap
+    flag, running sum for the session id — same partitioning, Catalyst
+    plans a single Exchange), then a partial+final agg per (user,
+    session) and a tiny histogram agg. No self-joins, no global window;
+    at 100 TB this is the canonical one-shuffle sessionize."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_SEC), 1).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id", "ts", "event_id", F.sum(is_new).over(wc).alias("sid")
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n_events")
+    )
+    return (
+        per_session.groupBy("n_events")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy("n_events")
+    )
+
+
 RELATIONAL_QUERIES = {
     "q01_scan_project": q01_scan_project,
     "a01_approx_count_distinct": a01_approx_count_distinct,
@@ -1370,4 +1402,5 @@ RELATIONAL_QUERIES = {
     "q64_width_bucket_histogram": q64_width_bucket_histogram,
     "q65_event_funnel": q65_event_funnel,
     "q66_retention_cohorts": q66_retention_cohorts,
+    "q67_sessionization": q67_sessionization,
 }

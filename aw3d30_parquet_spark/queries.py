@@ -606,4 +606,25 @@ SELECT cohort,
 FROM acts WHERE w BETWEEN 0 AND 3
 GROUP BY cohort ORDER BY cohort
 """,
+    # q67: date_diff('second') counts second-boundary crossings =
+    # floor-epoch difference = Spark's unix_timestamp arithmetic
+    "q67_sessionization": """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+), per AS (
+  SELECT user_id, sid, count(*) AS n_events FROM s GROUP BY user_id, sid
+)
+SELECT n_events, count(*) AS n_sessions
+FROM per GROUP BY n_events ORDER BY n_events
+""",
 }

@@ -220,10 +220,48 @@ def sliding_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stateful_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: batch form of :func:`dedup_events` (S4)
+    over a stream with injected duplicates (every 7th event replayed
+    twice — the at-least-once delivery failure dedup exists to absorb).
+    Per-type counts after dedup must equal the clean feed's counts; the
+    oracle states exactly that."""
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    noisy = ev.unionByName(ev.filter(F.col("event_id") % 7 == 0))
+    return (
+        dedup_events(noisy)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+def stream_static_enrich_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: batch form of :func:`stream_static_join`
+    (S5) + per-segment rollup. The value total is summed as exact
+    integer cents (floor(value·100) per row — IEEE-identical on both
+    engines) so the aggregate is merge-order-proof."""
+    register_views(spark, sf_dir)
+    j = stream_static_join(spark.table("events"), spark.table("customer"))
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(
+                F.floor(F.col("value") * 100).cast("bigint")
+            ).alias("value_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES = {
     "s01_session_windows": session_windows_batch,
     "s02_sliding_windows": sliding_windows_batch,
     "s03_interval_join": interval_join_batch,
+    "s04_stateful_dedup": stateful_dedup_batch,
+    "s05_stream_static_enrich": stream_static_enrich_batch,
 }
 ORACLE_SQL = {
     "s03_interval_join": """
@@ -259,7 +297,20 @@ SELECT user_id, min(ts) AS s_start,
        count(*) AS cnt
 FROM sess GROUP BY user_id, sid
 ORDER BY user_id, s_start
-"""
+""",
+    # s04: injected duplicates are exact copies, so post-dedup counts
+    # must equal the clean feed's per-type counts
+    "s04_stateful_dedup": """
+SELECT event_type, count(*) AS cnt FROM events
+GROUP BY event_type ORDER BY event_type
+""",
+    "s05_stream_static_enrich": """
+SELECT c.c_mktsegment, count(*) AS cnt,
+       CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+""",
 }
 
 

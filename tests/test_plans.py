@@ -87,6 +87,43 @@ def test_topk_is_take_ordered(spark):
     assert not has_node(df, "Sort ")
 
 
+def test_sessionization_single_user_shuffle(spark):
+    """q67: the lag window and the running-sum window share ONE
+    user_id Exchange (same partitioning + sort), and the per-(user,
+    session) aggregate reuses it too — the plan's only other exchanges
+    are the tiny histogram agg and presentation sort. Two user_id
+    shuffles here would double the dominant cost at 100 TB."""
+    df = R.q67_sessionization(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert count_node(df, "Window") == 2
+
+
+def test_mixture_budget_broadcasts_targets(spark):
+    """p10: the 5-row target relation joins back by broadcast — the
+    corpus-side cumsum stream must not shuffle for the join."""
+    from aw3d30_parquet_spark.functions.pipeline import mixture_budget
+
+    df = mixture_budget(spark, SF)
+    assert has_node(df, "BroadcastHashJoin")
+    assert not has_node(df, "SortMergeJoin")
+
+
+def test_incremental_dedup_shuffles_digests_only(spark):
+    """d09: no document text crosses a shuffle — every Exchange's
+    output partitioning is keyed on the digest column, and the corpus
+    side is reduced by a partial (map-side) distinct aggregate before
+    its exchange."""
+    from aw3d30_parquet_spark.functions.dedup import incremental_dedup
+
+    df = incremental_dedup(spark, SF)
+    plan = formatted_plan(df)
+    for section in plan.split("\n\n"):
+        if "Exchange hashpartitioning" in section:
+            assert "text" not in section.split("Exchange")[1].split("\n")[0]
+    assert count_node(df, "HashAggregate") >= 2
+
+
 def test_geotiff_ingest_is_shuffle_free(spark, tmp_path):
     """Tile decode pipeline: scan → filter → mapInPandas, no Exchange
     anywhere — at 31 000 tiles this must stay embarrassingly parallel."""

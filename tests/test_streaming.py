@@ -142,6 +142,20 @@ def test_s01_session_windows_oracle(spark, duck_t2):
     assert ok, (h1, h2)
 
 
+@pytest.mark.parametrize(
+    "name", ["s03_interval_join", "s04_stateful_dedup", "s05_stream_static_enrich"]
+)
+def test_streaming_batch_contract_oracles(spark, duck_t2, name):
+    """Every streaming driver-contract batch entry hash-matches its
+    relational oracle (s01/s02 have dedicated tests above)."""
+    from aw3d30_parquet_spark.oracle import compare
+    from aw3d30_parquet_spark.streaming import events as se
+
+    df = se.QUERIES[name](spark, "/root/testdata/sf0.01")
+    ok, h1, h2 = compare(df, duck_t2, se.ORACLE_SQL[name])
+    assert ok, (name, h1, h2)
+
+
 def test_s6_parquet_sink_checkpoint_resume(spark, tmp_path, batch_events):
     """Exactly-once file sink: restarting from the checkpoint processes
     only newly arrived chunks — no re-emission of finished batches."""

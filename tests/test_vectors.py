@@ -87,6 +87,25 @@ def test_v5_ivf_recall(spark, emb_np):
     assert recall >= 0.75, f"IVF recall {recall:.2f} < 0.75"
 
 
+def test_v6_pq_recall(spark, emb_np):
+    # seed-pinned sample k-means ⇒ deterministic codebooks; with exact
+    # rerank over 100 ADC candidates the bound leaves ample margin
+    from aw3d30_parquet_spark.functions.vectors import ann_topk_pq
+
+    ids, mat = emb_np
+    oracle = _numpy_topk(ids, mat)
+    got = ann_topk_pq(spark, SF_SMOKE, k=K, n_queries=NQ).collect()
+    got_map = {}
+    for row in got:
+        got_map.setdefault(row.query_id, set()).add(row.neighbor_id)
+    hits = total = 0
+    for q, truth in oracle.items():
+        hits += len(set(truth) & got_map.get(q, set()))
+        total += len(truth)
+    recall = hits / total
+    assert recall >= 0.75, f"PQ recall {recall:.2f} < 0.75"
+
+
 def test_v4_neardup_pairs_exact_subset(spark, emb_np):
     ids, mat = emb_np
     unit = mat / np.linalg.norm(mat, axis=1)[:, None]
