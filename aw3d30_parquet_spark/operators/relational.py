@@ -1333,6 +1333,56 @@ def q67_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q68_scd_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 as-of dimension join — the warehouse pattern for
+    versioned dimensions: each fact row joins the dimension version in
+    effect at its event date. Versions are fabricated deterministically
+    (3 per customer, effective 1994 + v·800 + key%365 days).
+
+    Scale shape: validity INTERVALS are derived on the dimension side
+    (one lead() window over the dim — |dim| ≪ |facts|), so the join
+    predicate ``eff_from ≤ d < eff_to`` matches each fact to EXACTLY
+    one version: no per-fact dedup window, no |facts|-keyed shuffle.
+    The versioned dim broadcasts; the fact table never shuffles before
+    the final 15-row aggregate. Revenue sums as exact integer cents."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    versions = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("v"),
+    ).withColumn(
+        "eff_from",
+        F.date_add(
+            F.lit("1994-01-01").cast("date"),
+            (F.col("v") * 800 + F.pmod("c_custkey", F.lit(365))).cast("int"),
+        ),
+    )
+    wv = Window.partitionBy("c_custkey").orderBy("v")
+    versions = versions.withColumn("eff_to", F.lead("eff_from").over(wv))
+    d = F.col("o_orderdate").cast("date")
+    j = orders.join(
+        F.broadcast(versions),
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("eff_from") <= d)
+        & (F.col("eff_to").isNull() | (d < F.col("eff_to"))),
+    )
+    return (
+        j.groupBy(
+            F.concat(
+                F.col("c_mktsegment"), F.lit("/v"), F.col("v").cast("string")
+            ).alias("seg_version")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("revenue_cents"),
+        )
+        .orderBy("seg_version")
+    )
+
+
 RELATIONAL_QUERIES = {
     "q01_scan_project": q01_scan_project,
     "a01_approx_count_distinct": a01_approx_count_distinct,
@@ -1403,4 +1453,5 @@ RELATIONAL_QUERIES = {
     "q65_event_funnel": q65_event_funnel,
     "q66_retention_cohorts": q66_retention_cohorts,
     "q67_sessionization": q67_sessionization,
+    "q68_scd_dimension_join": q68_scd_dimension_join,
 }

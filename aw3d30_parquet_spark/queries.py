@@ -627,4 +627,28 @@ WITH g AS (
 SELECT n_events, count(*) AS n_sessions
 FROM per GROUP BY n_events ORDER BY n_events
 """,
+    # q68: DATE + INTEGER adds days in DuckDB (Spark: date_add); the
+    # interval predicate matches exactly one version per order, and
+    # revenue sums as exact integer cents (floor is IEEE-identical)
+    "q68_scd_dimension_join": """
+WITH versions AS (
+  SELECT c_custkey, c_mktsegment, v.v AS v,
+         DATE '1994-01-01' + CAST(v.v * 800 + c_custkey % 365 AS INTEGER)
+           AS eff_from
+  FROM customer, (SELECT unnest([0, 1, 2]) AS v) v
+), iv AS (
+  SELECT *, lead(eff_from) OVER (PARTITION BY c_custkey ORDER BY v)
+            AS eff_to
+  FROM versions
+)
+SELECT c_mktsegment || '/v' || CAST(v AS VARCHAR) AS seg_version,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN iv
+  ON o.o_custkey = iv.c_custkey
+ AND iv.eff_from <= CAST(o.o_orderdate AS DATE)
+ AND (iv.eff_to IS NULL OR CAST(o.o_orderdate AS DATE) < iv.eff_to)
+GROUP BY seg_version ORDER BY seg_version
+""",
 }

@@ -223,12 +223,88 @@ def g05_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g06_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics — the raster-×-vector workhorse (mean elevation
+    per watershed/adm region): aggregate the decoded points into
+    quarter-degree latitude zones spanning BOTH tiles. Zone assignment
+    is a pure codegen floor over lat (the general polygon case swaps in
+    a point-in-polygon predicate; the aggregate shape — partial per
+    tile, final per zone — is identical), so nothing but (zone, partial
+    aggregates) ever shuffles. On the ramp fixture each zone is 16 full
+    pixel rows of each tile, so every statistic is closed-form."""
+    ensure_demo_tiles()
+    pts = read_tiles(spark, _DEMO_DIR, "netherlands")
+    zone = F.floor(F.col("lat") * 4).cast("int")
+    return (
+        pts.groupBy(zone.alias("zone"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("elevation").alias("sum_elev"),
+            F.min("elevation").alias("min_elev"),
+            F.max("elevation").alias("max_elev"),
+        )
+        .orderBy("zone")
+    )
+
+
+WARP_SIZE = 50  # target grid: 50×50 per 1° tile (1/50° cells)
+
+
+def g07_warp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor warp to a coarser target grid (the gdalwarp
+    regrid every raster stack runs when harmonizing resolutions).
+
+    Relational formulation: the target→source index map (which source
+    pixel each of the 50×50 target cells samples: sy = ty·64 DIV 50)
+    is a tiny per-geometry relation built with ``spark.range`` and
+    BROADCAST to the decoded points; source pixel indices are recovered
+    from lat/lon by the exact affine inverse (pixel size 1/64° — exact
+    in doubles). The points table never shuffles for the join; the only
+    shuffle is the final per-tile aggregate. Per-tile output: cell
+    count (= 50²) and the warped elevation sum (closed-form on the
+    ramp)."""
+    ensure_demo_tiles()
+    pts = read_tiles(spark, _DEMO_DIR, "netherlands")
+    n, w = DEMO_SIZE, WARP_SIZE
+    tgt = spark.range(w).select(F.col("id").alias("t"))
+    # distinct source indices sampled by any target cell, with the
+    # number of target cells sampling each (multiplicity)
+    src = (
+        tgt.select(F.expr(f"CAST(t * {n} DIV {w} AS INT)").alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").alias("mult"))
+    )
+    sy = F.round((F.col("tile_lat") + 1 - F.col("lat")) * n).cast("int")
+    sx = F.round((F.col("lon") - F.col("tile_lon")) * n).cast("int")
+    indexed = pts.select(
+        "tile_lat", "tile_lon", "elevation", sy.alias("sy"), sx.alias("sx")
+    )
+    warped = (
+        indexed.join(F.broadcast(src.select(F.col("s").alias("sy"),
+                                            F.col("mult").alias("my"))), "sy")
+        .join(F.broadcast(src.select(F.col("s").alias("sx"),
+                                     F.col("mult").alias("mx"))), "sx")
+    )
+    return (
+        warped.groupBy("tile_lat", "tile_lon")
+        .agg(
+            F.sum(F.col("my") * F.col("mx")).alias("cells"),
+            F.sum(
+                F.col("my") * F.col("mx") * F.col("elevation").cast("bigint")
+            ).alias("sum_elev"),
+        )
+        .orderBy("tile_lat", "tile_lon")
+    )
+
+
 QUERIES = {
     "g01_geotiff_ingest": g01_geotiff_ingest,
     "g02_spatial_box": g02_spatial_box,
     "g03_slope_stats": g03_slope_stats,
     "g04_overview_downsample": g04_overview_downsample,
     "g05_hillshade": g05_hillshade,
+    "g06_zonal_stats": g06_zonal_stats,
+    "g07_warp_resample": g07_warp_resample,
 }
 ORACLE_SQL = {
     "g01_geotiff_ingest": f"""
@@ -285,5 +361,40 @@ SELECT * FROM (
   FROM (VALUES {", ".join(f"({la}, {lo})" for la, lo in DEMO_COORDS)})
     AS t(tile_lat, tile_lon), hs
 ) ORDER BY tile_lat, tile_lon
+""",
+    # g06: regenerate the ramp grid with its edge-anchored latitudes
+    # (lat = la+1 − y/64, exact in doubles) and aggregate per zone —
+    # zones crossing tile boundaries exercise the cross-tile merge
+    "g06_zonal_stats": f"""
+WITH tiles AS (
+  SELECT * FROM (VALUES {", ".join(f"({la})" for la, lo in DEMO_COORDS)}) t(la)
+), grid AS (
+  SELECT la + 1 - y.y / {DEMO_SIZE}.0 AS lat, 1000 * y.y + x.x AS v
+  FROM tiles, range({DEMO_SIZE}) y(y), range({DEMO_SIZE}) x(x)
+)
+SELECT CAST(floor(lat * 4) AS INTEGER) AS zone, count(*) AS cnt,
+       CAST(sum(v) AS BIGINT) AS sum_elev,
+       CAST(min(v) AS INTEGER) AS min_elev,
+       CAST(max(v) AS INTEGER) AS max_elev
+FROM grid GROUP BY zone ORDER BY zone
+""",
+    # g07: regenerate the warped 50×50 grid per tile; v = ramp value of
+    # the nearest-neighbor source pixel (sy = ty·64 // 50)
+    "g07_warp_resample": f"""
+WITH tiles AS (
+  SELECT * FROM (VALUES {", ".join(f"({la}, {lo})" for la, lo in DEMO_COORDS)})
+    AS t(tile_lat, tile_lon)
+), tgt AS (
+  SELECT y.t AS ty, x.t AS tx
+  FROM range({WARP_SIZE}) y(t), range({WARP_SIZE}) x(t)
+), w AS (
+  SELECT tile_lat, tile_lon,
+         1000 * (ty * {DEMO_SIZE} // {WARP_SIZE})
+              + (tx * {DEMO_SIZE} // {WARP_SIZE}) AS v
+  FROM tiles, tgt
+)
+SELECT tile_lat, tile_lon, count(*) AS cells,
+       CAST(sum(v) AS BIGINT) AS sum_elev
+FROM w GROUP BY tile_lat, tile_lon ORDER BY tile_lat, tile_lon
 """,
 }

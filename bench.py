@@ -82,6 +82,9 @@ def main() -> None:
         per_query[name] = round(statistics.median(times), 4)
 
     total = round(sum(per_query.values()), 4)
+    families: dict[str, float] = {}
+    for name, sec in per_query.items():
+        families[name[0]] = families.get(name[0], 0.0) + sec
     result = {
         "metric": "declared_suite_total_sec",
         "value": total,
@@ -90,6 +93,10 @@ def main() -> None:
         # denominator so totals stay comparable across rounds
         "n_queries": len(per_query),
         "mean_sec": round(total / max(1, len(per_query)), 4),
+        # per-family subtotals (q relational, d dedup, v vectors,
+        # t text, p pipeline, m multimodal, g raster, s streaming,
+        # u UDF, a sketches) — where the time actually goes
+        "family_sec": {k: round(v, 3) for k, v in sorted(families.items())},
         "queries": {k: round(v, 3) for k, v in per_query.items()},
         "sf": sf,
         "ingest": _bench_ingest(spark),

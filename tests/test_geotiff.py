@@ -599,3 +599,27 @@ def test_g05_hillshade_oracle(spark, duck_t2):
     assert 0.0 < row.mean_shade < 255.0
     ok, h1, h2 = compare(df, duck_t2, demo.ORACLE_SQL["g05_hillshade"])
     assert ok, (h1, h2)
+
+
+def test_g06_zonal_stats_oracle(spark, duck_t2):
+    from aw3d30_parquet_spark.oracle import compare
+    from aw3d30_parquet_spark.sources import demo
+
+    df = demo.g06_zonal_stats(spark, "/root/testdata/sf0.01")
+    rows = df.collect()
+    # quarter-degree zones across two 1° tiles, sharing the boundary
+    # zone (tile 51's top edge lands in tile 52's bottom zone): 9 zones
+    assert len(rows) == 9
+    ok, h1, h2 = compare(df, duck_t2, demo.ORACLE_SQL["g06_zonal_stats"])
+    assert ok, (h1, h2)
+
+
+def test_g07_warp_resample_oracle(spark, duck_t2):
+    from aw3d30_parquet_spark.oracle import compare
+    from aw3d30_parquet_spark.sources import demo
+
+    df = demo.g07_warp_resample(spark, "/root/testdata/sf0.01")
+    rows = {(r.tile_lat, r.tile_lon): r for r in df.collect()}
+    assert all(r.cells == demo.WARP_SIZE**2 for r in rows.values())
+    ok, h1, h2 = compare(df, duck_t2, demo.ORACLE_SQL["g07_warp_resample"])
+    assert ok, (h1, h2)
