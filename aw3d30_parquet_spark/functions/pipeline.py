@@ -472,6 +472,55 @@ def mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOILER_CHUNK_TOKENS = 8
+BOILER_MIN_DOCS = 3
+
+
+def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p11: cross-document boilerplate detection (the C4 rule "drop any
+    line occurring ≥N times in the corpus", over fixed token windows
+    since the fixture has no line structure): chunk every doc into
+    consecutive 8-token windows, count each distinct chunk's document
+    frequency corpus-wide, and report per-source how much text is
+    boilerplate (chunks seen in ≥3 docs).
+
+    Scale shape: chunking is pure codegen (sequence → slice →
+    concat_ws — no shuffle, no Python); the frequency count shuffles
+    8-byte ``xxhash64`` chunk keys only (d04's argument), reduced by a
+    map-side partial distinct per doc so a chunk repeated within one
+    doc counts once; the flag join is the same hash stream re-joined.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / BOILER_CHUNK_TOKENS).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * BOILER_CHUNK_TOKENS + 1, BOILER_CHUNK_TOKENS)
+        ),
+    )
+    ch = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", F.explode(chunks).alias("chunk"))
+        .select("doc_id", "source", F.xxhash64("chunk").alias("h"))
+        .distinct()  # document frequency: one vote per (doc, chunk)
+    )
+    freq = ch.groupBy("h").agg(F.count("*").alias("df"))
+    flagged = ch.join(freq, "h").withColumn(
+        "boiler", (F.col("df") >= BOILER_MIN_DOCS).cast("int")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("boiler").alias("boiler_chunks"),
+            F.countDistinct(
+                F.when(F.col("boiler") == 1, F.col("doc_id"))
+            ).alias("docs_affected"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "p01_hash_split": hash_split_assign,
     "p02_pack_token_bins": pack_token_bins,
@@ -483,6 +532,7 @@ QUERIES = {
     "p08_shard_assign": shard_assign,
     "p09_curriculum_bins": curriculum_bins,
     "p10_mixture_budget": mixture_budget,
+    "p11_boilerplate_chunks": boilerplate_chunks,
 }
 
 ORACLE_SQL = {
@@ -674,5 +724,31 @@ SELECT c.lang, any_value(t.target_tok) AS target_tok,
        CAST(sum(c.n_tok) AS BIGINT) AS stratum_tokens
 FROM cum c JOIN targets t USING (lang)
 GROUP BY c.lang ORDER BY c.lang
+""",
+    # p11: chunk strings compared directly in DuckDB vs xxhash64 keys
+    # in Spark — identical counts absent a 64-bit collision (d04 note)
+    "p11_boilerplate_chunks": f"""
+WITH words AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), raw AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(CAST(ceil(len(w) / {BOILER_CHUNK_TOKENS}.0) AS INT)),
+                i -> array_to_string(w[i * {BOILER_CHUNK_TOKENS} + 1 : i * {BOILER_CHUNK_TOKENS} + {BOILER_CHUNK_TOKENS}], ' ')))
+           AS chunk
+  FROM words
+), ch AS (
+  SELECT DISTINCT doc_id, source, chunk FROM raw
+), freq AS (
+  SELECT chunk, count(*) AS df FROM ch GROUP BY chunk
+)
+SELECT c.source, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN f.df >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS boiler_chunks,
+       count(DISTINCT CASE WHEN f.df >= {BOILER_MIN_DOCS} THEN c.doc_id END)
+         AS docs_affected
+FROM ch c JOIN freq f USING (chunk)
+GROUP BY c.source ORDER BY c.source
 """,
 }

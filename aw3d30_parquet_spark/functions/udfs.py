@@ -133,10 +133,53 @@ def scalar_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def u04_iter_word_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR_ITER pandas UDF (``Iterator[pd.Series] → Iterator[pd.
+    Series]``) — the vectorized-UDF flavor for expensive one-time
+    per-worker state: the kernel compiles its regex ONCE per executor
+    task iterator (stand-in for loading a tokenizer/model), then
+    streams Arrow batches through it. Counts lowercase-word matches per
+    doc; aggregated per lang as exact integers so DuckDB's
+    regexp_extract_all reproduces it bit-for-bit."""
+    register_views(spark, sf_dir)
+
+    # the module's `from __future__ import annotations` stringifies
+    # inline hints (pandas_udf inference rejects them — see
+    # vectors._simhash_signature); real annotation OBJECTS assigned
+    # post-hoc give the inference the Iterator→Iterator signature
+    def _kernel(batches):
+        import re
+
+        pat = re.compile(r"[a-z]+")  # init-once state, reused per batch
+        for s in batches:
+            yield s.map(lambda t: len(pat.findall(t)))
+
+    from typing import Iterator
+
+    _kernel.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
+    n_words = F.pandas_udf("int")(_kernel)
+
+    docs = spread(spark.table("documents"))
+    return (
+        docs.select("lang", n_words("text").alias("nw"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nw").alias("total_matches"),
+            F.max("nw").alias("max_matches"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "u01_grouped_agg_median": u01_grouped_agg_median,
     "u02_label_centroids": u02_label_centroids,
     "u03_scalar_cosine": scalar_cosine_scores,
+    "u04_iter_word_matches": u04_iter_word_matches,
 }
 
 ORACLE_SQL = {
@@ -182,5 +225,18 @@ SELECT e.vec_id,
                                       list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
                 * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos
 FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY e.vec_id
+""",
+    # u04: Python re and DuckDB RE2 agree on the plain [a-z]+ class;
+    # integer counts → no float anywhere
+    "u04_iter_word_matches": """
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS nw
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS total_matches,
+       max(nw) AS max_matches
+FROM per_doc GROUP BY lang ORDER BY lang
 """,
 }

@@ -1383,6 +1383,59 @@ def q68_scd_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q69_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert expressed relationally (Spark's MERGE INTO needs a
+    v2 catalog; the engine-level pattern is a full-outer join keyed on
+    the merge key): apply per-user activity deltas to the customer
+    balance table — matched rows update, source-only keys insert,
+    target-only rows carry through. A slice of the delta stream
+    (event_id % 11 = 0) is routed to shifted user ids to exercise the
+    insert branch deterministically.
+
+    Exact-integer money (floor-cents per row before any aggregation).
+    Scale shape: deltas pre-aggregate to one row per key (map-side
+    partial) BEFORE the merge join, so the join is |keys|-sized on the
+    source side; the full-outer join shuffles both sides by the merge
+    key — exactly the co-partitioning a production MERGE needs (and
+    what bucketing the target table by key would make shuffle-free).
+    Output: per-action audit (rows, total balance cents)."""
+    cust = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events")
+    tgt = cust.select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    upd = (
+        ev.select(
+            (
+                F.col("user_id")
+                + F.when(F.col("event_id") % 11 == 0, 10000).otherwise(0)
+            ).alias("key"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("delta"),
+        )
+        .groupBy("key")
+        .agg(F.sum("delta").alias("delta_cents"))
+    )
+    m = tgt.join(upd, tgt.c_custkey == upd.key, "full_outer")
+    action = (
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("key").isNull(), "keep")
+        .otherwise("update")
+    )
+    new_bal = F.coalesce("bal_cents", F.lit(0)) + F.coalesce(
+        "delta_cents", F.lit(0)
+    )
+    return (
+        m.select(action.alias("action"), new_bal.alias("new_bal"))
+        .groupBy("action")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("new_bal").alias("total_cents"),
+        )
+        .orderBy("action")
+    )
+
+
 RELATIONAL_QUERIES = {
     "q01_scan_project": q01_scan_project,
     "a01_approx_count_distinct": a01_approx_count_distinct,
@@ -1454,4 +1507,5 @@ RELATIONAL_QUERIES = {
     "q66_retention_cohorts": q66_retention_cohorts,
     "q67_sessionization": q67_sessionization,
     "q68_scd_dimension_join": q68_scd_dimension_join,
+    "q69_merge_upsert": q69_merge_upsert,
 }

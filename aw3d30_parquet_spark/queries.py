@@ -651,4 +651,28 @@ FROM orders o JOIN iv
  AND (iv.eff_to IS NULL OR CAST(o.o_orderdate AS DATE) < iv.eff_to)
 GROUP BY seg_version ORDER BY seg_version
 """,
+    # q69: the same merge as a full-outer join; all money as exact
+    # floor-cents integers before any aggregation
+    "q69_merge_upsert": """
+WITH tgt AS (
+  SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+), upd AS (
+  SELECT user_id + CASE WHEN event_id % 11 = 0 THEN 10000 ELSE 0 END AS key,
+         CAST(floor(value * 100) AS BIGINT) AS delta
+  FROM events
+), agg AS (
+  SELECT key, CAST(sum(delta) AS BIGINT) AS delta_cents
+  FROM upd GROUP BY key
+), m AS (
+  SELECT CASE WHEN t.c_custkey IS NULL THEN 'insert'
+              WHEN a.key IS NULL THEN 'keep'
+              ELSE 'update' END AS action,
+         coalesce(t.bal_cents, 0) + coalesce(a.delta_cents, 0) AS new_bal
+  FROM tgt t FULL OUTER JOIN agg a ON t.c_custkey = a.key
+)
+SELECT action, count(*) AS n_rows,
+       CAST(sum(new_bal) AS BIGINT) AS total_cents
+FROM m GROUP BY action ORDER BY action
+""",
 }

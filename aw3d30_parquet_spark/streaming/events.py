@@ -177,6 +177,43 @@ def interval_join(
     ).select("purchase_id", "click_id")
 
 
+def interval_join_outer(
+    left: DataFrame, right: DataFrame, watermark: str = "30 days"
+) -> DataFrame:
+    """LEFT OUTER stream⋈stream interval join — attribution where
+    unconverted purchases must still emit (click_id NULL). In stream
+    mode the null row can only be produced once the watermark passes
+    the purchase's join window (no more clicks can arrive), which is
+    exactly the state-eviction deadline of the inner form — same state
+    bound, delayed null emission. Same mode-agnostic shape as
+    :func:`interval_join` (its batch run is the oracle)."""
+    p = (
+        left.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    c = (
+        right.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return p.join(
+        c,
+        F.expr(
+            "p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+        ),
+        "left_outer",
+    ).select("purchase_id", "click_id")
+
+
 def interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry: batch form of :func:`interval_join` (the
     same mode-agnostic function — S6 verifies stream↔batch equality).
@@ -256,12 +293,29 @@ def stream_static_enrich_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interval_join_outer_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: batch form of :func:`interval_join_outer`
+    — per-purchase click counts so the unmatched (NULL) branch shows up
+    as zero-click purchases in a deterministic aggregate."""
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    j = interval_join_outer(ev, ev)
+    return (
+        j.groupBy("purchase_id")
+        .agg(F.count("click_id").alias("n_clicks"))
+        .groupBy("n_clicks")
+        .agg(F.count("*").alias("n_purchases"))
+        .orderBy("n_clicks")
+    )
+
+
 QUERIES = {
     "s01_session_windows": session_windows_batch,
     "s02_sliding_windows": sliding_windows_batch,
     "s03_interval_join": interval_join_batch,
     "s04_stateful_dedup": stateful_dedup_batch,
     "s05_stream_static_enrich": stream_static_enrich_batch,
+    "s06_interval_join_outer": interval_join_outer_batch,
 }
 ORACLE_SQL = {
     "s03_interval_join": """
@@ -310,6 +364,24 @@ SELECT c.c_mktsegment, count(*) AS cnt,
          AS value_cents
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+""",
+    # s06: unmatched purchases surface as the n_clicks = 0 bucket
+    "s06_interval_join_outer": """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts FROM events
+  WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS click_id, user_id, ts FROM events
+  WHERE event_type = 'click'
+), per AS (
+  SELECT p.purchase_id, count(c.click_id) AS n_clicks
+  FROM p LEFT JOIN c
+    ON p.user_id = c.user_id
+   AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+  GROUP BY p.purchase_id
+)
+SELECT n_clicks, count(*) AS n_purchases
+FROM per GROUP BY n_clicks ORDER BY n_clicks
 """,
 }
 

@@ -143,7 +143,13 @@ def test_s01_session_windows_oracle(spark, duck_t2):
 
 
 @pytest.mark.parametrize(
-    "name", ["s03_interval_join", "s04_stateful_dedup", "s05_stream_static_enrich"]
+    "name",
+    [
+        "s03_interval_join",
+        "s04_stateful_dedup",
+        "s05_stream_static_enrich",
+        "s06_interval_join_outer",
+    ],
 )
 def test_streaming_batch_contract_oracles(spark, duck_t2, name):
     """Every streaming driver-contract batch entry hash-matches its
