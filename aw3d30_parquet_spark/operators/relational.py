@@ -1287,13 +1287,16 @@ def q66_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = acts.select(
         cohort.alias("cohort"), week_off.alias("w"), "user_id"
     ).filter(F.col("w").between(0, 3))
+    # two-level distinct: reduce to unique (cohort, w, user) rows FIRST
+    # (map-side partial distinct), then plain conditional counts — a
+    # 4-way count(DISTINCT CASE ...) would plan an Expand that shuffles
+    # the activity stream 4×; this shape shuffles it once
     return (
-        staged.groupBy("cohort")
+        staged.distinct()
+        .groupBy("cohort")
         .agg(
             *[
-                F.countDistinct(
-                    F.when(F.col("w") == i, F.col("user_id"))
-                ).alias(f"w{i}")
+                F.count(F.when(F.col("w") == i, 1)).alias(f"w{i}")
                 for i in range(4)
             ]
         )
@@ -1436,6 +1439,54 @@ def q69_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANOM_FRAME = 20  # trailing window size (rows) per user
+ANOM_SIGMA_SQ = 9  # flag |z| > 3 ⟺ z² > 9
+
+
+def q70_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over the event stream — with
+    the float-free trick that makes it oracle-exact: flag value v
+    against its trailing-window mean/σ using the INTEGER inequality
+
+        (v·n − s1)² > 9·(n·s2 − s1²)
+
+    (⟺ z² > 9, multiplied through by n²σ²-denominators), where s1/s2
+    are window sums of integer cents and their squares. No division,
+    no sqrt, no float — the flag is bit-identical under any partial-agg
+    merge order, which a naive stddev_samp window can never guarantee.
+
+    One shuffle by user_id; both window sums share the frame; flags
+    aggregate per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOM_FRAME, -1)
+    )
+    framed = ev.select(
+        "event_type",
+        cents.alias("v"),
+        F.count("*").over(w).alias("n"),
+        F.sum(cents).over(w).alias("s1"),
+        F.sum(cents * cents).over(w).alias("s2"),
+    ).filter(F.col("n") >= 5)  # need a minimally-formed baseline
+    dev = F.col("v") * F.col("n") - F.col("s1")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    flagged = framed.select(
+        "event_type",
+        (dev * dev > ANOM_SIGMA_SQ * var_n2).cast("int").alias("anom"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.sum("anom").alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
+
+
 RELATIONAL_QUERIES = {
     "q01_scan_project": q01_scan_project,
     "a01_approx_count_distinct": a01_approx_count_distinct,
@@ -1508,4 +1559,5 @@ RELATIONAL_QUERIES = {
     "q67_sessionization": q67_sessionization,
     "q68_scd_dimension_join": q68_scd_dimension_join,
     "q69_merge_upsert": q69_merge_upsert,
+    "q70_rolling_anomalies": q70_rolling_anomalies,
 }

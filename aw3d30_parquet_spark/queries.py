@@ -675,4 +675,27 @@ SELECT action, count(*) AS n_rows,
        CAST(sum(new_bal) AS BIGINT) AS total_cents
 FROM m GROUP BY action ORDER BY action
 """,
+    # q70: the all-integer z²>9 inequality — no float in the flag on
+    # either engine, so window merge order cannot flip a flag
+    "q70_rolling_anomalies": """
+WITH framed AS (
+  SELECT event_type,
+         CAST(floor(value * 100) AS BIGINT) AS v,
+         count(*) OVER w AS n,
+         sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS s1,
+         sum(CAST(floor(value * 100) AS BIGINT)
+             * CAST(floor(value * 100) AS BIGINT)) OVER w AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+), flagged AS (
+  SELECT event_type,
+         CASE WHEN (v * n - s1) * (v * n - s1) > 9 * (n * s2 - s1 * s1)
+              THEN 1 ELSE 0 END AS anom
+  FROM framed WHERE n >= 5
+)
+SELECT event_type, count(*) AS n_scored,
+       CAST(sum(anom) AS BIGINT) AS n_anomalies
+FROM flagged GROUP BY event_type ORDER BY event_type
+""",
 }

@@ -124,6 +124,40 @@ def test_incremental_dedup_shuffles_digests_only(spark):
     assert count_node(df, "HashAggregate") >= 2
 
 
+def test_scd_join_broadcasts_versioned_dim(spark):
+    """q68: the versioned dimension (3 rows per customer) joins by
+    broadcast — the orders fact never shuffles before the 15-row agg."""
+    df = R.q68_scd_dimension_join(spark, SF)
+    assert has_node(df, "BroadcastHashJoin")
+    assert not has_node(df, "SortMergeJoin")
+
+
+def test_boilerplate_chunking_stays_in_codegen(spark):
+    """p11: chunking (sequence → slice → concat_ws) is pure codegen —
+    no Python eval nodes anywhere; shuffles carry chunk hashes only."""
+    from aw3d30_parquet_spark.functions.pipeline import boilerplate_chunks
+
+    df = boilerplate_chunks(spark, SF)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    for section in plan.split("\n\n"):
+        if "Exchange hashpartitioning" in section:
+            first = section.split("Exchange")[1].split("\n")[0]
+            assert "text" not in first, first
+
+
+def test_warp_broadcasts_index_map(spark):
+    """g07: both target→source index-map joins broadcast — the decoded
+    point table is never on the build side and never shuffles for the
+    warp itself."""
+    from aw3d30_parquet_spark.sources.demo import g07_warp_resample
+
+    df = g07_warp_resample(spark, SF)
+    assert count_node(df, "BroadcastHashJoin") == 2
+    assert not has_node(df, "SortMergeJoin")
+
+
 def test_geotiff_ingest_is_shuffle_free(spark, tmp_path):
     """Tile decode pipeline: scan → filter → mapInPandas, no Exchange
     anywhere — at 31 000 tiles this must stay embarrassingly parallel."""
