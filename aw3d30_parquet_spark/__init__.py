@@ -9,11 +9,16 @@ relational / LLM-data-pipeline / streaming operator surface declared in
 Layout:
 
 - ``session``    — SparkSession factory + testdata view registration
-- ``queries``    — the declared query contract (Q1–Q28) as DataFrame ops
-- ``sources``    — GeoTIFF ingest (tile codec, decoder, partitioned sink)
-- ``functions``  — text analysis, dedup, vector similarity kernels
+- ``queries``    — DuckDB oracle SQL for the relational query family
+- ``operators``  — relational queries + bucketing / skew / ranking ops
+- ``sources``    — GeoTIFF ingest (tile codec, decoder, partitioned
+  sink, object-store wiring, raster analytics demo queries)
+- ``functions``  — text analysis, dedup, vectors, multimodal, pipeline
 - ``streaming``  — Structured Streaming operators over the events table
 - ``plans``      — plan inspection / optimization helpers
+
+The full registered surface (127 queries across the q/a/d/v/t/p/m/g/s/u
+families) is assembled by ``__spark_entry__.py`` at the repo root.
 """
 
 from aw3d30_parquet_spark.session import get_spark, register_views

@@ -1439,6 +1439,33 @@ def q69_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a03_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Apache DataSketches HLL via Spark's
+    ``hll_sketch_agg``/``hll_union_agg``): build one distinct-user
+    sketch PER DAY, then union the daily sketches into weekly
+    estimates — the production pattern for incremental distinct counts
+    (daily sketches are materialized once; any rollup window is a
+    cheap sketch union, never a re-scan of raw events; sketches also
+    merge across late/backfill partitions, which a plain
+    approx_count_distinct result cannot).
+
+    Engine-specific binary sketch (like a01/a02): driver records
+    rows-only; pytest bounds each weekly estimate within 5% of the
+    exact count."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    return (
+        daily.groupBy(F.date_trunc("week", "day").cast("date").alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count("*").alias("n_days"),
+        )
+        .orderBy("week")
+    )
+
+
 ANOM_FRAME = 20  # trailing window size (rows) per user
 ANOM_SIGMA_SQ = 9  # flag |z| > 3 ⟺ z² > 9
 
@@ -1491,6 +1518,7 @@ RELATIONAL_QUERIES = {
     "q01_scan_project": q01_scan_project,
     "a01_approx_count_distinct": a01_approx_count_distinct,
     "a02_approx_percentile": a02_approx_percentile,
+    "a03_hll_sketch_rollup": a03_hll_sketch_rollup,
     "q02_filter_conjunction": q02_filter_conjunction,
     "q03_filter_disjunction": q03_filter_disjunction,
     "q04_regex_extract": q04_regex_extract,

@@ -35,6 +35,32 @@ def test_t5_approx_count_distinct_tolerance(spark):
         assert abs(est - exact[et]) <= 0.05 * exact[et], (et, est, exact[et])
 
 
+def test_t5c_hll_sketch_rollup_tolerance(spark):
+    """Weekly estimates from UNIONED daily DataSketches HLL sketches
+    stay within 5% of the exact weekly distinct-user count — the merge
+    path, not just the single-shot estimate, is what's being bounded."""
+    from aw3d30_parquet_spark.operators.relational import a03_hll_sketch_rollup
+
+    approx = {
+        r.week: r.approx_users
+        for r in a03_hll_sketch_rollup(spark, SF_T2).collect()
+    }
+    register_views(spark, SF_T2)
+    exact = {
+        r.week: r.cnt
+        for r in spark.table("events")
+        .groupBy(
+            F.date_trunc("week", "ts").cast("date").alias("week")
+        )
+        .agg(F.countDistinct("user_id").alias("cnt"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    assert len(approx) > 1  # the rollup actually spans multiple weeks
+    for wk, est in approx.items():
+        assert abs(est - exact[wk]) <= 0.05 * exact[wk], (wk, est, exact[wk])
+
+
 def test_t5b_approx_percentile_tolerance(spark):
     """GK-sketch percentiles within 1% relative error of the exact
     interpolated percentile, per group and per quantile."""

@@ -17,6 +17,7 @@ def test_contract_complete():
     assert set(RELATIONAL_QUERIES) - set(ORACLE_SQL) == {
         "a01_approx_count_distinct",
         "a02_approx_percentile",
+        "a03_hll_sketch_rollup",
     }
 
 
