@@ -62,6 +62,44 @@ def test_s3_session(spark, stage_dir, batch_events):
     _assert_stream_matches_batch(spark, stage_dir, session_counts, "s3_tbl", batch_events)
 
 
+def test_s6b_outer_join_nulls_emit_after_watermark(spark, stage_dir, batch_events):
+    """LEFT OUTER stream-stream interval join: a purchase with no click
+    emits its NULL row only once the watermark passes its join window.
+    With a narrow watermark the replay must (a) emit at least one null
+    row, (b) only for genuinely clickless purchases (batch-verified),
+    and (c) never for purchases younger than the final watermark."""
+    import pandas as pd
+
+    from aw3d30_parquet_spark.streaming.events import interval_join_outer
+
+    wm = "2 hours"
+    ev = read_event_stream(spark, stage_dir, SF)
+    run_to_memory(
+        interval_join_outer(ev, ev, watermark=wm), "s6b_tbl",
+        output_mode="append",
+    )
+    got = spark.sql("SELECT * FROM s6b_tbl").toPandas()
+    nulls = set(got.loc[got["click_id"].isna(), "purchase_id"])
+    assert nulls, "no NULL rows emitted — outer semantics inert"
+
+    batch = interval_join_outer(batch_events, batch_events).toPandas()
+    batch_clickless = set(
+        batch.loc[batch["click_id"].isna(), "purchase_id"]
+    )
+    # (b) every emitted null is truly clickless in the batch relation
+    assert nulls <= batch_clickless
+    # (c) none of them is younger than the final watermark
+    p = batch_events.filter("event_type = 'purchase'").toPandas()
+    c = batch_events.filter("event_type = 'click'").toPandas()
+    final_wm = c["ts"].max() - pd.Timedelta(wm)
+    young = set(p.loc[p["ts"] > final_wm, "event_id"])
+    assert not (nulls & young)
+    # matched (inner) rows are exactly the batch inner relation
+    inner_got = got.dropna(subset=["click_id"])
+    inner_want = batch.dropna(subset=["click_id"])
+    assert len(inner_got) == len(inner_want)
+
+
 def test_s3b_watermark_drops_late(spark, tmp_path, batch_events):
     """A row arriving far behind the watermark is dropped from its
     (already closed) window; on-time windows match batch exactly."""
