@@ -124,6 +124,16 @@ def test_incremental_dedup_shuffles_digests_only(spark):
     assert count_node(df, "HashAggregate") >= 2
 
 
+def test_rolling_anomalies_single_user_shuffle(spark):
+    """q70: the three trailing-frame window aggregates (count, s1, s2)
+    share ONE user_id Exchange and one Window node — identical
+    partitioning and frame must not split into separate passes."""
+    df = R.q70_rolling_anomalies(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert count_node(df, "Window") == 1
+
+
 def test_scd_join_broadcasts_versioned_dim(spark):
     """q68: the versioned dimension (3 rows per customer) joins by
     broadcast — the orders fact never shuffles before the 15-row agg."""
