@@ -185,6 +185,10 @@ def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hs"),
         )
         .select("doc_id", "hs", F.size("hs").alias("n"))
+        # four subtrees read this relation (explode, prefix join, both
+        # verify sides): materialize the shingling once per job instead
+        # of re-hashing the corpus 4× (at scale: a checkpointed interim)
+        .persist()
     )
     ex = docs.select("doc_id", "n", F.explode_outer("hs").alias("h"))
     freq = ex.groupBy("h").agg(F.count("*").alias("df"))

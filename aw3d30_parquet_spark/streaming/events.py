@@ -309,6 +309,35 @@ def interval_join_outer_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def windowed_leaderboard(events: DataFrame, duration: str = "1 day") -> DataFrame:
+    """Per-window top-3 users by event count — the streaming
+    leaderboard. Mode-agnostic aggregate: in stream mode the windowed
+    counts maintain incrementally and the rank runs on the (tiny)
+    per-window result in the sink query or a foreachBatch; in batch
+    mode the same expression tree evaluates directly."""
+    counts = (
+        events.groupBy(F.window("ts", duration), "user_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("window.start").alias("w_start"), "user_id", "cnt")
+    )
+    from pyspark.sql.window import Window as W
+
+    r = F.row_number().over(
+        W.partitionBy("w_start").orderBy(
+            F.col("cnt").desc(), F.col("user_id")
+        )
+    )
+    return counts.withColumn("rank", r).filter(F.col("rank") <= 3)
+
+
+def windowed_leaderboard_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: daily top-3 leaderboard, batch form."""
+    register_views(spark, sf_dir)
+    return windowed_leaderboard(spark.table("events")).orderBy(
+        "w_start", "rank"
+    )
+
+
 QUERIES = {
     "s01_session_windows": session_windows_batch,
     "s02_sliding_windows": sliding_windows_batch,
@@ -316,6 +345,7 @@ QUERIES = {
     "s04_stateful_dedup": stateful_dedup_batch,
     "s05_stream_static_enrich": stream_static_enrich_batch,
     "s06_interval_join_outer": interval_join_outer_batch,
+    "s07_windowed_leaderboard": windowed_leaderboard_batch,
 }
 ORACLE_SQL = {
     "s03_interval_join": """
@@ -382,6 +412,21 @@ WITH p AS (
 )
 SELECT n_clicks, count(*) AS n_purchases
 FROM per GROUP BY n_clicks ORDER BY n_clicks
+""",
+    # s07: time_bucket = Spark's window().start for day buckets
+    "s07_windowed_leaderboard": """
+WITH counts AS (
+  SELECT time_bucket(INTERVAL '1 day', ts) AS w_start, user_id,
+         count(*) AS cnt
+  FROM events GROUP BY w_start, user_id
+), ranked AS (
+  SELECT w_start, user_id, cnt,
+         CAST(row_number() OVER (PARTITION BY w_start
+              ORDER BY cnt DESC, user_id) AS INTEGER) AS rank
+  FROM counts
+)
+SELECT w_start, user_id, cnt, rank FROM ranked
+WHERE rank <= 3 ORDER BY w_start, rank
 """,
 }
 

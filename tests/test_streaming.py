@@ -187,6 +187,7 @@ def test_s01_session_windows_oracle(spark, duck_t2):
         "s04_stateful_dedup",
         "s05_stream_static_enrich",
         "s06_interval_join_outer",
+        "s07_windowed_leaderboard",
     ],
 )
 def test_streaming_batch_contract_oracles(spark, duck_t2, name):
