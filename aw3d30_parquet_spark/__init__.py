@@ -17,8 +17,9 @@ Layout:
 - ``streaming``  — Structured Streaming operators over the events table
 - ``plans``      — plan inspection / optimization helpers
 
-The full registered surface (127 queries across the q/a/d/v/t/p/m/g/s/u
-families) is assembled by ``__spark_entry__.py`` at the repo root.
+The full registered surface (the q/a/d/v/t/p/m/g/s/u query families —
+see SURVEY.md §2 for the authoritative inventory and counts) is
+assembled by ``__spark_entry__.py`` at the repo root.
 """
 
 from aw3d30_parquet_spark.session import get_spark, register_views

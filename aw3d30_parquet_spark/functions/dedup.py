@@ -451,14 +451,17 @@ ORDER BY id_a, id_b
 ORACLE_SQL["d07_ngram_jaccard_prefix"] = ORACLE_SQL["d04_ngram_jaccard_pairs"]
 
 
-#: (session id, sf_dir) → persisted d04 pair relation (see
+#: (applicationId, sf_dir) → persisted d04 pair relation (see
 #: neardup_components docstring: the components job reads the dedup
-#: job's OUTPUT table; testdata is immutable, so memoizing is sound)
+#: job's OUTPUT table; testdata is immutable, so memoizing is sound).
+#: Keyed on the SparkContext applicationId — unlike id() of a session
+#: wrapper it is never recycled in-process, and persisted RDDs live per
+#: context, so sharing across sessions of one context is correct.
 _PAIR_GRAPH: dict[tuple, DataFrame] = {}
 
 
 def _pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark._jsparkSession), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PAIR_GRAPH:
         df = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b").persist()
         df.count()

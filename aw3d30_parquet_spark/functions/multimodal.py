@@ -150,21 +150,28 @@ def _fabricate_batch(mids: np.ndarray) -> list[bytes]:
         - np.repeat(starts[:-1], ns)
         + np.repeat(seeds, ns)
     )
-    u8 = (ramp % 256).astype(np.uint8)  # image/video bodies
-    i2 = (ramp % 4096 - 2048).astype("<i2")  # audio bodies
+    # each element feeds exactly one kind: transform only its segment
+    # (computing both dtypes over the full ramp would double the work
+    # and triple transient memory per batch for no output difference)
+    is_aud = np.repeat(kinds == 1, ns)
+    u8 = (ramp[~is_aud] % 256).astype(np.uint8)  # image/video bodies
+    i2 = (ramp[is_aud] % 4096 - 2048).astype("<i2")  # audio bodies
+    pix_lens = np.where(kinds == 1, 0, ns)
+    aud_lens = np.where(kinds == 1, ns, 0)
+    u8_starts = np.concatenate([[0], np.cumsum(pix_lens)])
+    i2_starts = np.concatenate([[0], np.cumsum(aud_lens)])
     out: list[bytes] = []
     for i, mid in enumerate(mids):
-        lo, hi = starts[i], starts[i + 1]
         if kinds[i] == 0:
             head = _pack_header(_MAGIC_IMAGE, int(w[i]), int(h[i]), int(c[i]))
-            out.append(head + u8[lo:hi].tobytes())
+            out.append(head + u8[u8_starts[i] : u8_starts[i + 1]].tobytes())
         elif kinds[i] == 1:
             sr = 8000 + int(mid % 4) * 4000
             head = _pack_header(_MAGIC_AUDIO, sr, int(ns[i]), 0)
-            out.append(head + i2[lo:hi].tobytes())
+            out.append(head + i2[i2_starts[i] : i2_starts[i + 1]].tobytes())
         else:
             head = _pack_header(_MAGIC_VIDEO, int(w[i]), int(h[i]), int(c[i]))
-            out.append(head + u8[lo:hi].tobytes())
+            out.append(head + u8[u8_starts[i] : u8_starts[i + 1]].tobytes())
     return out
 
 

@@ -152,7 +152,9 @@ def u04_iter_word_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         pat = re.compile(r"[a-z]+")  # init-once state, reused per batch
         for s in batches:
-            yield s.map(lambda t: len(pat.findall(t)))
+            # Series.str.count runs the non-overlapping match count in
+            # C — no per-row Python lambda inside the Arrow batch
+            yield s.str.count(pat).astype("int32")
 
     from typing import Iterator
 

@@ -219,7 +219,9 @@ def ann_topk_lsh(
     )
 
 
-#: (session id, sf_dir, n_clusters) → (assigned-corpus DF, centroids DF).
+#: (applicationId, sf_dir, n_clusters) → (assigned-corpus DF, centroids
+#: DF) — applicationId is never recycled in-process, and persisted
+#: RDDs live per context, so the key is session-lifecycle-safe.
 #: The IVF index is a BUILD-ONCE artifact: at 100 TB it is a
 #: cluster-id-partitioned parquet table plus a centroid sidecar,
 #: materialized by an indexing job and reused by every query. Memoizing
@@ -232,7 +234,7 @@ _IVF_INDEX: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 def _ivf_index(
     spark: SparkSession, sf_dir: str, n_clusters: int
 ) -> tuple[DataFrame, DataFrame]:
-    key = (id(spark._jsparkSession), sf_dir, n_clusters)
+    key = (spark.sparkContext.applicationId, sf_dir, n_clusters)
     if key in _IVF_INDEX:
         return _IVF_INDEX[key]
     from pyspark.ml.clustering import KMeans
@@ -405,7 +407,7 @@ def _neardup_pairs_df(
     )
 
 
-#: (session id, sf_dir, M, K) → (codes DF, flat codebook ndarray).
+#: (applicationId, sf_dir, M, K) → (codes DF, flat codebook ndarray).
 #: Like the IVF index: a build-once artifact (at 100 TB the uint8 code
 #: table is materialized next to the corpus — 8 bytes/vector vs 256 —
 #: and the codebook is a tiny sidecar every executor holds).
@@ -442,7 +444,7 @@ def _pq_train(vecs, m: int = PQ_M, k: int = PQ_K, iters: int = 10):
 
 
 def _pq_index(spark: SparkSession, sf_dir: str):
-    key = (id(spark._jsparkSession), sf_dir, PQ_M, PQ_K)
+    key = (spark.sparkContext.applicationId, sf_dir, PQ_M, PQ_K)
     if key in _PQ_INDEX:
         return _PQ_INDEX[key]
     import numpy as np
@@ -450,9 +452,11 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     from pyspark.sql.functions import pandas_udf
 
     emb = _emb(spark, sf_dir)
+    # vec_id-bounded sample (not an unordered limit(), whose row set
+    # depends on scan layout): deterministic codebooks across runs
     sample = np.vstack(
-        emb.select("embedding")
-        .limit(PQ_TRAIN_SAMPLE)
+        emb.filter(F.col("vec_id") < PQ_TRAIN_SAMPLE)
+        .select("embedding")
         .toPandas()["embedding"]
         .to_numpy()
     ).astype(np.float64)

@@ -100,8 +100,10 @@ def apply_runtime_confs(spark: SparkSession) -> None:
     ship_package(spark)
 
 
-#: spark-instance id → package already shipped to its executors
-_SHIPPED: set[int] = set()
+#: applicationId → package already shipped to its executors.
+#: ``addPyFile`` is per SparkContext, and applicationId (unlike the
+#: id() of a session wrapper) is never recycled in-process.
+_SHIPPED: set[str] = set()
 
 
 def ship_package(spark: SparkSession) -> None:
@@ -116,7 +118,7 @@ def ship_package(spark: SparkSession) -> None:
     ``spark-submit --py-files`` uses on a 1000-executor cluster. One
     zip per process, a few tens of KB, built once per session.
     """
-    key = id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark)
+    key = spark.sparkContext.applicationId
     if key in _SHIPPED:
         return
     import tempfile
@@ -165,9 +167,12 @@ def spread(df, min_partitions: int | None = None):
     return df
 
 
-#: spark-instance id → sf_dir currently registered (testdata is
-#: immutable, so re-registration is only needed when the sf_dir changes)
-_REGISTERED: dict[int, str] = {}
+#: session → sf_dir currently registered (testdata is immutable, so
+#: re-registration is only needed when the sf_dir changes). Keyed on
+#: the session OBJECT (temp views are per session, not per context);
+#: the strong reference also prevents the id-recycling hazard a bare
+#: id() key would have.
+_REGISTERED: dict[SparkSession, str] = {}
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
@@ -182,8 +187,7 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     Memoized per (session, sf_dir): every query entry calls this, and
     re-reading ten Parquet footers per query is pure fixed overhead.
     """
-    key = id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark)
-    if _REGISTERED.get(key) == sf_dir:
+    if _REGISTERED.get(spark) == sf_dir:
         return
     apply_runtime_confs(spark)
     for name in TABLES:
@@ -199,4 +203,4 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
             ).createOrReplaceTempView("events")
         else:
             df.createOrReplaceTempView(name)
-    _REGISTERED[key] = sf_dir
+    _REGISTERED[spark] = sf_dir

@@ -137,7 +137,10 @@ def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
 
 
 def interval_join(
-    left: DataFrame, right: DataFrame, watermark: str = "30 days"
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = "30 days",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream⋈stream event-time interval join: each purchase matched to
     the same user's clicks in the preceding hour — the attribution-join
@@ -173,7 +176,7 @@ def interval_join(
         F.expr(
             "p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
         ),
-        "inner",
+        how,
     ).select("purchase_id", "click_id")
 
 
@@ -185,33 +188,8 @@ def interval_join_outer(
     mode the null row can only be produced once the watermark passes
     the purchase's join window (no more clicks can arrive), which is
     exactly the state-eviction deadline of the inner form — same state
-    bound, delayed null emission. Same mode-agnostic shape as
-    :func:`interval_join` (its batch run is the oracle)."""
-    p = (
-        left.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").cast("timestamp").alias("p_ts"),
-        )
-        .withWatermark("p_ts", watermark)
-    )
-    c = (
-        right.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").cast("timestamp").alias("c_ts"),
-        )
-        .withWatermark("c_ts", watermark)
-    )
-    return p.join(
-        c,
-        F.expr(
-            "p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
-        ),
-        "left_outer",
-    ).select("purchase_id", "click_id")
+    bound, delayed null emission."""
+    return interval_join(left, right, watermark, how="left_outer")
 
 
 def interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
