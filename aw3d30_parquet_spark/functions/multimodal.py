@@ -353,6 +353,35 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
 
+def decimate_audio(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Audio downsample by integer decimation (keep every ``factor``-th
+    sample, divide the rate) — the 1-D twin of the image resize's
+    index-map resampling. Non-audio rows are dropped; output is
+    re-encoded PCM0. (Real resampling would low-pass first — with
+    soundfile/scipy absent this is the honest index-map core, and the
+    arithmetic stays exactly oracle-reproducible.)"""
+
+    def kernel(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                kind, meta, arr = decode_payload(bytes(payload))
+                if kind != "audio":
+                    continue
+                dec = arr[::factor]
+                head = _pack_header(
+                    _MAGIC_AUDIO, meta["sample_rate"] // factor, len(dec), 0
+                )
+                rows["media_id"].append(int(mid))
+                rows["kind"].append("audio")
+                rows["payload"].append(head + dec.astype("<i2").tobytes())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
     """Video frame sampling — a UDTF (1 row → n_frames/k rows), the same
     generator shape as the GeoTIFF flatten (SURVEY §2.2 R5)."""
@@ -551,15 +580,61 @@ FROM per_doc GROUP BY sr ORDER BY sample_rate
 """
 
 
+def m05_audio_decimate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fabricate → decimate by 2 → decode → energy aggregate: drives
+    the audio transform path end-to-end and pins its CONTENT via m04's
+    exact-integer energy recovery, now over the decimated signal
+    (samples at even source indices, rate halved)."""
+    feats = extract_features(
+        decimate_audio(media_table(spark, sf_dir, kind="audio"), 2)
+    )
+    energy = F.round(
+        F.col("intensity") * F.col("intensity") * F.col("n_samples")
+    ).cast("bigint")
+    return (
+        feats.groupBy("sample_rate")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("n_samples").alias("total_samples"),
+            F.sum(energy).alias("total_energy"),
+        )
+        .orderBy("sample_rate")
+    )
+
+
+#: decimated sample j of doc d reads source index 2j; rate halves
+_M05_ORACLE = """
+WITH params AS (
+  SELECT doc_id, doc_id % 256 AS s,
+         (8000 + (doc_id % 4) * 4000) // 2 AS sr,
+         256 + (doc_id % 10) * 64 AS n
+  FROM documents WHERE doc_id % 3 = 1
+), pix AS (
+  SELECT doc_id, sr, (n + 1) // 2 AS n_dec,
+         ((s + 2 * unnest(range((n + 1) // 2))) % 4096) - 2048 AS v
+  FROM params
+), per_doc AS (
+  SELECT doc_id, sr, n_dec, sum(v * v) AS sumsq
+  FROM pix GROUP BY doc_id, sr, n_dec
+)
+SELECT CAST(sr AS INTEGER) AS sample_rate, count(*) AS cnt,
+       CAST(sum(n_dec) AS BIGINT) AS total_samples,
+       CAST(sum(sumsq) AS BIGINT) AS total_energy
+FROM per_doc GROUP BY sr ORDER BY sample_rate
+"""
+
+
 QUERIES = {
     "m01_media_metadata": m01_media_metadata,
     "m02_image_resize_stats": m02_image_resize_stats,
     "m03_frame_sample_stats": m03_frame_sample_stats,
     "m04_audio_energy_stats": m04_audio_energy_stats,
+    "m05_audio_decimate_stats": m05_audio_decimate_stats,
 }
 ORACLE_SQL = {
     "m01_media_metadata": _M01_ORACLE,
     "m02_image_resize_stats": _M02_ORACLE,
     "m03_frame_sample_stats": _M03_ORACLE,
     "m04_audio_energy_stats": _M04_ORACLE,
+    "m05_audio_decimate_stats": _M05_ORACLE,
 }
