@@ -39,7 +39,7 @@ _ANON_PROVIDER = "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
 def configure_s3a(
     spark: SparkSession,
     endpoint: str | None = None,
-    anonymous: bool = True,
+    anonymous: bool | None = None,
     path_style_access: bool = False,
     access_key: str | None = None,
     secret_key: str | None = None,
@@ -48,12 +48,25 @@ def configure_s3a(
 
     Hadoop confs are session-global and mutable at runtime (unlike
     ``spark.sql.*`` static confs), so this works on an already-running
-    cluster session. Anonymous access is the default — the AW3D30
-    bucket is public, like the reference's unauthenticated GetObject.
+    cluster session. ``anonymous`` defaults to True only when no keys
+    are given (the AW3D30 bucket is public, like the reference's
+    unauthenticated GetObject); passing keys implies keyed access and
+    RESETS the provider conf so a previously-set anonymous provider
+    cannot shadow the credentials.
     """
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    if anonymous is None:
+        anonymous = access_key is None and secret_key is None
+    if anonymous and (access_key is not None or secret_key is not None):
+        raise ValueError(
+            "anonymous=True ignores access/secret keys — pass "
+            "anonymous=False (or omit it) for keyed access"
+        )
     if anonymous:
         hconf.set("fs.s3a.aws.credentials.provider", _ANON_PROVIDER)
+    else:
+        # back to the default provider chain (env/keys/instance profile)
+        hconf.unset("fs.s3a.aws.credentials.provider")
     if access_key is not None:
         hconf.set("fs.s3a.access.key", access_key)
     if secret_key is not None:

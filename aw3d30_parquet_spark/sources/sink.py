@@ -29,15 +29,55 @@ from aw3d30_parquet_spark.sources.geotiff import read_tiles, tiles_for_set
 _PART_RE = re.compile(r"^tile_lat=(-?\d+)$")
 
 
-def existing_tiles(out_dir: str) -> set[tuple[int, int]]:
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any Hadoop-scheme URI — the listing layer
+    that works identically on local paths, file://, and s3a:// (the
+    ``os.path`` calls this replaces silently see object-store URIs as
+    absent local paths, which breaks the idempotency contract there)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _fs_listdir(fs, hpath) -> list[str]:
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
+
+def existing_tiles(
+    out_dir: str, spark: SparkSession | None = None
+) -> set[tuple[int, int]]:
     """Tile coordinates already present in the partitioned output layout.
 
     Reads only directory names (``tile_lat=N/tile_lon=M``) — the manifest
-    is the partition tree itself, no data files are opened. On a real
-    object store this is two LIST calls per lat, same as the reference's
-    metadata-only skip check (``src/main.rs:144``).
+    is the partition tree itself, no data files are opened. With a
+    ``spark`` session the walk goes through the Hadoop FileSystem API,
+    so it is two LIST calls per lat on an object store too; without one
+    it falls back to ``os`` (local paths only).
     """
     done: set[tuple[int, int]] = set()
+    if spark is not None or "://" in out_dir:
+        if spark is None:
+            raise ValueError(
+                f"{out_dir!r} is a filesystem URI — pass the SparkSession "
+                "so the listing can go through the Hadoop FileSystem API"
+            )
+        fs, root = _hadoop_fs(spark, out_dir)
+        if not fs.exists(root):
+            return done
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+        for lat_dir in _fs_listdir(fs, root):
+            m = _PART_RE.match(lat_dir)
+            if m is None:
+                continue
+            lat = int(m.group(1))
+            lat_path = jvm_path(root, lat_dir)
+            for lon_dir in _fs_listdir(fs, lat_path):
+                if lon_dir.startswith("tile_lon="):
+                    files = _fs_listdir(fs, jvm_path(lat_path, lon_dir))
+                    if any(f.endswith(".parquet") for f in files):
+                        done.add((lat, int(lon_dir.split("=", 1)[1])))
+        return done
     if not os.path.isdir(out_dir):
         return done
     for lat_dir in os.listdir(out_dir):
@@ -85,7 +125,7 @@ def ingest_tiles(
     tile counts, collected via ``df.observe`` — measured on the running
     plan itself, no second pass over the data.
     """
-    done = existing_tiles(out_dir)
+    done = existing_tiles(out_dir, spark)
     pending = sorted(set(tiles_for_set(set_name)) - done)
     if not pending:
         if metrics is not None:
@@ -114,37 +154,22 @@ def ingest_tiles(
         metrics["skipped_tiles"] = len(done)
     else:
         write_tiles(df, out_dir, mode="append")
-    return [t for t in pending if t in existing_tiles(out_dir)]
+    done_after = existing_tiles(out_dir, spark)  # ONE post-write walk
+    return [t for t in pending if t in done_after]
 
 
-def stream_ingest_tiles(
+def _stream_points(
     spark: SparkSession,
     tif_dir: str,
-    out_dir: str,
-    checkpoint_dir: str,
-    set_name: str = "world",
-    chunk_rows: int = 512_000,
-    available_now: bool = True,
+    set_name: str,
+    chunk_rows: int,
+    on_corrupt: str,
     max_files_per_trigger: int | None = None,
-):
-    """Continuous tile ingest: new ``.tif`` arrivals → partitioned
-    Parquet, exactly once.
-
-    The batch pipeline as a Structured Streaming query — the file
-    source's checkpoint replaces the partition-tree manifest as the
-    idempotency mechanism (the reference's skip-if-exists,
-    ``src/main.rs:144-146``, upgraded to transactional exactly-once: a
-    tile is decoded and committed exactly once even across restarts
-    and mid-batch crashes). Region pruning still runs on file metadata
-    before any tile byte is read; the data plane stays the same
-    shuffle-free scan → mapInPandas decode → partitioned write.
-
-    ``available_now=True`` drains everything currently in the
-    directory then stops (incremental backfill); ``False`` keeps
-    watching for new tiles (a live feed off an object-store landing
-    prefix). Returns the started StreamingQuery — callers own
-    ``awaitTermination()``.
-    """
+) -> DataFrame:
+    """Shared streaming source for both streaming sinks: binaryFile
+    arrivals → region prune on metadata → mapInPandas decode. ONE
+    definition so the glob, schema, and corrupt-handling cannot
+    silently diverge between ingest and rollup."""
     from aw3d30_parquet_spark.session import ship_package
     from aw3d30_parquet_spark.sources.geotiff import (
         POINT_SCHEMA,
@@ -166,9 +191,51 @@ def stream_ingest_tiles(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     files = reader.load(tif_dir).select("path", "content")
-    pts = _region_pruned_files(files, set_name).mapInPandas(
-        lambda it: _decode_partition(it, chunk_rows, "skip"),
+    return _region_pruned_files(files, set_name).mapInPandas(
+        lambda it: _decode_partition(it, chunk_rows, on_corrupt),
         schema=POINT_SCHEMA,
+    )
+
+
+def stream_ingest_tiles(
+    spark: SparkSession,
+    tif_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    set_name: str = "world",
+    chunk_rows: int = 512_000,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    on_corrupt: str = "skip",
+):
+    """Continuous tile ingest: new ``.tif`` arrivals → partitioned
+    Parquet, exactly once.
+
+    The batch pipeline as a Structured Streaming query — the file
+    source's checkpoint replaces the partition-tree manifest as the
+    idempotency mechanism (the reference's skip-if-exists,
+    ``src/main.rs:144-146``, upgraded to transactional exactly-once: a
+    tile is decoded and committed exactly once even across restarts
+    and mid-batch crashes). Region pruning still runs on file metadata
+    before any tile byte is read; the data plane stays the same
+    shuffle-free scan → mapInPandas decode → partitioned write.
+
+    ``on_corrupt`` matters MORE here than in batch: the file source's
+    checkpoint marks a file processed even when the decode skipped it,
+    and re-uploading the same path is never re-read — so ``"skip"``
+    (the default, keeps the stream alive) drops a corrupt tile
+    PERMANENTLY (watch executor logs), while ``"fail"`` stops the query
+    and re-attempts the batch on restart until the bytes are fixed
+    in place. Choose per pipeline: availability vs completeness.
+
+    ``available_now=True`` drains everything currently in the
+    directory then stops (incremental backfill); ``False`` keeps
+    watching for new tiles (a live feed off an object-store landing
+    prefix). Returns the started StreamingQuery — callers own
+    ``awaitTermination()``.
+    """
+    pts = _stream_points(
+        spark, tif_dir, set_name, chunk_rows, on_corrupt, max_files_per_trigger
     )
     writer = (
         pts.writeStream.format("parquet")
@@ -214,24 +281,39 @@ def compact_tiles(
 
     def _files_per_tile() -> dict[tuple[int, int], int]:
         out: dict[tuple[int, int], int] = {}
+        if "://" in out_dir:
+            fs, root = _hadoop_fs(spark, out_dir)
+            jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+            for la, lo in existing_tiles(out_dir, spark):
+                p = jvm_path(root, f"tile_lat={la}/tile_lon={lo}")
+                out[(la, lo)] = sum(
+                    n.endswith(".parquet") for n in _fs_listdir(fs, p)
+                )
+            return out
         for la, lo in existing_tiles(out_dir):
             p = os.path.join(out_dir, f"tile_lat={la}", f"tile_lon={lo}")
             out[(la, lo)] = sum(f.endswith(".parquet") for f in os.listdir(p))
         return out
 
     before = _files_per_tile()
+    wanted = None if tiles is None else set(tiles)
     victims = [
         t
         for t, n in sorted(before.items())
-        if n > 1 and (tiles is None or t in set(tiles))
+        if n > 1 and (wanted is None or t in wanted)
     ]
     if not victims:
         return {"compacted_tiles": 0, "files_before": sum(before.values()),
                 "files_after": sum(before.values())}
     df = spark.read.parquet(out_dir)
-    key = F.struct("tile_lat", "tile_lon")
-    pick = [F.struct(F.lit(la), F.lit(lo)) for la, lo in victims]
-    frag = df.filter(key.isin(pick))
+    # victim selection as a broadcast semi-join, not an IN-list of
+    # struct literals: at fleet scale (thousands of fragmented tiles)
+    # the literal list bloats the plan; the join prunes partitions at
+    # runtime via dynamic partition pruning under AQE
+    vdf = spark.createDataFrame(
+        list(victims), "tile_lat INT, tile_lon INT"
+    )
+    frag = df.join(F.broadcast(vdf), ["tile_lat", "tile_lon"], "left_semi")
     old_conf = {
         "spark.sql.sources.partitionOverwriteMode": spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
@@ -286,6 +368,7 @@ def stream_tile_rollup(
     checkpoint_dir: str,
     set_name: str = "world",
     chunk_rows: int = 512_000,
+    on_corrupt: str = "skip",
 ):
     """Continuously-maintained per-tile elevation rollup (the
     "hypertable continuous aggregate" pattern, Spark-first).
@@ -301,37 +384,33 @@ def stream_tile_rollup(
     world rollup cheap to keep fresh forever.
 
     foreachBatch is the right tool (not a windowed agg): the combine
-    is keyed by tile, not time, and needs a read-merge-write against
-    an external table — exactly what foreachBatch's batch-scoped
-    DataFrame + checkpointed batch id give exactly-once semantics for.
+    is keyed by tile, not time, and needs a read-merge-write against an
+    external table. foreachBatch alone is AT-LEAST-ONCE — a replayed
+    micro-batch would double-merge its delta — so the merge records
+    each applied ``batch_id`` as a ``_applied/batch-N`` marker inside
+    the rollup dir and skips batches it has already applied. The
+    residual window is a crash exactly between the data commit and the
+    marker commit (plain Parquet cannot close it; a table format with
+    transactions — Delta/Iceberg — is the upgrade path at scale).
     """
     from pyspark.sql import functions as F
 
-    from aw3d30_parquet_spark.session import ship_package
-    from aw3d30_parquet_spark.sources.geotiff import (
-        POINT_SCHEMA,
-        _decode_partition,
-        _region_pruned_files,
-    )
+    pts = _stream_points(spark, tif_dir, set_name, chunk_rows, on_corrupt)
+    # batch ids restart at 0 under a NEW checkpoint, so the replay
+    # marker is scoped to the checkpoint identity — a fresh pipeline
+    # reusing an existing rollup dir must not be suppressed by a stale
+    # run's batch-0 marker
+    import hashlib
 
-    ship_package(spark)
-    binary_file_schema = (
-        "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
-    )
-    files = (
-        spark.readStream.format("binaryFile")
-        .schema(binary_file_schema)
-        .option("pathGlobFilter", "ALPSMLC30_*_DSM.tif")
-        .load(tif_dir)
-        .select("path", "content")
-    )
-    pts = _region_pruned_files(files, set_name).mapInPandas(
-        lambda it: _decode_partition(it, chunk_rows, "skip"),
-        schema=POINT_SCHEMA,
-    )
+    ckpt_tag = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+        fs, root = _hadoop_fs(s, rollup_dir)
+        jvm_path = s._jvm.org.apache.hadoop.fs.Path
+        marker = jvm_path(rollup_dir + f"/_applied/{ckpt_tag}-batch-{batch_id}")
+        if fs.exists(marker):
+            return  # replayed micro-batch: already merged
         delta = (
             batch_df.groupBy("tile_lat", "tile_lon")
             .agg(
@@ -341,14 +420,17 @@ def stream_tile_rollup(
                 F.max("elevation").alias("max_elev"),
             )
         )
-        if os.path.isdir(rollup_dir) and any(
-            not f.startswith(("_", ".")) for f in os.listdir(rollup_dir)
-        ):
+        has_data = fs.exists(root) and any(
+            not n.startswith(("_", ".")) for n in _fs_listdir(fs, root)
+        )
+        if has_data:
             existing = s.read.parquet(rollup_dir)
-            affected = delta.select("tile_lat", "tile_lon")
-            prior = existing.join(
-                F.broadcast(affected), ["tile_lat", "tile_lon"], "left_semi"
-            )
+            # the dynamic overwrite below swaps WHOLE tile_lat
+            # partitions, so prior rows must be carried for every lat
+            # BAND the batch touches — semi-joining on (lat, lon) would
+            # drop same-band sibling tiles' rows from the rewrite
+            bands = delta.select("tile_lat").distinct()
+            prior = existing.join(F.broadcast(bands), ["tile_lat"], "left_semi")
             merged = (
                 prior.unionByName(delta)
                 .groupBy("tile_lat", "tile_lon")
@@ -374,6 +456,7 @@ def stream_tile_rollup(
             )
         finally:
             s.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+        fs.mkdirs(marker)  # commit the replay guard
 
     return (
         pts.writeStream.foreachBatch(_merge)

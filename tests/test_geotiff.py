@@ -557,6 +557,33 @@ def test_stream_tile_rollup_incremental(spark, tmp_path):
     assert abs(means[(51, 4)] - band.mean()) < 1e-9
 
 
+def test_stream_tile_rollup_same_lat_band(spark, tmp_path):
+    """Regression: a later batch in the SAME lat band must not lose the
+    band's earlier tiles — the dynamic overwrite swaps whole tile_lat
+    partitions, so prior rows of every affected band ride along."""
+    from aw3d30_parquet_spark.sources.sink import stream_tile_rollup
+
+    tif = tmp_path / "tiles"
+    tif.mkdir()
+    _write_fixture_tiles(str(tif), [(51, 4)])
+    roll = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_tile_rollup(spark, str(tif), roll, ckpt, "netherlands")
+    q.awaitTermination()
+
+    # second arrival: tile (51, 5) — same tile_lat=51 partition
+    _write_fixture_tiles(str(tif), [(51, 5)])
+    q = stream_tile_rollup(spark, str(tif), roll, ckpt, "netherlands")
+    q.awaitTermination()
+    band = _fixture_band()
+    want_tile = (SIZE * SIZE, int(band.sum()), int(band.min()), int(band.max()))
+    got = {
+        (r.tile_lat, r.tile_lon): (r.n_points, r.sum_elev, r.min_elev, r.max_elev)
+        for r in spark.read.parquet(roll).collect()
+    }
+    assert got == {(51, 4): want_tile, (51, 5): want_tile}
+
+
 @settings(deadline=None, max_examples=25)
 @given(
     h=st.integers(1, 40),
