@@ -155,6 +155,24 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Scratch persists from the PREVIOUS d07/d08 invocation, released on
+#: the next call: a persisted interim can't be unpersisted before its
+#: consumer action runs (laziness), but letting every call leak one
+#: cached relation forever would squeeze executor storage in a loop —
+#: deferred release bounds the leak to one generation per operator.
+_SCRATCH: dict[str, list] = {}
+
+
+def _scratch_persist(op: str, df: DataFrame) -> DataFrame:
+    for old in _SCRATCH.get(op, []):
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _SCRATCH[op] = [df.persist()]
+    return df
+
+
 def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d04's scale variant: exact Jaccard pairs via PREFIX FILTERING.
 
@@ -175,7 +193,12 @@ def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     while small and falls back to shuffled joins at scale.
     """
     t = JACCARD_THRESHOLD
-    docs = (
+    # four subtrees read this relation (explode, prefix join, both
+    # verify sides): materialize the shingling once per job instead of
+    # re-hashing the corpus 4× (at scale: a checkpointed interim);
+    # released on the next d07 call via the scratch registry
+    docs = _scratch_persist(
+        "d07",
         _docs(spark, sf_dir)
         .select("doc_id", _shingles(F.col("text")).alias("shs"))
         .select(
@@ -184,11 +207,7 @@ def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform("shs", lambda s: F.xxhash64(s))
             ).alias("hs"),
         )
-        .select("doc_id", "hs", F.size("hs").alias("n"))
-        # four subtrees read this relation (explode, prefix join, both
-        # verify sides): materialize the shingling once per job instead
-        # of re-hashing the corpus 4× (at scale: a checkpointed interim)
-        .persist()
+        .select("doc_id", "hs", F.size("hs").alias("n")),
     )
     ex = docs.select("doc_id", "n", F.explode_outer("hs").alias("h"))
     freq = ex.groupBy("h").agg(F.count("*").alias("df"))
@@ -251,15 +270,20 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     zeros = F.array_repeat(F.lit(0).cast("long"), 64)
     positions = F.sequence(F.lit(0), F.lit(63))
 
-    def bit_vec(tok):
-        h = F.xxhash64(tok)
+    # hash each token ONCE into an array, then fold bits over the hash
+    # values — higher-order lambdas are interpreted per element with no
+    # common-subexpression elimination, so putting xxhash64(tok) inside
+    # the per-bit transform would evaluate the hash 64× per token
+    hashes = F.transform(words, lambda tok: F.xxhash64(tok))
+
+    def bit_vec(h):
         # bit_get (unlike shiftright) takes the position as a column.
         return F.transform(
             positions, lambda i: (F.bit_get(h, i) * 2 - 1).cast("long")
         )
 
     sums = F.aggregate(
-        words, zeros, lambda acc, tok: F.zip_with(acc, bit_vec(tok), lambda x, y: x + y)
+        hashes, zeros, lambda acc, h: F.zip_with(acc, bit_vec(h), lambda x, y: x + y)
     )
     bits = F.concat_ws(
         "", F.transform(sums, lambda s: F.when(s > 0, "1").otherwise("0"))
@@ -318,11 +342,13 @@ def minhash_lsh_pairs(
     # posexplode_outer: band_hashes is never empty, and the _outer form
     # stops Catalyst inferring a size()>0 guard that would re-evaluate
     # the full signature below the spread repartition (see d04 note).
+    # The banded relation carries ONLY (doc_id, band, bh): shipping the
+    # shingle arrays through the bands·n explode and the self-join
+    # would multiply the corpus text through the shuffle; the verify
+    # arrays join back AFTER candidate dedup, once per side.
     banded = (
         docs.withColumn("sig", sig)
-        .select(
-            "doc_id", "shs", F.posexplode_outer(band_hashes).alias("band", "bh")
-        )
+        .select("doc_id", F.posexplode_outer(band_hashes).alias("band", "bh"))
     )
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
@@ -335,10 +361,20 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.shs").alias("shs_a"),
-            F.col("b.shs").alias("shs_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+        .join(
+            docs.select(
+                F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a")
+            ),
+            "id_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b")
+            ),
+            "id_b",
+        )
     )
     jac = F.size(F.array_intersect("shs_a", "shs_b")) / F.size(
         F.array_union("shs_a", "shs_b")
@@ -509,6 +545,7 @@ def neardup_components(
         .persist()
     )
     pinned = labels  # the persisted handle for the current generation
+    converged = False
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.id_b == labels.node)
@@ -534,7 +571,18 @@ def neardup_components(
         pinned = updated
         labels = updated.select("node", "label")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # a silent exit here would report one real component as several
+        # under-merged clusters — fail loudly (components of diameter >
+        # max_iters need a higher bound or a star-contraction variant)
+        edges.unpersist()
+        pinned.unpersist()
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} "
+            "iterations — raise max_iters"
+        )
     out = (
         labels.groupBy("label")
         .agg(
@@ -549,6 +597,14 @@ def neardup_components(
         .orderBy("keeper")
     )
     edges.unpersist()
+    # the converged label table must stay persisted until the caller's
+    # action runs; the next d08 call releases it
+    for old in _SCRATCH.get("d08", []):
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _SCRATCH["d08"] = [pinned]
     return out
 
 

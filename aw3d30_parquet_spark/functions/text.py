@@ -63,7 +63,12 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             # bit-identical in both engines.
             (
                 F.floor(
-                    F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                    # strip ALL whitespace (the tokenizer splits on
+                    # \s+, so tabs/newlines are separators, not token
+                    # characters)
+                    F.length(
+                        F.regexp_replace(F.col("text"), r"\s+", "")
+                    )
                     / n_tokens.cast("double")
                     * 100
                     + 0.5
@@ -252,7 +257,7 @@ ORACLE_SQL = {
     "t01_token_stats": """
 SELECT doc_id, length(text) AS n_chars,
        len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-       CAST(floor(length(replace(text, ' ', ''))
+       CAST(floor(length(regexp_replace(text, '\\s+', '', 'g'))
              / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
              * 100 + 0.5) AS BIGINT) / 100.0 AS avg_tok_len
 FROM documents ORDER BY doc_id

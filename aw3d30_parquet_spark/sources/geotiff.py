@@ -38,9 +38,11 @@ from pyspark.sql.types import (
 
 from aw3d30_parquet_spark.sources.tiff import decode_geotiff, flatten_raster
 
-#: Key regex — byte-for-byte the reference's (``src/main.rs:298``), plus
-#: anchors so mutated keys ("ALPSMLC30_X051E004_DSM", truncations) reject
-#: exactly like the reference's TryFrom parse (``src/main.rs:131``).
+#: Key regex — byte-for-byte the reference's (``src/main.rs:298``); the
+#: anchored stem variant below is what :func:`parse_tile_key` enforces,
+#: so mutated keys ("ALPSMLC30_X051E004_DSM", truncations, suffixed
+#: stems) reject exactly like the reference's TryFrom parse
+#: (``src/main.rs:131``).
 TILE_KEY_RE = re.compile(r"ALPSMLC30_(?P<y>[NS])(?P<lat>\d{3})(?P<x>[EW])(?P<lon>\d{3})_DSM")
 _TILE_STEM_RE = re.compile(r"^ALPSMLC30_(?P<y>[NS])(?P<lat>\d{3})(?P<x>[EW])(?P<lon>\d{3})_DSM$")
 
@@ -80,12 +82,17 @@ def tile_key(lat: int, lon: int) -> str:
 
 
 def parse_tile_key(key: str) -> tuple[int, int] | None:
-    """Key (or path containing one) → signed (lat, lon); None if malformed.
+    """Key (or path ending in one) → signed (lat, lon); None if malformed.
 
     Mirrors the reference's parse-reject behavior (``src/main.rs:131``):
-    a key that doesn't match the pattern is silently excluded upstream.
+    the BASENAME stem must match the anchored pattern exactly, so
+    mutated names (``..._DSM_old``, ``..._DSMX_DSM``) and tile-key-
+    shaped DIRECTORY components reject rather than mis-parse.
     """
-    m = TILE_KEY_RE.search(key)
+    stem = os.path.basename(key)
+    if stem.endswith(".tif"):
+        stem = stem[: -len(".tif")]
+    m = _TILE_STEM_RE.match(stem)
     if m is None:
         return None
     lat = int(m["lat"])
@@ -197,7 +204,15 @@ def _gradient_partition(batches: Iterable, chunk_rows: int) -> Iterator:
             if coord is None:
                 continue
             band, gt = decode_geotiff(bytes(content))
-            dzdy_grid, dzdx_grid = np.gradient(band.astype(np.float64))
+            b = band.astype(np.float64)
+            # np.gradient needs ≥2 samples per axis; a degenerate
+            # 1-wide/1-tall raster has zero slope along that axis
+            dzdy_grid = (
+                np.gradient(b, axis=0) if b.shape[0] > 1 else np.zeros_like(b)
+            )
+            dzdx_grid = (
+                np.gradient(b, axis=1) if b.shape[1] > 1 else np.zeros_like(b)
+            )
             height, width = band.shape
             x = np.arange(width, dtype=np.float64)
             rows_per_chunk = max(1, chunk_rows // width)
@@ -221,15 +236,19 @@ def _gradient_partition(batches: Iterable, chunk_rows: int) -> Iterator:
 
 def _key_coord_cols() -> tuple:
     """JVM-side (key_lat, key_lon, key_valid) metadata columns parsed
-    from the file path — Java-regex variant of TILE_KEY_RE (positional
-    groups; Java lacks ``(?P<name>)``)."""
-    jpat = r"ALPSMLC30_([NS])(\d{3})([EW])(\d{3})_DSM"
-    path = F.col("path")
-    sign_lat = F.when(F.regexp_extract(path, jpat, 1) == "S", -1).otherwise(1)
-    sign_lon = F.when(F.regexp_extract(path, jpat, 3) == "W", -1).otherwise(1)
-    key_lat = sign_lat * F.regexp_extract(path, jpat, 2).cast("int")
-    key_lon = sign_lon * F.regexp_extract(path, jpat, 4).cast("int")
-    return key_lat, key_lon, F.regexp_extract(path, jpat, 0) != ""
+    from the file path — Java-regex variant of _TILE_STEM_RE (positional
+    groups; Java lacks ``(?P<name>)``), ANCHORED to the path's basename:
+    matching anywhere in the full path would let a tile-key-shaped
+    directory component hijack the coordinates the region pruning and
+    exclude filters key on (and disagree with the Python kernel, which
+    parses the basename)."""
+    jpat = r"^ALPSMLC30_([NS])(\d{3})([EW])(\d{3})_DSM\.tif$"
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    sign_lat = F.when(F.regexp_extract(fname, jpat, 1) == "S", -1).otherwise(1)
+    sign_lon = F.when(F.regexp_extract(fname, jpat, 3) == "W", -1).otherwise(1)
+    key_lat = sign_lat * F.regexp_extract(fname, jpat, 2).cast("int")
+    key_lon = sign_lon * F.regexp_extract(fname, jpat, 4).cast("int")
+    return key_lat, key_lon, F.regexp_extract(fname, jpat, 0) != ""
 
 
 def _region_pruned_files(files: DataFrame, set_name: str) -> DataFrame:
