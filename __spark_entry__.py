@@ -67,6 +67,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     combined: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     combined.update(RELATIONAL_QUERIES)
 
+    from aw3d30_parquet_spark.operators import zorder
+
+    combined.update(zorder.QUERIES)
+
     from aw3d30_parquet_spark.functions import EXTENDED_QUERIES
 
     combined.update(EXTENDED_QUERIES)
@@ -103,6 +107,10 @@ def oracle_sql() -> dict[str, str]:
 
     out: dict[str, str] = {}
     out.update(ORACLE_SQL)
+
+    from aw3d30_parquet_spark.operators import zorder
+
+    out.update(zorder.ORACLE_SQL)
 
     from aw3d30_parquet_spark.functions import EXTENDED_ORACLE_SQL
 

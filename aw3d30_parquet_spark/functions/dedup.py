@@ -306,9 +306,11 @@ def minhash_lsh_pairs(
 
     All-codegen banding — no MLlib, no Python, no UDFs:
 
-    1. signature: ``minhash_i = array_min(transform(shingles,
-       sh → xxhash64(i, sh)))`` for i < bands·rows_per_band — one pass
-       over the shingle array per permutation, inside whole-stage codegen;
+    1. signature: shingles hash once to longs (``h0 = xxhash64(sh)``),
+       then ``minhash_i = array_min(transform(h0, h → xxhash64(i, h)))``
+       for i < bands·rows_per_band — one pass over the hashed array per
+       permutation, inside whole-stage codegen, and the per-permutation
+       re-hash touches 8-byte longs instead of shingle strings;
     2. banding: hash each band's ``rows_per_band`` minhashes, posexplode
        to (band, band_hash) — n·bands rows, the only exploded relation;
     3. candidates: self-join on (band, band_hash) with id_a < id_b,
@@ -323,15 +325,30 @@ def minhash_lsh_pairs(
     At 100 TB the shuffle keys are (band, 8-byte hash) — tiny — and the
     verify join ships only candidate shingle arrays, not the corpus.
     """
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", _shingles(F.col("text")).alias("shs")
+    # Shingle once, hash each shingle STRING once (8-byte ``h0``); the
+    # nperm permutations then re-hash the longs, not the strings — at
+    # ~30-byte shingles that is 24× less byte-hashing on the hot path.
+    # Persisted per job (same deferred-release scratch as d07): the
+    # relation feeds the banding AND both exact-verify sides, and
+    # without the persist the self-join below evaluates the whole
+    # shingling twice more. Production at 100 TB materializes this to a
+    # signatures table; the persist is the in-process analogue.
+    docs = _scratch_persist(
+        "d06_docs",
+        _docs(spark, sf_dir).select(
+            "doc_id", _shingles(F.col("text")).alias("shs")
+        ),
+    )
+    hashed = docs.select(
+        "doc_id",
+        F.transform(F.col("shs"), lambda sh: F.xxhash64(sh)).alias("h0"),
     )
     nperm = bands * rows_per_band
     # minhash signature: xxhash64 seeded per permutation via an i-prefix
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(nperm - 1)),
         lambda i: F.array_min(
-            F.transform(F.col("shs"), lambda sh: F.xxhash64(i, sh))
+            F.transform(F.col("h0"), lambda h: F.xxhash64(i, h))
         ),
     )
     # one 64-bit hash per band over its slice of the signature
@@ -346,9 +363,11 @@ def minhash_lsh_pairs(
     # shingle arrays through the bands·n explode and the self-join
     # would multiply the corpus text through the shuffle; the verify
     # arrays join back AFTER candidate dedup, once per side.
-    banded = (
-        docs.withColumn("sig", sig)
-        .select("doc_id", F.posexplode_outer(band_hashes).alias("band", "bh"))
+    banded = _scratch_persist(
+        "d06_banded",
+        hashed.withColumn("sig", sig).select(
+            "doc_id", F.posexplode_outer(band_hashes).alias("band", "bh")
+        ),
     )
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (

@@ -244,12 +244,19 @@ def decode_payload(payload: bytes) -> tuple[str, dict, np.ndarray]:
     )
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def extract_features(media: DataFrame, metadata_only: bool = False) -> DataFrame:
     """Decode + feature-extract: one output row per media row.
 
     Map-only stage; batch shape preserved (one pandas frame in → one
     out), so Arrow batch sizing (spark.sql.execution.arrow.
     maxRecordsPerBatch) fully controls peak memory.
+
+    ``metadata_only=True`` decodes headers but skips the body scan
+    (``intensity`` comes back 0.0) — hand-applied projection pushdown
+    for consumers that aggregate sizes/dims only: Catalyst cannot prune
+    columns *inside* a Python kernel, so the caller must say what it
+    reads. At 100 TB this is the difference between touching 16 bytes
+    and the full payload per row.
     """
 
     def _segment_sums(values: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -288,14 +295,14 @@ def extract_features(media: DataFrame) -> DataFrame:
 
             intensity = np.zeros(n, np.float64)
             pix = is_img | is_vid  # both carry uint8 bodies of a·b·c
-            if pix.any():
+            if not metadata_only and pix.any():
                 idx = np.nonzero(pix)[0]
                 lens = (a * b * c)[idx]
                 big = np.frombuffer(
                     b"".join(payloads[i][_HEADER_SIZE:] for i in idx), np.uint8
                 )
                 intensity[idx] = _segment_sums(big, lens) / lens
-            if is_aud.any():
+            if not metadata_only and is_aud.any():
                 idx = np.nonzero(is_aud)[0]
                 lens = b[idx]
                 xs = np.frombuffer(
@@ -412,8 +419,10 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
 def m01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fabricate → decode → per-kind aggregate. The Spark side reads
     sizes out of the binary headers it decoded; the oracle recomputes
-    them arithmetically from doc_id (media_params mirrored in SQL)."""
-    feats = extract_features(media_table(spark, sf_dir))
+    them arithmetically from doc_id (media_params mirrored in SQL).
+    Header-only decode (metadata_only): the aggregate reads sizes and
+    dims, never pixel/sample content — m02/m04/m05 pin body content."""
+    feats = extract_features(media_table(spark, sf_dir), metadata_only=True)
     return (
         feats.groupBy("kind")
         .agg(

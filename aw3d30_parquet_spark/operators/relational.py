@@ -1514,6 +1514,71 @@ def q70_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q71_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: classify every key across two table
+    versions as insert / delete / update / unchanged and emit a per-
+    action audit — the change-detection pass that feeds incremental
+    downstream rebuilds (only changed keys get reprocessed).
+
+    The second snapshot is derived deterministically from the first
+    (so both engines can reconstruct it): keys ≡0 (mod 97) are deleted,
+    keys ≡0 (mod 13) get +500 cents, keys ≡0 (mod 101) are re-inserted
+    shifted by 1 000 000 (the insert branch).
+
+    Scale shape: change detection compares one 8-byte ``xxhash64``
+    digest of the non-key payload per side, never the wide row — the
+    full-outer join shuffles (key, digest) pairs only, so a 100-column
+    100 TB table diffs at the cost of its key column. Digest equality ⟺
+    payload equality (modulo 2⁻⁶⁴ collisions), so the action counts are
+    hash-function-independent and the oracle compares values directly."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _cents(F.col("c_acctbal")).alias("bal_cents"),
+        "c_nationkey",
+    )
+    v2_base = cust.filter(F.col("c_custkey") % 97 != 0).select(
+        "c_custkey",
+        (
+            F.col("bal_cents")
+            + F.when(F.col("c_custkey") % 13 == 0, 500).otherwise(0)
+        ).alias("bal_cents"),
+        "c_nationkey",
+    )
+    inserts = cust.filter(F.col("c_custkey") % 101 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        "bal_cents",
+        "c_nationkey",
+    )
+    v2 = v2_base.unionByName(inserts)
+
+    def digested(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col("c_custkey").alias(f"key_{tag}"),
+            F.xxhash64("bal_cents", "c_nationkey").alias(f"dig_{tag}"),
+        )
+
+    d = digested(cust, "a").join(
+        digested(v2, "b"),
+        F.col("key_a") == F.col("key_b"),
+        "full_outer",
+    )
+    action = (
+        F.when(F.col("key_a").isNull(), "insert")
+        .when(F.col("key_b").isNull(), "delete")
+        .when(F.col("dig_a") != F.col("dig_b"), "update")
+        .otherwise("unchanged")
+    )
+    return (
+        d.select(
+            action.alias("action"),
+            F.coalesce("key_a", "key_b").alias("key"),
+        )
+        .groupBy("action")
+        .agg(F.count("*").alias("n_rows"), F.sum("key").alias("sum_keys"))
+        .orderBy("action")
+    )
+
+
 RELATIONAL_QUERIES = {
     "q01_scan_project": q01_scan_project,
     "a01_approx_count_distinct": a01_approx_count_distinct,
@@ -1588,4 +1653,5 @@ RELATIONAL_QUERIES = {
     "q68_scd_dimension_join": q68_scd_dimension_join,
     "q69_merge_upsert": q69_merge_upsert,
     "q70_rolling_anomalies": q70_rolling_anomalies,
+    "q71_snapshot_diff": q71_snapshot_diff,
 }

@@ -698,4 +698,32 @@ SELECT event_type, count(*) AS n_scored,
        CAST(sum(anom) AS BIGINT) AS n_anomalies
 FROM flagged GROUP BY event_type ORDER BY event_type
 """,
+    # q71: snapshot diff — the oracle compares payload VALUES where the
+    # engine compares xxhash64 digests; equal classification either way
+    "q71_snapshot_diff": """
+WITH v1 AS (
+  SELECT c_custkey AS key,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+         c_nationkey AS nk
+  FROM customer
+), v2 AS (
+  SELECT key,
+         bal_cents + CASE WHEN key % 13 = 0 THEN 500 ELSE 0 END AS bal_cents,
+         nk
+  FROM v1 WHERE key % 97 <> 0
+  UNION ALL
+  SELECT key + 1000000, bal_cents, nk FROM v1 WHERE key % 101 = 0
+), d AS (
+  SELECT CASE
+           WHEN a.key IS NULL THEN 'insert'
+           WHEN b.key IS NULL THEN 'delete'
+           WHEN a.bal_cents <> b.bal_cents OR a.nk <> b.nk THEN 'update'
+           ELSE 'unchanged'
+         END AS action,
+         COALESCE(a.key, b.key) AS key
+  FROM v1 a FULL OUTER JOIN v2 b ON a.key = b.key
+)
+SELECT action, count(*) AS n_rows, CAST(sum(key) AS BIGINT) AS sum_keys
+FROM d GROUP BY action ORDER BY action
+""",
 }
