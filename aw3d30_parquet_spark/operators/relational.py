@@ -1466,6 +1466,108 @@ def a03_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKETCH_K = 128  # centroids per quantile sketch (error ~ 1/K of rank)
+
+
+def _sketch_compress(vals, weights, k: int = SKETCH_K):
+    """Weighted values → ≤k equi-depth centroids (means + weights).
+
+    The compress step of a mergeable quantile summary: sort by value,
+    assign each point's mid-rank to one of k equal-mass buckets, emit
+    each bucket's weighted mean and total weight. Rank error after
+    compression is bounded by one bucket (~total/k). Deterministic
+    under input-row reordering: ties sort by (value, weight), and
+    equal pairs are interchangeable."""
+    import numpy as np
+
+    order = np.lexsort((weights, vals))
+    v = vals[order]
+    w = weights[order]
+    cw = np.cumsum(w)
+    total = cw[-1]
+    mid = cw - w / 2.0
+    b = np.minimum((mid / total * k).astype(np.int64), k - 1)
+    sums = np.bincount(b, weights=v * w, minlength=k)
+    ws = np.bincount(b, weights=w, minlength=k)
+    nz = ws > 0
+    return sums[nz] / ws[nz], ws[nz]
+
+
+def _sketch_quantile(vals, weights, q: float) -> float:
+    """Weighted mid-rank quantile over sorted centroid arrays."""
+    import numpy as np
+
+    cw = np.cumsum(weights)
+    idx = np.searchsorted(cw - weights / 2.0, q * cw[-1])
+    return float(vals[min(idx, len(vals) - 1)])
+
+
+def a04_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile-sketch rollup — a03's pattern for percentiles:
+    build one equi-depth value sketch PER DAY (sorted centroid means +
+    weights, ≤``SKETCH_K`` entries), then merge the daily sketches into
+    weekly p50/p90/p99 estimates. Daily sketches are built once and any
+    rollup window is a cheap centroid merge — never a re-scan of raw
+    events — and sketches merge across late/backfill partitions, which
+    a plain ``approx_percentile`` result cannot (its output is a number,
+    not a mergeable state).
+
+    Spark shape: two ``applyInPandas`` grouped maps (day-level compress,
+    week-level merge+estimate) — each group's state is ≤K centroids, so
+    the weekly merge shuffles kilobytes per week regardless of event
+    volume. Engine-specific sketch (like a01–a03): driver records
+    rows-only; pytest bounds every estimate within the sketch's one-
+    bucket rank-error guarantee against exact percentiles."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), F.col("value")
+    )
+
+    def day_sketch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        means, ws = _sketch_compress(vals, np.ones_like(vals))
+        return pd.DataFrame(
+            {
+                "day": [pdf["day"].iloc[0]],
+                "means": [means.tolist()],
+                "weights": [ws.tolist()],
+            }
+        )
+
+    daily = ev.groupBy("day").applyInPandas(
+        day_sketch, schema="day timestamp_ntz, means array<double>, weights array<double>"
+    )
+
+    def week_merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        vals = np.concatenate([np.asarray(m) for m in pdf["means"]])
+        ws = np.concatenate([np.asarray(w) for w in pdf["weights"]])
+        means, mws = _sketch_compress(vals, ws)
+        return pd.DataFrame(
+            {
+                "week": [pdf["week"].iloc[0]],
+                "n_days": [len(pdf)],
+                "p50": [round(_sketch_quantile(means, mws, 0.50), 2)],
+                "p90": [round(_sketch_quantile(means, mws, 0.90), 2)],
+                "p99": [round(_sketch_quantile(means, mws, 0.99), 2)],
+            }
+        )
+
+    return (
+        daily.withColumn("week", F.date_trunc("week", "day").cast("date"))
+        .groupBy("week")
+        .applyInPandas(
+            week_merge,
+            schema="week date, n_days long, p50 double, p90 double, p99 double",
+        )
+        .orderBy("week")
+    )
+
+
 ANOM_FRAME = 20  # trailing window size (rows) per user
 ANOM_SIGMA_SQ = 9  # flag |z| > 3 ⟺ z² > 9
 
@@ -1584,6 +1686,7 @@ RELATIONAL_QUERIES = {
     "a01_approx_count_distinct": a01_approx_count_distinct,
     "a02_approx_percentile": a02_approx_percentile,
     "a03_hll_sketch_rollup": a03_hll_sketch_rollup,
+    "a04_quantile_sketch_rollup": a04_quantile_sketch_rollup,
     "q02_filter_conjunction": q02_filter_conjunction,
     "q03_filter_disjunction": q03_filter_disjunction,
     "q04_regex_extract": q04_regex_extract,

@@ -61,6 +61,46 @@ def test_t5c_hll_sketch_rollup_tolerance(spark):
         assert abs(est - exact[wk]) <= 0.05 * exact[wk], (wk, est, exact[wk])
 
 
+def test_t5d_quantile_sketch_rollup_tolerance(spark):
+    """Weekly percentile estimates from MERGED daily equi-depth sketches
+    land within the sketch's rank-error guarantee: each estimate must
+    fall between the exact quantiles at q ± 2·(1/K) rank offset (two
+    compressions: day-level + week-level merge)."""
+    from aw3d30_parquet_spark.operators.relational import (
+        SKETCH_K,
+        a04_quantile_sketch_rollup,
+    )
+
+    approx = {
+        r.week: (r.p50, r.p90, r.p99)
+        for r in a04_quantile_sketch_rollup(spark, SF_T2).collect()
+    }
+    register_views(spark, SF_T2)
+    eps = 2.0 / SKETCH_K
+    lo_q = [max(0.0, q - eps) for q in (0.5, 0.9, 0.99)]
+    hi_q = [min(1.0, q + eps) for q in (0.5, 0.9, 0.99)]
+    bounds = {
+        r.week: (r.lo, r.hi)
+        for r in spark.table("events")
+        .groupBy(F.date_trunc("week", "ts").cast("date").alias("week"))
+        .agg(
+            F.expr(
+                f"percentile(value, array({','.join(map(str, lo_q))}))"
+            ).alias("lo"),
+            F.expr(
+                f"percentile(value, array({','.join(map(str, hi_q))}))"
+            ).alias("hi"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(bounds)
+    assert len(approx) > 1
+    for wk, ests in approx.items():
+        lo, hi = bounds[wk]
+        for est, l, h in zip(ests, lo, hi):
+            assert l - 1e-6 <= est <= h + 1e-6, (wk, est, l, h)
+
+
 def test_t5b_approx_percentile_tolerance(spark):
     """GK-sketch percentiles within 1% relative error of the exact
     interpolated percentile, per group and per quantile."""

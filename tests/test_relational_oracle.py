@@ -18,6 +18,7 @@ def test_contract_complete():
         "a01_approx_count_distinct",
         "a02_approx_percentile",
         "a03_hll_sketch_rollup",
+        "a04_quantile_sketch_rollup",
     }
 
 
