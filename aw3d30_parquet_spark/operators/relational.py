@@ -1568,6 +1568,93 @@ def a04_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a05_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native mergeable quantile rollup (Apache DataSketches KLL via
+    Spark's ``kll_sketch_agg_double``/``kll_merge_agg_double``): one
+    value sketch PER DAY, daily sketches merged into weekly p50/p90/p99
+    — the all-JVM production twin of a04's hand-built applyInPandas
+    sketch (a04 demonstrates the custom-operator pattern; this is what
+    you deploy when the engine ships the sketch). Same scaling story as
+    a03: materialized daily sketches make any rollup window a
+    kilobyte-scale merge and absorb late/backfill partitions.
+
+    Engine-specific sketch → rows-only driver check; pytest bounds the
+    merged estimates against exact percentiles (T5e)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    daily = ev.groupBy("day").agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    weekly = daily.groupBy(
+        F.date_trunc("week", "day").cast("date").alias("week")
+    ).agg(
+        F.kll_merge_agg_double("sk").alias("sk"),
+        F.count("*").alias("n_days"),
+    )
+    q = lambda p, name: F.round(  # noqa: E731
+        F.kll_sketch_get_quantile_double("sk", F.lit(p)), 2
+    ).alias(name)
+    return weekly.select(
+        "week", "n_days", q(0.5, "p50"), q(0.9, "p90"), q(0.99, "p99")
+    ).orderBy("week")
+
+
+AUDIENCE_VALUE_MIN = 180  # high-severity threshold for the a06 cohort
+
+
+def a06_theta_audience_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap rollup via Theta sketches — the set algebra HLL
+    cannot do: weekly sketches of distinct high-severity error
+    reporters (event_type='error', value>threshold), then per week-
+    over-week pair the INTERSECTION (retained), DIFFERENCE both ways
+    (churned / new), and the estimate itself. Materialized weekly
+    sketches answer any retention/churn/overlap question by sketch
+    algebra over kilobytes — at 100 TB the raw-event re-scan each such
+    question would otherwise cost is the whole game.
+
+    The lag window runs over the per-week sketch relation (one row per
+    week — driver-side scale, like s07's per-window rank). Engine-
+    specific sketch → rows-only driver check; pytest compares every
+    estimate against exact distinct-set arithmetic (T5f; the cohorts
+    are far below the sketch's exact-mode threshold, so estimates are
+    exact there)."""
+    ev = _t(spark, sf_dir, "events")
+    weekly = (
+        ev.filter(
+            (F.col("event_type") == "error")
+            & (F.col("value") > AUDIENCE_VALUE_MIN)
+        )
+        .groupBy(F.date_trunc("week", "ts").cast("date").alias("week"))
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+    )
+    w = Window.orderBy("week")  # per-week relation: a handful of rows
+    paired = weekly.withColumn("prev_sk", F.lag("sk").over(w))
+    est = lambda c: F.round(F.theta_sketch_estimate(c), 0).cast("long")  # noqa: E731
+    return (
+        paired.select(
+            "week",
+            est(F.col("sk")).alias("active"),
+            F.when(
+                F.col("prev_sk").isNull(), F.lit(None).cast("long")
+            ).otherwise(
+                est(F.theta_intersection("prev_sk", "sk"))
+            ).alias("retained"),
+            F.when(
+                F.col("prev_sk").isNull(), F.lit(None).cast("long")
+            ).otherwise(
+                est(F.theta_difference("prev_sk", "sk"))
+            ).alias("churned"),
+            F.when(
+                F.col("prev_sk").isNull(), F.lit(None).cast("long")
+            ).otherwise(
+                est(F.theta_difference("sk", "prev_sk"))
+            ).alias("new_users"),
+        )
+        .orderBy("week")
+    )
+
+
 ANOM_FRAME = 20  # trailing window size (rows) per user
 ANOM_SIGMA_SQ = 9  # flag |z| > 3 ⟺ z² > 9
 
@@ -1687,6 +1774,8 @@ RELATIONAL_QUERIES = {
     "a02_approx_percentile": a02_approx_percentile,
     "a03_hll_sketch_rollup": a03_hll_sketch_rollup,
     "a04_quantile_sketch_rollup": a04_quantile_sketch_rollup,
+    "a05_kll_quantile_rollup": a05_kll_quantile_rollup,
+    "a06_theta_audience_rollup": a06_theta_audience_rollup,
     "q02_filter_conjunction": q02_filter_conjunction,
     "q03_filter_disjunction": q03_filter_disjunction,
     "q04_regex_extract": q04_regex_extract,

@@ -101,6 +101,82 @@ def test_t5d_quantile_sketch_rollup_tolerance(spark):
             assert l - 1e-6 <= est <= h + 1e-6, (wk, est, l, h)
 
 
+def test_t5e_kll_quantile_rollup_tolerance(spark):
+    """Weekly percentiles from MERGED daily KLL sketches within the
+    sketch's default normalized rank error (~1.65% at k=200, doubled
+    for the merge) of exact weekly quantile bounds."""
+    from aw3d30_parquet_spark.operators.relational import (
+        a05_kll_quantile_rollup,
+    )
+
+    approx = {
+        r.week: (r.p50, r.p90, r.p99)
+        for r in a05_kll_quantile_rollup(spark, SF_T2).collect()
+    }
+    register_views(spark, SF_T2)
+    eps = 0.033
+    lo_q = [max(0.0, q - eps) for q in (0.5, 0.9, 0.99)]
+    hi_q = [min(1.0, q + eps) for q in (0.5, 0.9, 0.99)]
+    bounds = {
+        r.week: (r.lo, r.hi)
+        for r in spark.table("events")
+        .groupBy(F.date_trunc("week", "ts").cast("date").alias("week"))
+        .agg(
+            F.expr(
+                f"percentile(value, array({','.join(map(str, lo_q))}))"
+            ).alias("lo"),
+            F.expr(
+                f"percentile(value, array({','.join(map(str, hi_q))}))"
+            ).alias("hi"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(bounds)
+    for wk, ests in approx.items():
+        lo, hi = bounds[wk]
+        for est, l, h in zip(ests, lo, hi):
+            assert l - 1e-6 <= est <= h + 1e-6, (wk, est, l, h)
+
+
+def test_t5f_theta_audience_rollup_exact(spark):
+    """Theta-sketch retention/churn/new estimates match exact distinct-
+    set arithmetic (cohorts are far below the sketch's exact-mode
+    threshold of 4096 entries, so the sketch must be exact here)."""
+    from aw3d30_parquet_spark.operators.relational import (
+        AUDIENCE_VALUE_MIN,
+        a06_theta_audience_rollup,
+    )
+
+    got = {
+        r.week: (r.active, r.retained, r.churned, r.new_users)
+        for r in a06_theta_audience_rollup(spark, SF_T2).collect()
+    }
+    register_views(spark, SF_T2)
+    weekly_sets = {
+        r.week: set(r.users)
+        for r in spark.table("events")
+        .filter(
+            (F.col("event_type") == "error")
+            & (F.col("value") > AUDIENCE_VALUE_MIN)
+        )
+        .groupBy(F.date_trunc("week", "ts").cast("date").alias("week"))
+        .agg(F.collect_set("user_id").alias("users"))
+        .collect()
+    }
+    assert set(got) == set(weekly_sets)
+    assert len(got) > 2
+    weeks = sorted(weekly_sets)
+    for prev, cur in zip(weeks, weeks[1:]):
+        a, b = weekly_sets[prev], weekly_sets[cur]
+        active, retained, churned, new_users = got[cur]
+        assert active == len(b)
+        assert retained == len(a & b), (cur, retained, len(a & b))
+        assert churned == len(a - b)
+        assert new_users == len(b - a)
+    first = got[weeks[0]]
+    assert first[1] is None and first[2] is None and first[3] is None
+
+
 def test_t5b_approx_percentile_tolerance(spark):
     """GK-sketch percentiles within 1% relative error of the exact
     interpolated percentile, per group and per quantile."""

@@ -19,6 +19,8 @@ def test_contract_complete():
         "a02_approx_percentile",
         "a03_hll_sketch_rollup",
         "a04_quantile_sketch_rollup",
+        "a05_kll_quantile_rollup",
+        "a06_theta_audience_rollup",
     }
 
 
