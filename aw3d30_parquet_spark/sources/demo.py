@@ -297,6 +297,54 @@ def g07_warp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: 2×2 edge-adjacent mosaic fixture for the halo-exchange gradient
+#: (separate dir: adding tiles to _DEMO_DIR would shift g01–g07's
+#: closed-form oracles).
+MOSAIC_COORDS = ((51, 4), (51, 5), (52, 4), (52, 5))
+_MOSAIC_DIR = _DEMO_DIR + "_mosaic"
+
+
+def g08_seamless_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile aggregate of the HALO-EXCHANGE gradient over a 2×2
+    mosaic of adjacent ramp tiles. The per-tile ramp restarts at every
+    tile edge, so the seam columns/rows see a jump central differencing
+    must straddle: dz/dx = −(N−2)/2 = −31 at the two seam columns
+    (1 elsewhere), dz/dy = −31000 at the seam rows (1000 elsewhere) —
+    hence per-tile Σdzdx = 32·N = 2048 where the seam-blind per-tile
+    form (g03) would give N² = 4096. The oracle pins those closed
+    forms; the pytest twin checks per-cell equality against a global
+    numpy gradient of the stitched mosaic."""
+    from aw3d30_parquet_spark.sources.geotiff import (
+        read_tile_gradients_seamless,
+    )
+
+    ensure_demo_tiles(_MOSAIC_DIR, MOSAIC_COORDS)
+    g = read_tile_gradients_seamless(spark, _MOSAIC_DIR, "netherlands")
+    return (
+        g.groupBy("tile_lat", "tile_lon")
+        .agg(
+            F.count("*").alias("points"),
+            F.sum(F.col("dzdx").cast("bigint")).alias("sum_dzdx"),
+            F.sum(F.col("dzdy").cast("bigint")).alias("sum_dzdy"),
+            F.min("dzdx").alias("min_dzdx"),
+            F.min("dzdy").alias("min_dzdy"),
+        )
+        .orderBy("tile_lat", "tile_lon")
+    )
+
+
+# every tile of the 2×2 ramp mosaic: Σdzdx = 32N, Σdzdy = 32000N,
+# min = the seam jump −(N−2)/2 (×1000 in y)
+_G08_ROWS = ",\n".join(
+    f"  (CAST({la} AS INTEGER), CAST({lo} AS INTEGER),"
+    f" CAST({DEMO_SIZE * DEMO_SIZE} AS BIGINT),"
+    f" CAST({32 * DEMO_SIZE} AS BIGINT),"
+    f" CAST({32000 * DEMO_SIZE} AS BIGINT),"
+    f" CAST(-31.0 AS DOUBLE), CAST(-31000.0 AS DOUBLE))"
+    for la, lo in MOSAIC_COORDS
+)
+
+
 QUERIES = {
     "g01_geotiff_ingest": g01_geotiff_ingest,
     "g02_spatial_box": g02_spatial_box,
@@ -305,6 +353,7 @@ QUERIES = {
     "g05_hillshade": g05_hillshade,
     "g06_zonal_stats": g06_zonal_stats,
     "g07_warp_resample": g07_warp_resample,
+    "g08_seamless_gradient": g08_seamless_gradient,
 }
 ORACLE_SQL = {
     "g01_geotiff_ingest": f"""
@@ -396,5 +445,12 @@ WITH tiles AS (
 SELECT tile_lat, tile_lon, count(*) AS cells,
        CAST(sum(v) AS BIGINT) AS sum_elev
 FROM w GROUP BY tile_lat, tile_lon ORDER BY tile_lat, tile_lon
+""",
+    # g08: closed-form seamless-gradient sums (see _G08_ROWS derivation)
+    "g08_seamless_gradient": f"""
+SELECT * FROM (VALUES
+{_G08_ROWS}
+) AS t(tile_lat, tile_lon, points, sum_dzdx, sum_dzdy, min_dzdx, min_dzdy)
+ORDER BY tile_lat, tile_lon
 """,
 }

@@ -288,6 +288,175 @@ def read_tile_gradients(
     )
 
 
+def _halo_partition(batches: Iterable) -> Iterator:
+    """mapInPandas kernel: tile files → border rows/cols addressed to
+    each edge-neighbor tile. Per tile: 2 rows + 2 cols ≈ 0.11% of a
+    3600² raster — the halo relation is metadata-sized next to the
+    mosaic."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = {"dla": [], "dlo": [], "side": [], "vals": []}
+        for path, content in zip(pdf["path"], pdf["content"]):
+            coord = parse_tile_key(os.path.basename(str(path)))
+            if coord is None:
+                continue
+            band, _gt = decode_geotiff(bytes(content))
+            la, lo = coord
+            # row 0 is the tile's TOP (north) edge: it is the north
+            # neighbor's bottom halo, and so on around the compass
+            for dla, dlo, side, vals in (
+                (la + 1, lo, "bottom", band[0, :]),
+                (la - 1, lo, "top", band[-1, :]),
+                (la, lo - 1, "right", band[:, 0]),
+                (la, lo + 1, "left", band[:, -1]),
+            ):
+                rows["dla"].append(dla)
+                rows["dlo"].append(dlo)
+                rows["side"].append(side)
+                rows["vals"].append(vals.astype("int32").tolist())
+        yield pd.DataFrame(rows)
+
+
+def _seamless_gradient_partition(batches: Iterable, chunk_rows: int) -> Iterator:
+    """mapInPandas kernel: (path, content, 4 nullable halo arrays) →
+    per-cell gradient with CENTRAL differences across tile seams.
+
+    The decoded band is padded with whichever neighbor borders exist,
+    ``np.gradient`` runs over the padded array, and the core slice is
+    emitted — so interior-of-mosaic seams get true central differences
+    while mosaic-boundary edges keep the standard one-sided form
+    (exactly what a single global raster would produce)."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        for i in range(len(pdf)):
+            path = str(pdf["path"].iloc[i])
+            coord = parse_tile_key(os.path.basename(path))
+            if coord is None:
+                continue
+            band, gt = decode_geotiff(bytes(pdf["content"].iloc[i]))
+            h, w = band.shape
+            halos = {
+                side: pdf[f"halo_{side}"].iloc[i]
+                for side in ("top", "bottom", "left", "right")
+            }
+            pads = {
+                s: None if v is None else np.asarray(v, dtype=np.int32)
+                for s, v in halos.items()
+            }
+            top = 1 if pads["top"] is not None else 0
+            bot = 1 if pads["bottom"] is not None else 0
+            left = 1 if pads["left"] is not None else 0
+            right = 1 if pads["right"] is not None else 0
+            padded = np.zeros((h + top + bot, w + left + right), np.float64)
+            padded[top : top + h, left : left + w] = band
+            if top:
+                padded[0, left : left + w] = pads["top"][:w]
+            if bot:
+                padded[-1, left : left + w] = pads["bottom"][:w]
+            if left:
+                padded[top : top + h, 0] = pads["left"][:h]
+            if right:
+                padded[top : top + h, -1] = pads["right"][:h]
+            dzdy_p = (
+                np.gradient(padded, axis=0)
+                if padded.shape[0] > 1
+                else np.zeros_like(padded)
+            )
+            dzdx_p = (
+                np.gradient(padded, axis=1)
+                if padded.shape[1] > 1
+                else np.zeros_like(padded)
+            )
+            dzdy_grid = dzdy_p[top : top + h, left : left + w]
+            dzdx_grid = dzdx_p[top : top + h, left : left + w]
+            x = np.arange(w, dtype=np.float64)
+            rows_per_chunk = max(1, chunk_rows // w)
+            for y0 in range(0, h, rows_per_chunk):
+                y1 = min(y0 + rows_per_chunk, h)
+                yy = np.arange(y0, y1, dtype=np.float64)
+                lon = (gt[0] + x * gt[1])[None, :] + (yy * gt[2])[:, None]
+                lat = (x * gt[4])[None, :] + (gt[3] + yy * gt[5])[:, None]
+                n = (y1 - y0) * w
+                yield pd.DataFrame(
+                    {
+                        "tile_lat": np.full(n, coord[0], dtype="int32"),
+                        "tile_lon": np.full(n, coord[1], dtype="int32"),
+                        "lat": np.broadcast_to(lat, (y1 - y0, w)).reshape(n),
+                        "lon": np.broadcast_to(lon, (y1 - y0, w)).reshape(n),
+                        "dzdx": dzdx_grid[y0:y1].reshape(n),
+                        "dzdy": dzdy_grid[y0:y1].reshape(n),
+                    }
+                )
+
+
+def read_tile_gradients_seamless(
+    spark: SparkSession,
+    tif_dir: str,
+    set_name: str = "world",
+    chunk_rows: int = 512_000,
+) -> DataFrame:
+    """Cross-tile SEAMLESS gradient via halo exchange — the distributed
+    raster pattern the per-tile form (:func:`read_tile_gradients`)
+    documents as out of scope: every tile receives its 4 edge-neighbors'
+    border rows/cols, so seam cells get true central differences and
+    the mosaic differentiates as ONE raster.
+
+    Plan shape (the 100 TB argument): two passes over the file scan —
+    pass 1 decodes and emits only borders (2 rows + 2 cols per tile,
+    ~0.11% of a 3600² raster) keyed by the NEIGHBOR that needs them;
+    pass 2 re-decodes each tile and joins its ≤4 halo arrays. The halo
+    relation is broadcast, so tile bytes NEVER shuffle — the join
+    streams the binaryFile scan in place (world mosaic: 64 800 tiles ×
+    ~56 KB ≈ 3.6 GB of halos; past broadcast budget, run per lat-band —
+    halos within a band cover all north/south seams, band joins stay
+    broadcast-sized — or bucket both sides by tile key). Decoding twice
+    trades ~2× decode CPU for zero raster shuffle; at AW3D30 scale the
+    decode is minutes, the shuffle would be the job."""
+    from aw3d30_parquet_spark.session import ship_package
+
+    ship_package(spark)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "ALPSMLC30_*_DSM.tif")
+        .load(tif_dir)
+        .select("path", "content")
+    )
+    files = _region_pruned_files(files, set_name)
+    halo_rel = files.mapInPandas(
+        _halo_partition,
+        schema="dla int, dlo int, side string, vals array<int>",
+    )
+    halos = halo_rel.groupBy("dla", "dlo").agg(
+        *[
+            F.first(
+                F.when(F.col("side") == s, F.col("vals")), ignorenulls=True
+            ).alias(f"halo_{s}")
+            for s in ("top", "bottom", "left", "right")
+        ]
+    )
+    key_lat, key_lon, _valid = _key_coord_cols()
+    keyed = files.withColumn("_kla", key_lat).withColumn("_klo", key_lon)
+    joined = keyed.join(
+        F.broadcast(halos),
+        (F.col("_kla") == F.col("dla")) & (F.col("_klo") == F.col("dlo")),
+        "left",
+    ).select(
+        "path",
+        "content",
+        "halo_top",
+        "halo_bottom",
+        "halo_left",
+        "halo_right",
+    )
+    return joined.mapInPandas(
+        lambda it: _seamless_gradient_partition(it, chunk_rows),
+        schema=GRADIENT_SCHEMA,
+    )
+
+
 def read_tiles(
     spark: SparkSession,
     tif_dir: str,

@@ -650,3 +650,42 @@ def test_g07_warp_resample_oracle(spark, duck_t2):
     assert all(r.cells == demo.WARP_SIZE**2 for r in rows.values())
     ok, h1, h2 = compare(df, duck_t2, demo.ORACLE_SQL["g07_warp_resample"])
     assert ok, (h1, h2)
+
+
+def test_g08_seamless_gradient_oracle(spark, duck_t2):
+    from aw3d30_parquet_spark.oracle import compare
+    from aw3d30_parquet_spark.sources import demo
+
+    df = demo.g08_seamless_gradient(spark, "/root/testdata/sf0.01")
+    ok, h1, h2 = compare(df, duck_t2, demo.ORACLE_SQL["g08_seamless_gradient"])
+    assert ok, (h1, h2)
+
+
+def test_g08_matches_global_numpy_gradient(spark):
+    """Per-CELL equality: the halo-exchange gradient over the 2×2
+    mosaic must equal np.gradient of the stitched 128×128 raster —
+    seams get central differences, mosaic borders one-sided, exactly
+    as if the mosaic were one tile."""
+    from aw3d30_parquet_spark.sources import demo
+    from aw3d30_parquet_spark.sources.geotiff import (
+        read_tile_gradients_seamless,
+    )
+
+    demo.ensure_demo_tiles(demo._MOSAIC_DIR, demo.MOSAIC_COORDS)
+    got = read_tile_gradients_seamless(
+        spark, demo._MOSAIC_DIR, "netherlands"
+    ).collect()
+    n = demo.DEMO_SIZE
+    tile = demo.demo_band().astype(np.float64)
+    mosaic = np.block([[tile, tile], [tile, tile]])  # 2×2 stitched
+    gy = np.gradient(mosaic, axis=0)
+    gx = np.gradient(mosaic, axis=1)
+    assert len(got) == 4 * n * n
+    for r in got:
+        # global pixel indices: row 0 of the mosaic is the NORTH edge
+        # (lat 53), tiles are 1°×1° at 1/n° pixels, lat/lon are
+        # pixel-corner coordinates (north-up geotransform)
+        gx_idx = round((r.lon - 4.0) * n)
+        gy_idx = round((53.0 - r.lat) * n)
+        assert gx[gy_idx, gx_idx] == r.dzdx, (r, gx[gy_idx, gx_idx])
+        assert gy[gy_idx, gx_idx] == r.dzdy, (r, gy[gy_idx, gx_idx])
