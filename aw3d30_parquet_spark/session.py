@@ -54,6 +54,9 @@ _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # the aw3d30 Python DataSource implements pushFilters (tile-level
+    # pruning); Spark requires this opt-in before it will call it
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -1,0 +1,194 @@
+"""``spark.read.format("aw3d30")`` — the tile ingest as a first-class
+Python Data Source (Spark 4 `pyspark.sql.datasource` API).
+
+Where :func:`~aw3d30_parquet_spark.sources.geotiff.read_tiles` composes
+the pipeline from ``binaryFile`` + ``mapInPandas``, this source IS the
+pipeline at the DataSource V2 surface, with the three properties a
+scan source owes the engine:
+
+- **partition planning**: one ``InputPartition`` per tile file — the
+  natural split (a tile is one row group's worth of points and one
+  decode unit), so a world-scale read schedules 64 800 independent
+  tasks with no skew;
+- **filter pushdown** (``pushFilters``): range/equality predicates on
+  ``tile_lat``/``tile_lon`` are consumed into the FILE LISTING — pruned
+  tiles are never opened, the exact analogue of the reference filtering
+  during its S3 list (``src/main.rs:316-321``). All other filters are
+  returned to Spark unhandled (lat/lon/elevation are per-cell);
+- **Arrow-batch reads**: ``read`` yields ``pyarrow.RecordBatch``es in
+  bounded chunks, so a 3600² tile (13 M rows) never materializes as
+  Python objects (same chunking contract as the mapInPandas path).
+
+Registration (per session)::
+
+    from aw3d30_parquet_spark.sources.datasource import AW3D30DataSource
+    spark.dataSource.register(AW3D30DataSource)
+    df = (spark.read.format("aw3d30")
+          .option("set", "netherlands").load("/path/to/tifs"))
+
+Paths are driver-listable directories (posix); object stores go
+through the binaryFile path (`objectstore.py`), which delegates
+listing to Hadoop.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from aw3d30_parquet_spark.sources.geotiff import (
+    REGION_SETS,
+    in_region,
+    parse_tile_key,
+)
+
+#: DDL of the point schema (mirrors geotiff.POINT_SCHEMA).
+_SCHEMA_DDL = (
+    "tile_lat int, tile_lon int, lat double, lon double, elevation int"
+)
+
+
+@dataclass
+class TilePartition(InputPartition):
+    path: str
+    tile_lat: int
+    tile_lon: int
+
+
+class AW3D30Reader(DataSourceReader):
+    def __init__(self, options):
+        self.tif_dir = options.get("path")
+        if not self.tif_dir:
+            raise ValueError("aw3d30 source needs a path: .load(tif_dir)")
+        self.set_name = options.get("set", "world")
+        if self.set_name not in REGION_SETS:
+            raise ValueError(
+                f"unknown set {self.set_name!r} (one of {sorted(REGION_SETS)})"
+            )
+        self.chunk_rows = int(options.get("chunk_rows", 512_000))
+        (lat0, lat1), (lon0, lon1) = REGION_SETS[self.set_name]
+        # mutable bounds: pushFilters tightens them before partitions()
+        self.bounds = {
+            "tile_lat": [lat0, lat1],
+            "tile_lon": [lon0, lon1],
+        }
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Consume tile-coordinate range/equality filters into the file
+        listing bounds; everything else goes back to Spark. Conservative
+        by construction: tightening a bound can only drop whole tiles
+        whose every row fails the predicate."""
+        for f in filters:
+            handled = False
+            attr = getattr(f, "attribute", None)
+            if isinstance(attr, tuple) and len(attr) == 1:
+                col = attr[0]
+                if col in self.bounds and isinstance(
+                    getattr(f, "value", None), int
+                ):
+                    lo_hi = self.bounds[col]
+                    v = f.value
+                    if isinstance(f, EqualTo):
+                        lo_hi[0] = max(lo_hi[0], v)
+                        lo_hi[1] = min(lo_hi[1], v)
+                        handled = True
+                    elif isinstance(f, GreaterThan):
+                        lo_hi[0] = max(lo_hi[0], v + 1)
+                        handled = True
+                    elif isinstance(f, GreaterThanOrEqual):
+                        lo_hi[0] = max(lo_hi[0], v)
+                        handled = True
+                    elif isinstance(f, LessThan):
+                        lo_hi[1] = min(lo_hi[1], v - 1)
+                        handled = True
+                    elif isinstance(f, LessThanOrEqual):
+                        lo_hi[1] = min(lo_hi[1], v)
+                        handled = True
+            if not handled:
+                yield f
+
+    def partitions(self) -> Sequence[TilePartition]:
+        """One InputPartition per region-and-filter-surviving tile file
+        — a metadata-only listing; no tile byte is read here."""
+        (la0, la1) = self.bounds["tile_lat"]
+        (lo0, lo1) = self.bounds["tile_lon"]
+        parts: list[TilePartition] = []
+        for entry in sorted(os.listdir(self.tif_dir)):
+            if not entry.endswith(".tif"):
+                continue
+            coord = parse_tile_key(entry)
+            if coord is None:
+                continue
+            la, lo = coord
+            if not (la0 <= la <= la1 and lo0 <= lo <= lo1):
+                continue
+            if not in_region(self.set_name, la, lo):
+                continue
+            parts.append(
+                TilePartition(os.path.join(self.tif_dir, entry), la, lo)
+            )
+        return parts
+
+    def read(self, partition: TilePartition) -> Iterator:
+        """Decode one tile, yield bounded Arrow RecordBatches."""
+        import numpy as np
+        import pyarrow as pa
+
+        from aw3d30_parquet_spark.sources.tiff import (
+            decode_geotiff,
+            flatten_raster,
+        )
+
+        with open(partition.path, "rb") as fh:
+            band, gt = decode_geotiff(fh.read())
+        for lat, lon, elev in flatten_raster(band, gt, self.chunk_rows):
+            n = len(lat)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        np.full(n, partition.tile_lat, dtype="int32"),
+                        type=pa.int32(),
+                    ),
+                    pa.array(
+                        np.full(n, partition.tile_lon, dtype="int32"),
+                        type=pa.int32(),
+                    ),
+                    pa.array(lat, type=pa.float64()),
+                    pa.array(lon, type=pa.float64()),
+                    pa.array(elev.astype("int32"), type=pa.int32()),
+                ],
+                names=["tile_lat", "tile_lon", "lat", "lon", "elevation"],
+            )
+
+
+class AW3D30DataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "aw3d30"
+
+    def schema(self) -> str:
+        return _SCHEMA_DDL
+
+    def reader(self, schema) -> AW3D30Reader:
+        return AW3D30Reader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent per-session registration of the ``aw3d30`` format."""
+    from aw3d30_parquet_spark.session import ship_package
+
+    ship_package(spark)
+    spark.dataSource.register(AW3D30DataSource)

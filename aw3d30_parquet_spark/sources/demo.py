@@ -345,6 +345,41 @@ _G08_ROWS = ",\n".join(
 )
 
 
+def g09_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tile ingest through the ``format("aw3d30")`` Python Data
+    Source (DataSource V2 surface: per-tile InputPartitions, Arrow-
+    batch reads, pushFilters tile pruning). The tile_lat predicate is
+    consumed by the source's file listing — the pruned tile is never
+    opened — and the aggregate pins the decoded content equals the
+    closed-form ramp, i.e. the custom source and the mapInPandas path
+    (g01) read identical bytes identically."""
+    from aw3d30_parquet_spark.sources.datasource import register
+
+    ensure_demo_tiles()
+    register(spark)
+    df = (
+        spark.read.format("aw3d30")
+        .option("set", "netherlands")
+        .load(_DEMO_DIR)
+    )
+    return (
+        df.filter(F.col("tile_lat") == 51)
+        .groupBy("tile_lat", "tile_lon")
+        .agg(
+            F.count("*").alias("points"),
+            F.sum("elevation").alias("sum_elev"),
+            F.round(F.min("lon"), 6).alias("min_lon"),
+            F.round(F.max("lat"), 6).alias("max_lat"),
+        )
+        .orderBy("tile_lat", "tile_lon")
+    )
+
+
+# tile (51,4), 64²: Σ(1000y+x) = 1001·64·Σ(0..63) = 1001·64·2016;
+# pixel-corner coords: min lon = 4.0, max lat = 52.0 − 1/64
+_G09_SUM = 1001 * DEMO_SIZE * (DEMO_SIZE * (DEMO_SIZE - 1) // 2)
+
+
 QUERIES = {
     "g01_geotiff_ingest": g01_geotiff_ingest,
     "g02_spatial_box": g02_spatial_box,
@@ -354,6 +389,7 @@ QUERIES = {
     "g06_zonal_stats": g06_zonal_stats,
     "g07_warp_resample": g07_warp_resample,
     "g08_seamless_gradient": g08_seamless_gradient,
+    "g09_python_datasource": g09_python_datasource,
 }
 ORACLE_SQL = {
     "g01_geotiff_ingest": f"""
@@ -445,6 +481,14 @@ WITH tiles AS (
 SELECT tile_lat, tile_lon, count(*) AS cells,
        CAST(sum(v) AS BIGINT) AS sum_elev
 FROM w GROUP BY tile_lat, tile_lon ORDER BY tile_lat, tile_lon
+""",
+    # g09: the pushdown-pruned tile (51,4) ramp aggregate, closed form
+    "g09_python_datasource": f"""
+SELECT CAST(51 AS INTEGER) AS tile_lat, CAST(4 AS INTEGER) AS tile_lon,
+       CAST({DEMO_SIZE * DEMO_SIZE} AS BIGINT) AS points,
+       CAST({_G09_SUM} AS BIGINT) AS sum_elev,
+       CAST(4.0 AS DOUBLE) AS min_lon,
+       CAST(52.0 AS DOUBLE) AS max_lat
 """,
     # g08: closed-form seamless-gradient sums (see _G08_ROWS derivation)
     "g08_seamless_gradient": f"""

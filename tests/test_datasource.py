@@ -1,0 +1,103 @@
+"""format("aw3d30") Python Data Source: parity, pushdown, planning."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    LessThanOrEqual,
+    StringContains,
+)
+
+from aw3d30_parquet_spark.sources import demo
+from aw3d30_parquet_spark.sources.datasource import AW3D30Reader, register
+from aw3d30_parquet_spark.sources.geotiff import read_tiles
+
+
+@pytest.fixture(scope="module")
+def demo_dir():
+    return demo.ensure_demo_tiles()
+
+
+def test_datasource_matches_mapinpandas_path(spark, demo_dir):
+    """Row-for-row parity between the custom source and read_tiles."""
+    register(spark)
+    via_source = (
+        spark.read.format("aw3d30")
+        .option("set", "netherlands")
+        .load(demo_dir)
+    )
+    via_mip = read_tiles(spark, demo_dir, "netherlands")
+    key = ["tile_lat", "tile_lon", "lat", "lon", "elevation"]
+    a = sorted(map(tuple, via_source.select(*key).collect()))
+    b = sorted(map(tuple, via_mip.select(*key).collect()))
+    assert a == b
+    assert len(a) == 2 * demo.DEMO_SIZE**2
+
+
+def test_partition_planning_one_per_tile(demo_dir):
+    r = AW3D30Reader({"path": demo_dir, "set": "netherlands"})
+    parts = r.partitions()
+    assert {(p.tile_lat, p.tile_lon) for p in parts} == set(demo.DEMO_COORDS)
+
+
+def test_pushdown_prunes_file_listing(demo_dir):
+    r = AW3D30Reader({"path": demo_dir, "set": "netherlands"})
+    unhandled = list(
+        r.pushFilters(
+            [
+                EqualTo(("tile_lat",), 51),
+                GreaterThan(("elevation",), 100),  # per-cell: not ours
+                StringContains(("lon",), "x"),  # nonsense: not ours
+            ]
+        )
+    )
+    # exactly the two non-tile filters come back to Spark
+    assert len(unhandled) == 2
+    parts = r.partitions()
+    assert [(p.tile_lat, p.tile_lon) for p in parts] == [(51, 4)]
+
+
+def test_pushdown_range_filters(demo_dir):
+    r = AW3D30Reader({"path": demo_dir, "set": "netherlands"})
+    assert list(r.pushFilters([LessThanOrEqual(("tile_lat",), 51)])) == []
+    assert [(p.tile_lat, p.tile_lon) for p in r.partitions()] == [(51, 4)]
+
+
+def test_contradictory_pushdown_yields_no_partitions(demo_dir):
+    r = AW3D30Reader({"path": demo_dir, "set": "netherlands"})
+    list(r.pushFilters([EqualTo(("tile_lat",), 51), EqualTo(("tile_lat",), 52)]))
+    assert r.partitions() == []
+
+
+def test_bad_options_raise():
+    with pytest.raises(ValueError):
+        AW3D30Reader({"path": "/tmp", "set": "atlantis"})
+    with pytest.raises(ValueError):
+        AW3D30Reader({"set": "world"})
+
+
+def test_g09_oracle(spark, duck_t2):
+    from aw3d30_parquet_spark.oracle import compare
+
+    df = demo.g09_python_datasource(spark, "/root/testdata/sf0.01")
+    ok, h1, h2 = compare(df, duck_t2, demo.ORACLE_SQL["g09_python_datasource"])
+    assert ok, (h1, h2)
+
+
+def test_source_filter_consumed_in_plan(spark, demo_dir):
+    """The tile_lat EqualTo must be consumed by the source: the Spark-
+    side residual filter may keep the null guard but not the
+    comparison itself."""
+    register(spark)
+    df = (
+        spark.read.format("aw3d30")
+        .option("set", "netherlands")
+        .load(demo_dir)
+        .filter(F.col("tile_lat") == 51)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan aw3d30" in plan
+    filters = [ln for ln in plan.splitlines() if "Filter " in ln]
+    assert all("= 51" not in ln for ln in filters), filters
+    assert df.count() == demo.DEMO_SIZE**2

@@ -293,3 +293,47 @@ def test_sink_partition_pruning(spark, tmp_path):
     assert "tile_lat" in plan.split("PartitionFilters")[1].splitlines()[0]
     # the data predicate still pushes into parquet
     assert "GreaterThan(elevation,100)" in plan
+
+
+def test_q71_diff_joins_digests_not_rows(spark):
+    """q71: the full-outer diff join must carry only (key, digest)
+    columns — never the wide payload — and both xxhash64 digests must
+    be computed below the join (change detection at key-column cost)."""
+    df = R.q71_snapshot_diff(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("xxhash64") >= 2
+    import re
+
+    # the join's output schema: only key/digest columns flow through
+    m = re.search(r"SortMergeJoin.*?Arguments: \[(.*?)\]", plan)
+    if m:  # AQE may choose another join; digest check above still holds
+        assert "c_acctbal" not in m.group(0)
+
+
+def test_g08_halos_broadcast_tiles_never_shuffle(spark):
+    """g08's join of tile bytes ⋈ halo arrays must broadcast the halo
+    side: the binaryFile scan (the 100 TB side) streams in place. Any
+    SortMergeJoin/ShuffledHashJoin here would shuffle raster bytes."""
+    from aw3d30_parquet_spark.sources import demo
+    from aw3d30_parquet_spark.sources.geotiff import (
+        read_tile_gradients_seamless,
+    )
+
+    demo.ensure_demo_tiles(demo._MOSAIC_DIR, demo.MOSAIC_COORDS)
+    df = read_tile_gradients_seamless(spark, demo._MOSAIC_DIR, "netherlands")
+    plan = formatted_plan(df)
+    assert has_node(df, "BroadcastHashJoin")
+    assert not has_node(df, "SortMergeJoin")
+    assert not has_node(df, "ShuffledHashJoin")
+
+
+def test_q72_zvalue_is_codegen(spark):
+    """q72: the Morton interleave is pure shift/mask codegen — no
+    Python eval stage anywhere in the plan."""
+    from aw3d30_parquet_spark.operators import zorder
+
+    df = zorder.QUERIES["q72_zorder_cluster"](spark, SF)
+    plan = formatted_plan(df)
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
