@@ -40,6 +40,7 @@ from typing import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -174,6 +175,47 @@ class AW3D30Reader(DataSourceReader):
             )
 
 
+class AW3D30StreamReader(DataSourceStreamReader):
+    """Streaming half of the format: tile ARRIVALS as a structured
+    stream, exactly-once via the engine's offset log.
+
+    Offsets are the sorted list of claimed tile basenames (the same
+    design as Spark's own FileStreamSource file log; production
+    compaction of a 64 800-entry offset is the engine's checkpoint
+    compaction, not ours). ``latestOffset`` lists the directory —
+    metadata only; ``partitions(start, end)`` plans one InputPartition
+    per newly-arrived tile; ``read`` is the batch reader's decode, so
+    batch and streaming cannot diverge."""
+
+    def __init__(self, options):
+        self._r = AW3D30Reader(options)
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def _current_files(self) -> list[str]:
+        return sorted(p.path for p in self._r.partitions())
+
+    def latestOffset(self) -> dict:
+        return {"files": self._current_files()}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[TilePartition]:
+        new = sorted(set(end["files"]) - set(start["files"]))
+        parts = []
+        for path in new:
+            coord = parse_tile_key(os.path.basename(path))
+            if coord is None:
+                continue
+            parts.append(TilePartition(path, coord[0], coord[1]))
+        return parts
+
+    def read(self, partition: TilePartition) -> Iterator:
+        return self._r.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to clean up; the offset log is the state
+
+
 class AW3D30DataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -184,6 +226,9 @@ class AW3D30DataSource(DataSource):
 
     def reader(self, schema) -> AW3D30Reader:
         return AW3D30Reader(self.options)
+
+    def streamReader(self, schema) -> AW3D30StreamReader:
+        return AW3D30StreamReader(self.options)
 
 
 def register(spark) -> None:

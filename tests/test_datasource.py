@@ -101,3 +101,38 @@ def test_source_filter_consumed_in_plan(spark, demo_dir):
     filters = [ln for ln in plan.splitlines() if "Filter " in ln]
     assert all("= 51" not in ln for ln in filters), filters
     assert df.count() == demo.DEMO_SIZE**2
+
+
+def test_stream_reader_incremental_exactly_once(spark, tmp_path):
+    """readStream.format("aw3d30"): each arriving tile is decoded in
+    exactly one micro-batch; a checkpoint restart replays nothing."""
+    tif_dir = str(tmp_path / "tifs")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    demo.ensure_demo_tiles(tif_dir, [(51, 4)])
+    register(spark)
+
+    def run_available():
+        q = (
+            spark.readStream.format("aw3d30")
+            .option("set", "netherlands")
+            .load(tif_dir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_available()
+    assert spark.read.parquet(out).count() == demo.DEMO_SIZE**2
+    # second tile arrives; only it is processed
+    demo.ensure_demo_tiles(tif_dir, [(51, 4), (52, 5)])
+    run_available()
+    df = spark.read.parquet(out)
+    assert df.count() == 2 * demo.DEMO_SIZE**2
+    assert df.select("tile_lat").distinct().count() == 2
+    # restart with nothing new: no duplicates
+    run_available()
+    assert spark.read.parquet(out).count() == 2 * demo.DEMO_SIZE**2
