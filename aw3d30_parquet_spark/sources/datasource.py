@@ -232,8 +232,14 @@ class AW3D30DataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent per-session registration of the ``aw3d30`` format."""
-    from aw3d30_parquet_spark.session import ship_package
+    """Idempotent per-session registration of the ``aw3d30`` format.
 
-    ship_package(spark)
+    Applies the engine's runtime confs too (not just the package ship):
+    the reader's pushFilters needs ``spark.sql.python.filterPushdown.
+    enabled``, and an externally-created session (the driver's) has not
+    set it — a query using this source must work as the FIRST call on
+    a bare session."""
+    from aw3d30_parquet_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
     spark.dataSource.register(AW3D30DataSource)
