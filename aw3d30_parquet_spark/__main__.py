@@ -101,6 +101,26 @@ def _cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_explain(args: argparse.Namespace) -> int:
+    from aw3d30_parquet_spark.session import get_spark
+
+    sys.path.insert(0, args.repo_root)
+    import __spark_entry__ as contract
+
+    qs = contract.queries()
+    if args.name not in qs:
+        print(
+            f"unknown query {args.name!r}; choose from: "
+            + " ".join(sorted(qs)),
+            file=sys.stderr,
+        )
+        return 2
+    spark = get_spark(app_name=f"aw3d30-explain-{args.name}")
+    df = qs[args.name](spark, args.sf_dir)
+    df.explain(args.mode)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="python -m aw3d30_parquet_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -141,6 +161,19 @@ def main(argv: list[str] | None = None) -> int:
     p_q.add_argument("--limit", type=int, default=20)
     p_q.add_argument("--repo-root", default=".")
     p_q.set_defaults(fn=_cmd_query)
+
+    p_ex = sub.add_parser(
+        "explain", help="print a registered query's physical plan"
+    )
+    p_ex.add_argument("--name", required=True)
+    p_ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_ex.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "formatted", "cost", "codegen"],
+    )
+    p_ex.add_argument("--repo-root", default=".")
+    p_ex.set_defaults(fn=_cmd_explain)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -60,3 +60,25 @@ def test_cli_optimize_compacts(spark, tmp_path):
     assert len(glob.glob(f"{out}/*/*/*.parquet")) >= 2
     assert main(["optimize", "--parquet-dir", out]) == 0
     assert len(glob.glob(f"{out}/*/*/*.parquet")) == 1
+
+
+def test_cli_explain_prints_plan(spark, capsys):
+    rc = main(
+        [
+            "explain",
+            "--name",
+            "q06_star_join",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--repo-root",
+            "/root/repo",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    assert "BroadcastHashJoin" in out
+
+
+def test_cli_explain_unknown_name_errors(spark):
+    assert main(["explain", "--name", "nope", "--repo-root", "/root/repo"]) == 2
