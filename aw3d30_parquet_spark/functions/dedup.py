@@ -118,7 +118,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       generation by prefix filtering at the cost of more stages.
     """
     t = JACCARD_THRESHOLD
-    sh = (
+    # persisted: the self-join reads the hashed-shingle stream on both
+    # sides; without the persist the shingling+explode evaluates twice
+    # (same double-evaluation d06/d07 pay — measured at the 10× probe)
+    sh = _scratch_persist(
+        "d04",
         _docs(spark, sf_dir)
         .select("doc_id", _shingles(F.col("text")).alias("shs"))
         .select(
@@ -126,9 +130,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("shs").alias("n"),
             F.explode_outer("shs").alias("s"),
         )
-        .select("doc_id", "n", F.xxhash64("s").alias("h"))
-        .hint("shuffle_hash")
-    )
+        .select("doc_id", "n", F.xxhash64("s").alias("h")),
+    ).hint("shuffle_hash")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
@@ -211,7 +214,12 @@ def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex = docs.select("doc_id", "n", F.explode_outer("hs").alias("h"))
     freq = ex.groupBy("h").agg(F.count("*").alias("df"))
-    prefix = (
+    # persisted like docs: the self-join below reads this relation on
+    # BOTH sides, and without the persist its whole subtree (explode →
+    # document-frequency join → per-doc rank window) evaluates twice —
+    # measured 2× of d07's runtime at the 10× scale probe
+    prefix = _scratch_persist(
+        "d07_prefix",
         ex.join(freq, "h")
         .withColumn(
             "rn",
@@ -220,7 +228,7 @@ def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
-        .select("doc_id", "h")
+        .select("doc_id", "h"),
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
