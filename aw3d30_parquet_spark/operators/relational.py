@@ -1768,6 +1768,29 @@ def q71_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q73_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4):
+    ``parse_json`` shreds the JSON string ONCE into the binary variant
+    encoding, then typed ``try_variant_get`` paths read it without
+    re-parsing — the modern replacement for per-access
+    ``get_json_object`` string scans (q25/q29 keep the classic forms).
+    At scale the variant column is materialized at ingest and every
+    downstream path access is a cheap binary probe instead of a JSON
+    re-parse per expression."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.count_distinct(F.col("k")).alias("n_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 RELATIONAL_QUERIES = {
     "q01_scan_project": q01_scan_project,
     "a01_approx_count_distinct": a01_approx_count_distinct,
@@ -1846,4 +1869,5 @@ RELATIONAL_QUERIES = {
     "q69_merge_upsert": q69_merge_upsert,
     "q70_rolling_anomalies": q70_rolling_anomalies,
     "q71_snapshot_diff": q71_snapshot_diff,
+    "q73_variant_json": q73_variant_json,
 }

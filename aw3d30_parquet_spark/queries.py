@@ -726,4 +726,12 @@ WITH v1 AS (
 SELECT action, count(*) AS n_rows, CAST(sum(key) AS BIGINT) AS sum_keys
 FROM d GROUP BY action ORDER BY action
 """,
+    # q73: VARIANT typed access on the Spark side; DuckDB reads the
+    # same value through its JSON operators — results must agree
+    "q73_variant_json": """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(props::JSON->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       count(DISTINCT CAST(props::JSON->>'k' AS BIGINT)) AS n_k
+FROM events GROUP BY event_type ORDER BY event_type
+""",
 }
