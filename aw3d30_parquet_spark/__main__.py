@@ -71,7 +71,10 @@ def _cmd_optimize(args: argparse.Namespace) -> int:
 
     spark = get_spark(app_name="aw3d30-optimize")
     stats = compact_tiles(
-        spark, args.parquet_dir, target_rows_per_file=args.target_rows
+        spark,
+        args.parquet_dir,
+        target_rows_per_file=args.target_rows,
+        zorder=args.zorder,
     )
     print(
         f"compacted {stats['compacted_tiles']} tiles: "
@@ -153,6 +156,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_opt.add_argument("--parquet-dir", default="/tmp/aw3d30/parquet")
     p_opt.add_argument("--target-rows", type=int, default=13_000_000)
+    p_opt.add_argument(
+        "--zorder",
+        action="store_true",
+        help="rewrite rows in Morton order of the in-tile cell "
+        "(tight row-group stats on lat AND lon)",
+    )
     p_opt.set_defaults(fn=_cmd_optimize)
 
     p_q = sub.add_parser("query", help="run a registered query by name")

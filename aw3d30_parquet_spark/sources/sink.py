@@ -254,6 +254,8 @@ def compact_tiles(
     out_dir: str,
     target_rows_per_file: int = 13_000_000,
     tiles: Sequence[tuple[int, int]] | None = None,
+    zorder: bool = False,
+    zorder_bits: int = 12,
 ) -> dict:
     """Small-file compaction of the partitioned point tree (OPTIMIZE).
 
@@ -274,6 +276,15 @@ def compact_tiles(
       output file size, and **dynamic partition overwrite** swaps each
       partition atomically at commit — readers never see a partial
       partition, untouched partitions are never rewritten.
+
+    ``zorder=True`` additionally rewrites each tile's ROWS in Morton
+    order of the in-tile cell (lat/lon quantized to ``zorder_bits``
+    each, interleaved by ``operators.zorder.zvalue``): parquet writes
+    row groups in row order, so a z-ordered file's row-group min/max
+    stats are tight on BOTH coordinates and a lat- OR lon-box query
+    skips most row groups — the OPTIMIZE ZORDER maintenance step on
+    the tile tree, from stock primitives (sortWithinPartitions; no
+    extra shuffle beyond the compaction's own repartition).
 
     Returns ``{"compacted_tiles": n, "files_before": a, "files_after": b}``.
     """
@@ -327,9 +338,33 @@ def compact_tiles(
         spark.conf.set(
             "spark.sql.files.maxRecordsPerFile", str(target_rows_per_file)
         )
+        rewrite = frag.repartition("tile_lat", "tile_lon")
+        if zorder:
+            from aw3d30_parquet_spark.operators.zorder import zvalue
+
+            scale = float(1 << zorder_bits)
+            yq = F.least(
+                F.lit((1 << zorder_bits) - 1),
+                F.floor(
+                    (F.col("tile_lat") + 1 - F.col("lat")) * scale
+                ).cast("long"),
+            )
+            xq = F.least(
+                F.lit((1 << zorder_bits) - 1),
+                F.floor((F.col("lon") - F.col("tile_lon")) * scale).cast(
+                    "long"
+                ),
+            )
+            # partition cols lead the sort: the partitioned writer
+            # requires ordering by them and would otherwise re-sort
+            # (unstably), destroying the z-order it can instead inherit
+            rewrite = (
+                rewrite.withColumn("_z", zvalue([yq, xq], zorder_bits))
+                .sortWithinPartitions("tile_lat", "tile_lon", "_z")
+                .drop("_z")
+            )
         (
-            frag.repartition("tile_lat", "tile_lon")
-            .write.mode("overwrite")
+            rewrite.write.mode("overwrite")
             .partitionBy("tile_lat", "tile_lon")
             .parquet(out_dir)
         )

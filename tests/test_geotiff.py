@@ -689,3 +689,52 @@ def test_g08_matches_global_numpy_gradient(spark):
         gy_idx = round((53.0 - r.lat) * n)
         assert gx[gy_idx, gx_idx] == r.dzdx, (r, gx[gy_idx, gx_idx])
         assert gy[gy_idx, gx_idx] == r.dzdy, (r, gy[gy_idx, gx_idx])
+
+
+def test_compact_tiles_zorder_layout(spark, tif_dir, tmp_path):
+    """compact_tiles(zorder=True): rewritten tile files hold rows in
+    Morton order of the in-tile cell — row-group min/max becomes tight
+    on BOTH lat and lon — and values are unchanged."""
+    import glob
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from aw3d30_parquet_spark.sources.sink import compact_tiles, write_tiles
+
+    out = str(tmp_path / "pts")
+    pts = read_tiles(spark, tif_dir, "netherlands")
+    t51 = pts.filter("tile_lat = 51")
+    for i in range(2):
+        write_tiles(t51.filter(f"pmod(elevation, 2) = {i}"), out)
+
+    before = duckdb.sql(
+        f"SELECT count(*), sum(elevation) FROM read_parquet('{out}/*/*/*.parquet')"
+    ).fetchone()
+    stats = compact_tiles(spark, out, zorder=True, zorder_bits=12)
+    assert stats["compacted_tiles"] == 1
+    [f] = glob.glob(f"{out}/tile_lat=51/tile_lon=4/*.parquet")
+    tbl = pq.read_table(f, columns=["lat", "lon"])
+    lat = tbl["lat"].to_numpy()
+    lon = tbl["lon"].to_numpy()
+
+    def morton(y, x, bits=12):
+        z = 0
+        for i in range(bits):
+            z |= ((y >> i) & 1) << (2 * i)
+            z |= ((x >> i) & 1) << (2 * i + 1)
+        return z
+
+    scale = 1 << 12
+    zs = [
+        morton(
+            min(scale - 1, int((51 + 1 - la) * scale)),
+            min(scale - 1, int((lo - 4) * scale)),
+        )
+        for la, lo in zip(lat, lon)
+    ]
+    assert zs == sorted(zs)
+    after = duckdb.sql(
+        f"SELECT count(*), sum(elevation) FROM read_parquet('{out}/*/*/*.parquet')"
+    ).fetchone()
+    assert after == before
