@@ -124,6 +124,26 @@ def _cmd_explain(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_analyze(args: argparse.Namespace) -> int:
+    from aw3d30_parquet_spark.plans.analyze import analyze
+    from aw3d30_parquet_spark.session import get_spark
+
+    sys.path.insert(0, args.repo_root)
+    import __spark_entry__ as contract
+
+    qs = contract.queries()
+    if args.name not in qs:
+        print(
+            f"unknown query {args.name!r}; choose from: "
+            + " ".join(sorted(qs)),
+            file=sys.stderr,
+        )
+        return 2
+    spark = get_spark(app_name=f"aw3d30-analyze-{args.name}")
+    print(analyze(qs[args.name](spark, args.sf_dir)))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="python -m aw3d30_parquet_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -183,6 +203,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_ex.add_argument("--repo-root", default=".")
     p_ex.set_defaults(fn=_cmd_explain)
+
+    p_an = sub.add_parser(
+        "analyze",
+        help="execute a registered query and print its plan with "
+        "ACTUAL per-operator metrics (EXPLAIN ANALYZE)",
+    )
+    p_an.add_argument("--name", required=True)
+    p_an.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_an.add_argument("--repo-root", default=".")
+    p_an.set_defaults(fn=_cmd_analyze)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,76 @@
+"""EXPLAIN ANALYZE for the engine: execute a query, then render its
+FINAL physical plan (post-AQE) with each operator's ACTUAL runtime
+metrics — output rows, scan/agg time, shuffle bytes, peak memory.
+
+The reference's observability is per-operator tracing spans
+(``src/main.rs:135,163,229-231``); Spark already meters every physical
+operator (SQLMetrics), this module just surfaces them without the UI
+(disabled here) — the numbers come from the executed plan itself, so
+they reflect what actually ran, including AQE's runtime re-planning
+(coalesced partitions, switched join strategies, skew splits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: metric keys worth showing, in display order (everything else is
+#: noise at a glance; the full set remains in the Spark event log)
+_KEY_METRICS = (
+    "numOutputRows",
+    "numFiles",
+    "filesSize",
+    "scanTime",
+    "aggTime",
+    "sortTime",
+    "collectTime",
+    "buildTime",
+    "shuffleRecordsWritten",
+    "shuffleBytesWritten",
+    "recordsRead",
+    "spillSize",
+    "peakMemory",
+    "numPartitions",
+    "numCoalescedPartitions",
+    "numSkewedPartitions",
+    "pythonNumRowsReceived",
+    "pythonDataSent",
+)
+
+
+def _node_metrics(node) -> list[str]:
+    vals = {}
+    it = node.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        metric = kv._2()
+        if metric.value() > 0:
+            vals[kv._1()] = metric.value()
+    out = [f"{k}={vals[k]:,}" for k in _KEY_METRICS if k in vals]
+    return out
+
+
+def _walk(node, depth: int, lines: list[str]) -> None:
+    name = node.nodeName()
+    if name == "AdaptiveSparkPlan":
+        # render the FINAL plan AQE actually executed
+        node = node.finalPhysicalPlan()
+        name = node.nodeName()
+    mets = _node_metrics(node)
+    lines.append("  " * depth + name + (f"  [{', '.join(mets)}]" if mets else ""))
+    ch = node.children().iterator()
+    while ch.hasNext():
+        _walk(ch.next(), depth + 1, lines)
+    # QueryStage nodes hold their materialized subtree in .plan()
+    if name.endswith("QueryStage"):
+        _walk(node.plan(), depth + 1, lines)
+
+
+def analyze(df: DataFrame, materialize: bool = True) -> str:
+    """Execute ``df`` (noop sink — full execution, nothing collected)
+    and return the executed plan annotated with actual metrics."""
+    if materialize:
+        df.write.mode("overwrite").format("noop").save()
+    lines: list[str] = []
+    _walk(df._jdf.queryExecution().executedPlan(), 0, lines)
+    return "\n".join(lines)

@@ -82,3 +82,22 @@ def test_cli_explain_prints_plan(spark, capsys):
 
 def test_cli_explain_unknown_name_errors(spark):
     assert main(["explain", "--name", "nope", "--repo-root", "/root/repo"]) == 2
+
+
+def test_cli_analyze_prints_metrics(spark, capsys):
+    rc = main(
+        [
+            "analyze",
+            "--name",
+            "q11_group_agg",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--repo-root",
+            "/root/repo",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Scan parquet" in out
+    assert "numOutputRows=" in out
+    assert "HashAggregate" in out
