@@ -84,7 +84,10 @@ def _cmd_optimize(args: argparse.Namespace) -> int:
     return 0
 
 
-def _cmd_query(args: argparse.Namespace) -> int:
+def _build_query_df(args: argparse.Namespace, verb: str):
+    """Shared query/explain/analyze front half: resolve the registered
+    query by name (rc 2 + the name list on stderr when unknown) and
+    build its DataFrame on a fresh session. Returns (df, rc)."""
     from aw3d30_parquet_spark.session import get_spark
 
     sys.path.insert(0, args.repo_root)
@@ -97,50 +100,34 @@ def _cmd_query(args: argparse.Namespace) -> int:
             + " ".join(sorted(qs)),
             file=sys.stderr,
         )
-        return 2
-    spark = get_spark(app_name=f"aw3d30-query-{args.name}")
-    df = qs[args.name](spark, args.sf_dir)
+        return None, 2
+    spark = get_spark(app_name=f"aw3d30-{verb}-{args.name}")
+    return qs[args.name](spark, args.sf_dir), 0
+
+
+def _cmd_query(args: argparse.Namespace) -> int:
+    df, rc = _build_query_df(args, "query")
+    if rc:
+        return rc
     df.show(args.limit, truncate=False)
     return 0
 
 
 def _cmd_explain(args: argparse.Namespace) -> int:
-    from aw3d30_parquet_spark.session import get_spark
-
-    sys.path.insert(0, args.repo_root)
-    import __spark_entry__ as contract
-
-    qs = contract.queries()
-    if args.name not in qs:
-        print(
-            f"unknown query {args.name!r}; choose from: "
-            + " ".join(sorted(qs)),
-            file=sys.stderr,
-        )
-        return 2
-    spark = get_spark(app_name=f"aw3d30-explain-{args.name}")
-    df = qs[args.name](spark, args.sf_dir)
+    df, rc = _build_query_df(args, "explain")
+    if rc:
+        return rc
     df.explain(args.mode)
     return 0
 
 
 def _cmd_analyze(args: argparse.Namespace) -> int:
     from aw3d30_parquet_spark.plans.analyze import analyze
-    from aw3d30_parquet_spark.session import get_spark
 
-    sys.path.insert(0, args.repo_root)
-    import __spark_entry__ as contract
-
-    qs = contract.queries()
-    if args.name not in qs:
-        print(
-            f"unknown query {args.name!r}; choose from: "
-            + " ".join(sorted(qs)),
-            file=sys.stderr,
-        )
-        return 2
-    spark = get_spark(app_name=f"aw3d30-analyze-{args.name}")
-    print(analyze(qs[args.name](spark, args.sf_dir)))
+    df, rc = _build_query_df(args, "analyze")
+    if rc:
+        return rc
+    print(analyze(df))
     return 0
 
 

@@ -67,10 +67,17 @@ def _walk(node, depth: int, lines: list[str]) -> None:
 
 
 def analyze(df: DataFrame, materialize: bool = True) -> str:
-    """Execute ``df`` (noop sink — full execution, nothing collected)
-    and return the executed plan annotated with actual metrics."""
+    """Execute ``df`` and return ITS executed plan annotated with the
+    metrics of that same execution.
+
+    The execution drives ``df``'s own QueryExecution JVM-side
+    (``executedPlan().execute().count()`` — one job, no rows fetched
+    to Python): a write/collect on the DataFrame would run under a
+    DIFFERENT QueryExecution, leaving this plan's metrics empty and
+    re-materializing every stage a second time when walked."""
+    qe = df._jdf.queryExecution()
     if materialize:
-        df.write.mode("overwrite").format("noop").save()
+        qe.executedPlan().execute().count()
     lines: list[str] = []
-    _walk(df._jdf.queryExecution().executedPlan(), 0, lines)
+    _walk(qe.executedPlan(), 0, lines)
     return "\n".join(lines)

@@ -148,6 +148,12 @@ class AW3D30Reader(DataSourceReader):
         import numpy as np
         import pyarrow as pa
 
+        if partition is None:
+            # zero surviving tiles: pyspark represents an empty
+            # partitions() list as a single None partition — emit
+            # nothing instead of dereferencing it
+            return
+
         from aw3d30_parquet_spark.sources.tiff import (
             decode_geotiff,
             flatten_raster,

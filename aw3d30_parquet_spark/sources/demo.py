@@ -376,7 +376,8 @@ def g09_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # tile (51,4), 64²: Σ(1000y+x) = 1001·64·Σ(0..63) = 1001·64·2016;
-# pixel-corner coords: min lon = 4.0, max lat = 52.0 − 1/64
+# pixel-corner coords: min lon = 4.0, max lat = gt3 = 52.0 exactly
+# (row y=0 sits ON the tile's north edge)
 _G09_SUM = 1001 * DEMO_SIZE * (DEMO_SIZE * (DEMO_SIZE - 1) // 2)
 
 

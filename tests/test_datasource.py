@@ -136,3 +136,27 @@ def test_stream_reader_incremental_exactly_once(spark, tmp_path):
     # restart with nothing new: no duplicates
     run_available()
     assert spark.read.parquet(out).count() == 2 * demo.DEMO_SIZE**2
+
+
+def test_empty_read_returns_no_rows(spark, tmp_path):
+    """Zero surviving tiles (empty dir, or filters pruning everything)
+    must yield an empty DataFrame, not a None-partition crash."""
+    import os
+
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    register(spark)
+    df = (
+        spark.read.format("aw3d30")
+        .option("set", "netherlands")
+        .load(empty)
+    )
+    assert df.count() == 0
+    demo_dir = demo.ensure_demo_tiles()
+    pruned = (
+        spark.read.format("aw3d30")
+        .option("set", "netherlands")
+        .load(demo_dir)
+        .filter(F.col("tile_lat") == 60)
+    )
+    assert pruned.count() == 0
