@@ -18,7 +18,15 @@ TABLES = (
 
 
 def main() -> int:
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    builder = SparkSession.builder.master(
+        os.environ.get("SIM_MASTER", "local[8]")
+    )
+    # the real driver runs default memory at sf0.01; larger probe
+    # corpora (SCALING.md's /tmp/scale10) need a bigger driver JVM
+    mem = os.environ.get("SIM_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     import __spark_entry__ as contract
 
     from aw3d30_parquet_spark.oracle import canonical_hash
