@@ -12,17 +12,26 @@ module computes the identical global rank with distributed machinery
 3. broadcast the per-partition row counts (≤ #partitions rows) and add
    each partition's exclusive prefix offset → the exact global rank.
 
-The counts branch re-executes the (column-pruned) subtree rather than
-caching it — correct because Spark's RangePartitioner samples with a
-fixed seed over a deterministic input, so both executions produce
-identical partition boundaries (pinned by
-``tests/test_float_stability.py``'s q38 entry).
+The range-partitioned relation is PERSISTED for the duration of the
+job: the rank branch and the counts branch both read it, and
+``repartitionByRange``'s boundary sampler is seeded by the RDD id —
+two separate executions of the same plan can draw DIFFERENT partition
+boundaries once partitions hold more rows than the sample size, which
+silently corrupts the offsets (caught by the 10× scaling probe:
+equal-width ntile phases came out unequal; small inputs hide the bug
+because the sampler takes every row). At cluster scale the persist is
+a checkpoint/materialized interim — the standard shape for any
+two-phase global algorithm.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: previous invocation's persisted interim, released on the next call
+#: (same deferred-release discipline as functions/dedup.py's scratch).
+_SCRATCH: list = []
 
 
 def with_global_rank(
@@ -38,6 +47,13 @@ def with_global_rank(
     part = df.repartitionByRange(num_partitions, *order_cols).withColumn(
         "_gr_pid", F.spark_partition_id()
     )
+    while _SCRATCH:
+        try:
+            _SCRATCH.pop().unpersist()
+        except Exception:
+            pass
+    part = part.persist()
+    _SCRATCH.append(part)
     w_local = Window.partitionBy("_gr_pid").orderBy(*order_cols)
     local = part.withColumn("_gr_rn", F.row_number().over(w_local))
     counts = local.groupBy("_gr_pid").agg(F.count("*").alias("_gr_c"))
