@@ -29,9 +29,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-#: previous invocation's persisted interim, released on the next call
-#: (same deferred-release discipline as functions/dedup.py's scratch).
-_SCRATCH: list = []
+#: semantic-hash → persisted range-partitioned interim. The persist is
+#: a CORRECTNESS mechanism (both branches must read one
+#: materialization), so eviction is conservative: a small LRU rather
+#: than release-on-next-call — distinct rank queries (q38, p09, ...)
+#: coexist without evicting each other mid-lifecycle, and repeated
+#: runs of the same query reuse the same interim instead of
+#: re-persisting. Only >_SCRATCH_CAP distinct rank plans interleaved
+#: with deferred execution could evict a live interim (recomputation
+#: after eviction would re-draw boundaries).
+_SCRATCH: dict = {}
+_SCRATCH_CAP = 4
 
 
 def with_global_rank(
@@ -47,13 +55,22 @@ def with_global_rank(
     part = df.repartitionByRange(num_partitions, *order_cols).withColumn(
         "_gr_pid", F.spark_partition_id()
     )
-    while _SCRATCH:
-        try:
-            _SCRATCH.pop().unpersist()
-        except Exception:
-            pass
-    part = part.persist()
-    _SCRATCH.append(part)
+    key = (
+        part.sparkSession.sparkContext.applicationId,
+        part._jdf.queryExecution().analyzed().semanticHash(),
+    )
+    cached = _SCRATCH.pop(key, None)
+    if cached is not None:
+        part = cached  # re-insert below as most-recently-used
+    else:
+        part = part.persist()
+        while len(_SCRATCH) >= _SCRATCH_CAP:
+            oldest = next(iter(_SCRATCH))
+            try:
+                _SCRATCH.pop(oldest).unpersist()
+            except Exception:
+                _SCRATCH.pop(oldest, None)
+    _SCRATCH[key] = part
     w_local = Window.partitionBy("_gr_pid").orderBy(*order_cols)
     local = part.withColumn("_gr_rn", F.row_number().over(w_local))
     counts = local.groupBy("_gr_pid").agg(F.count("*").alias("_gr_c"))
