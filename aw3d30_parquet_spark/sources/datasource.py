@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -48,12 +49,14 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 from aw3d30_parquet_spark.sources.geotiff import (
     REGION_SETS,
     in_region,
     parse_tile_key,
+    tile_key,
 )
 
 #: DDL of the point schema (mirrors geotiff.POINT_SCHEMA).
@@ -222,6 +225,110 @@ class AW3D30StreamReader(DataSourceStreamReader):
         pass  # nothing external to clean up; the offset log is the state
 
 
+@dataclass
+class TileCommit(WriterCommitMessage):
+    files: tuple
+
+
+class AW3D30Writer(DataSourceWriter):
+    """Writing half of the format: point rows → one GeoTIFF per tile
+    (the EXPORT inverse of the ingest — what the reference consumes as
+    input, our sink can now produce).
+
+    Each task groups its rows by tile, reconstructs the raster grid by
+    inverting the pixel-corner affine (``x = round((lon − lo)·s)``,
+    ``y = round((la+1 − lat)·s)``, ``s = √n`` for a full 1°×1° tile),
+    and encodes a DEFLATE GeoTIFF via the repo codec. Tiles must be
+    complete within a task — repartition by (tile_lat, tile_lon)
+    first (:func:`write_geotiff_tiles` does). Files land via
+    write-temp + atomic rename; a re-run overwrites (last-writer-wins,
+    like any object-store raster dump — the idempotent skip layer sits
+    above, in the work-list subtraction)."""
+
+    def __init__(self, options):
+        self.out_dir = options.get("path")
+        if not self.out_dir:
+            raise ValueError("aw3d30 writer needs a path: .save(out_dir)")
+        self.compression = options.get("compression", "deflate")
+
+    def write(self, rows) -> TileCommit:
+        import os
+        import tempfile
+
+        import numpy as np
+
+        from aw3d30_parquet_spark.sources.tiff import encode_geotiff
+
+        by_tile: dict = {}
+        for r in rows:
+            by_tile.setdefault((r["tile_lat"], r["tile_lon"]), []).append(
+                (r["lat"], r["lon"], r["elevation"])
+            )
+        os.makedirs(self.out_dir, exist_ok=True)
+        written = []
+        for (la, lo), pts in by_tile.items():
+            n = len(pts)
+            s = int(round(n**0.5))
+            if s * s != n:
+                raise ValueError(
+                    f"tile ({la},{lo}): {n} points is not a full s×s grid"
+                )
+            lat = np.fromiter((p[0] for p in pts), np.float64, n)
+            lon = np.fromiter((p[1] for p in pts), np.float64, n)
+            elev = np.fromiter((p[2] for p in pts), np.int64, n)
+            y = np.rint((la + 1 - lat) * s).astype(np.intp)
+            x = np.rint((lon - lo) * s).astype(np.intp)
+            if (
+                y.min() < 0 or y.max() >= s or x.min() < 0 or x.max() >= s
+                or len(np.unique(y * s + x)) != n
+            ):
+                raise ValueError(
+                    f"tile ({la},{lo}): points do not form the 1°×1° "
+                    f"pixel-corner grid at size {s}"
+                )
+            band = np.zeros((s, s), np.int32)
+            band[y, x] = elev
+            gt = (float(lo), 1.0 / s, 0.0, float(la + 1), 0.0, -1.0 / s)
+            data = encode_geotiff(band, gt, compression=self.compression)
+            name = f"{tile_key(la, lo)}.tif"
+            fd, tmp = tempfile.mkstemp(dir=self.out_dir, suffix=".tmp")
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(data)
+            os.replace(tmp, os.path.join(self.out_dir, name))
+            written.append(name)
+        return TileCommit(tuple(written))
+
+    def commit(self, messages) -> None:
+        pass  # files land atomically per tile in write()
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            for name in m.files:
+                try:
+                    os.unlink(os.path.join(self.out_dir, name))
+                except OSError:
+                    pass
+
+
+def write_geotiff_tiles(df, out_dir: str, compression: str = "deflate") -> None:
+    """Point DataFrame → one GeoTIFF per tile under ``out_dir`` via the
+    aw3d30 format's writer. Repartitions by tile first so every tile is
+    complete within one task."""
+    register(df.sparkSession)
+    (
+        df.select("tile_lat", "tile_lon", "lat", "lon", "elevation")
+        .repartition("tile_lat", "tile_lon")
+        .write.format("aw3d30")
+        .option("compression", compression)
+        .mode("append")
+        .save(out_dir)
+    )
+
+
 class AW3D30DataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -235,6 +342,9 @@ class AW3D30DataSource(DataSource):
 
     def streamReader(self, schema) -> AW3D30StreamReader:
         return AW3D30StreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> AW3D30Writer:
+        return AW3D30Writer(self.options)
 
 
 def register(spark) -> None:
