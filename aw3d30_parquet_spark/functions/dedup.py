@@ -452,6 +452,80 @@ def minhash_lsh_pairs_mllib(
     )
 
 
+EDIT_PREFIX = 24  # compared prefix length (chars)
+EDIT_Q = 3  # q-gram width
+EDIT_D = 5  # edit-distance threshold
+#: positional count filter (Gravano et al., VLDB'01): strings of length
+#: L within edit distance d share ≥ (L − q + 1) − d·q q-grams whose
+#: positions differ by ≤ d. Both strings have length EDIT_PREFIX here
+#: (shorter prefixes are excluded from the operator's domain — below
+#: this length the bound goes ≤ 0 and gram filtering has no power).
+EDIT_MIN_SHARED = (EDIT_PREFIX - EDIT_Q + 1) - EDIT_D * EDIT_Q
+
+
+def qgram_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d10: character-level fuzzy-match join — document pairs whose
+    text PREFIXES are within edit distance ``EDIT_D``, via positional
+    q-gram count filtering + exact Levenshtein verification (the
+    classic string-similarity join; complements the token-level
+    Jaccard family with typo/near-spelling matching).
+
+    Plan shape (never all-pairs): explode each prefix into its 22
+    positional 3-grams hashed to longs, self-join on (gram hash,
+    |Δpos| ≤ d), count matches per pair, keep pairs meeting the
+    count-filter lower bound — a THEOREM, so candidate pruning is
+    lossless — then verify survivors with one codegen ``levenshtein``
+    per candidate. The oracle runs the naive all-pairs form (500²
+    single-node is nothing; 100 TB² is not a plan), which also proves
+    the filter dropped no true pair.
+
+    Cost profile mirrors d04's: the gram join's volume tracks gram
+    selectivity, so low-entropy corpora (tiny vocabularies, heavy
+    duplication — the 10× probe) inflate candidates. The scale path is
+    ED-Join-style rare-gram prefix filtering (d07's relationship to
+    d04), worth building when the fuzzy join becomes a hot operator."""
+    docs = _scratch_persist(
+        "d10",
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.substring("text", 1, EDIT_PREFIX).alias("p"),
+        )
+        .filter(F.length("p") == EDIT_PREFIX),
+    )
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, {EDIT_PREFIX - EDIT_Q + 1}),"
+                f" i -> substring(p, i, {EDIT_Q}))"
+            )
+        ).alias("pos", "g"),
+    ).select("doc_id", "pos", F.xxhash64("g").alias("h"))
+    a, b = grams.alias("a"), grams.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.pos") - F.col("b.pos")) <= EDIT_D),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= EDIT_MIN_SHARED)
+    )
+    ver = (
+        cand.join(docs.select(F.col("doc_id").alias("id_a"), F.col("p").alias("pa")), "id_a")
+        .join(docs.select(F.col("doc_id").alias("id_b"), F.col("p").alias("pb")), "id_b")
+        .withColumn("dist", F.levenshtein("pa", "pb"))
+        .filter(F.col("dist") <= EDIT_D)
+    )
+    return ver.select("id_a", "id_b", "dist").orderBy("id_a", "id_b")
+
+
 QUERIES = {
     "d01_exact_dedup_count": exact_dedup_count,
     "d02_exact_dedup_keep_first": exact_dedup_keep_first,
@@ -460,6 +534,7 @@ QUERIES = {
     "d05_simhash": simhash,
     "d06_minhash_lsh_pairs": minhash_lsh_pairs,
     "d07_ngram_jaccard_prefix": ngram_jaccard_pairs_prefix,
+    "d10_qgram_editdist_pairs": qgram_editdist_pairs,
 }
 
 ORACLE_SQL = {
@@ -727,4 +802,19 @@ WITH RECURSIVE pairs AS (
 SELECT label AS keeper, count(*) AS cluster_size,
        array_to_string(list_sort(list(node)), ',') AS members
 FROM best GROUP BY label ORDER BY keeper
+"""
+
+# d10 oracle: the NAIVE all-pairs edit-distance join (single-node
+# DuckDB affords 500²; matching it also certifies the engine's q-gram
+# count filter pruned no true pair)
+ORACLE_SQL["d10_qgram_editdist_pairs"] = f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, {EDIT_PREFIX}) AS p FROM documents
+  WHERE length(substr(text, 1, {EDIT_PREFIX})) = {EDIT_PREFIX}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.p, b.p) AS INTEGER) AS dist
+FROM d a, d b
+WHERE a.doc_id < b.doc_id AND levenshtein(a.p, b.p) <= {EDIT_D}
+ORDER BY id_a, id_b
 """
