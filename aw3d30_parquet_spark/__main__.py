@@ -84,6 +84,24 @@ def _cmd_optimize(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_export(args: argparse.Namespace) -> int:
+    from aw3d30_parquet_spark.session import get_spark
+    from aw3d30_parquet_spark.sources.datasource import write_geotiff_tiles
+
+    spark = get_spark(app_name="aw3d30-export")
+    df = spark.read.parquet(args.parquet_dir)
+    if args.set != "world":
+        from aw3d30_parquet_spark.sources.geotiff import REGION_SETS
+
+        (la0, la1), (lo0, lo1) = REGION_SETS[args.set]
+        df = df.filter(
+            df.tile_lat.between(la0, la1) & df.tile_lon.between(lo0, lo1)
+        )
+    write_geotiff_tiles(df, args.tif_dir, compression=args.compression)
+    print(f"exported {args.parquet_dir} -> {args.tif_dir}", file=sys.stderr)
+    return 0
+
+
 def _build_query_df(args: argparse.Namespace, verb: str):
     """Shared query/explain/analyze front half: resolve the registered
     query by name (rc 2 + the name list on stderr when unknown) and
@@ -200,6 +218,24 @@ def main(argv: list[str] | None = None) -> int:
     p_an.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p_an.add_argument("--repo-root", default=".")
     p_an.set_defaults(fn=_cmd_analyze)
+
+    p_exp = sub.add_parser(
+        "export",
+        help="point-table partition tree -> one GeoTIFF per tile "
+        "(the ingest's inverse)",
+    )
+    p_exp.add_argument("--parquet-dir", default="/tmp/aw3d30/parquet")
+    p_exp.add_argument("--tif-dir", default="/tmp/aw3d30/export")
+    p_exp.add_argument(
+        "--set",
+        default="world",
+        choices=["netherlands", "france", "europe", "world"],
+        help="export only this region's tiles (partition-pruned read)",
+    )
+    p_exp.add_argument(
+        "--compression", default="deflate", choices=["deflate", "none"]
+    )
+    p_exp.set_defaults(fn=_cmd_export)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -101,3 +101,54 @@ def test_cli_analyze_prints_metrics(spark, capsys):
     assert "Scan parquet" in out
     assert "numOutputRows=" in out
     assert "HashAggregate" in out
+
+
+def test_cli_export_roundtrip(spark, tmp_path):
+    """ingest --demo then export: the exported tiles decode to the
+    fixture raster (full inverse pipeline at the CLI surface)."""
+    import os
+
+    from aw3d30_parquet_spark.sources.demo import demo_band
+    from aw3d30_parquet_spark.sources.tiff import decode_geotiff
+
+    tif_in = str(tmp_path / "in")
+    pq = str(tmp_path / "pq")
+    tif_out = str(tmp_path / "out")
+    assert (
+        main(
+            [
+                "ingest",
+                "--set",
+                "netherlands",
+                "--tif-dir",
+                tif_in,
+                "--parquet-dir",
+                pq,
+                "--demo",
+                "--demo-tiles",
+                "2",
+            ]
+        )
+        == 0
+    )
+    assert (
+        main(
+            [
+                "export",
+                "--parquet-dir",
+                pq,
+                "--tif-dir",
+                tif_out,
+                "--set",
+                "netherlands",
+            ]
+        )
+        == 0
+    )
+    names = sorted(os.listdir(tif_out))
+    assert len(names) == 2 and all(n.endswith("_DSM.tif") for n in names)
+    import numpy as np
+
+    with open(os.path.join(tif_out, names[0]), "rb") as fh:
+        band, _gt = decode_geotiff(fh.read())
+    np.testing.assert_array_equal(band, demo_band())
