@@ -12,16 +12,16 @@ module computes the identical global rank with distributed machinery
 3. broadcast the per-partition row counts (≤ #partitions rows) and add
    each partition's exclusive prefix offset → the exact global rank.
 
-The range-partitioned relation is PERSISTED for the duration of the
-job: the rank branch and the counts branch both read it, and
+The range-partitioned relation is eagerly CHECKPOINTED: the rank
+branch and the counts branch both read it, and
 ``repartitionByRange``'s boundary sampler is seeded by the RDD id —
 two separate executions of the same plan can draw DIFFERENT partition
 boundaries once partitions hold more rows than the sample size, which
 silently corrupts the offsets (caught by the 10× scaling probe:
 equal-width ntile phases came out unequal; small inputs hide the bug
-because the sampler takes every row). At cluster scale the persist is
-a checkpoint/materialized interim — the standard shape for any
-two-phase global algorithm.
+because the sampler takes every row). Checkpointing truncates lineage,
+so no branch can ever recompute the partitioning — the standard
+materialized-interim shape for any two-phase global algorithm.
 """
 
 from __future__ import annotations
@@ -29,17 +29,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-#: semantic-hash → persisted range-partitioned interim. The persist is
-#: a CORRECTNESS mechanism (both branches must read one
-#: materialization), so eviction is conservative: a small LRU rather
-#: than release-on-next-call — distinct rank queries (q38, p09, ...)
-#: coexist without evicting each other mid-lifecycle, and repeated
-#: runs of the same query reuse the same interim instead of
-#: re-persisting. Only >_SCRATCH_CAP distinct rank plans interleaved
-#: with deferred execution could evict a live interim (recomputation
-#: after eviction would re-draw boundaries).
+#: semantic-hash → eagerly localCheckpoint-ed range-partitioned
+#: interim. Checkpointing (not persist) is the correctness mechanism:
+#: it TRUNCATES LINEAGE, so the returned DataFrame's two branches can
+#: only ever read the one materialization — no cache eviction,
+#: ``spark.catalog.clearCache()``, or deferred execution can make a
+#: branch silently recompute with freshly-sampled (divergent) range
+#: boundaries. The memo is then purely a perf cache (reuse across
+#: repeated runs of the same rank query); evicted entries just drop
+#: our reference — checkpoint blocks free when the consumer
+#: DataFrames are gc'd. On a multi-executor cluster, prefer a
+#: RELIABLE checkpoint dir (``sc.setCheckpointDir`` + ``checkpoint``)
+#: — localCheckpoint blocks die with their executor.
 _SCRATCH: dict = {}
-_SCRATCH_CAP = 4
+_SCRATCH_CAP = 8
 
 
 def with_global_rank(
@@ -63,13 +66,9 @@ def with_global_rank(
     if cached is not None:
         part = cached  # re-insert below as most-recently-used
     else:
-        part = part.persist()
+        part = part.localCheckpoint(eager=True)
         while len(_SCRATCH) >= _SCRATCH_CAP:
-            oldest = next(iter(_SCRATCH))
-            try:
-                _SCRATCH.pop(oldest).unpersist()
-            except Exception:
-                _SCRATCH.pop(oldest, None)
+            _SCRATCH.pop(next(iter(_SCRATCH)))
     _SCRATCH[key] = part
     w_local = Window.partitionBy("_gr_pid").orderBy(*order_cols)
     local = part.withColumn("_gr_rn", F.row_number().over(w_local))

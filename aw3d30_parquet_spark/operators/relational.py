@@ -622,9 +622,11 @@ def q38_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort → per-partition row_number → broadcast prefix offsets → exact
     global rank, then ntile's positional split as a closed-form integer
     expression. Identical output to the SQL form; the o_orderkey
-    tiebreak keeps the total order deterministic across engines. See
-    the ranking module docstring for why the two-branch recompute is
-    sound (fixed-seed range sampling)."""
+    tiebreak keeps the total order deterministic across engines. The
+    range-partitioned interim is eagerly checkpointed inside the rank
+    operator — both branches read one materialization, never a
+    recompute with freshly-sampled boundaries (see the ranking module
+    docstring for the failure mode that rules out)."""
     from aw3d30_parquet_spark.operators.ranking import (
         ntile_expr,
         with_global_rank,

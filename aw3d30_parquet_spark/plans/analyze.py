@@ -50,20 +50,22 @@ def _node_metrics(node) -> list[str]:
     return out
 
 
-def _walk(node, depth: int, lines: list[str]) -> None:
+def _walk(node, depth: int, lines: list[str], resolve_final: bool = True) -> None:
     name = node.nodeName()
-    if name == "AdaptiveSparkPlan":
-        # render the FINAL plan AQE actually executed
+    if name == "AdaptiveSparkPlan" and resolve_final:
+        # render the FINAL plan AQE actually executed. Only after an
+        # execution: finalPhysicalPlan() on a cold plan would itself
+        # materialize every intermediate stage to finish planning.
         node = node.finalPhysicalPlan()
         name = node.nodeName()
     mets = _node_metrics(node)
     lines.append("  " * depth + name + (f"  [{', '.join(mets)}]" if mets else ""))
     ch = node.children().iterator()
     while ch.hasNext():
-        _walk(ch.next(), depth + 1, lines)
+        _walk(ch.next(), depth + 1, lines, resolve_final)
     # QueryStage nodes hold their materialized subtree in .plan()
     if name.endswith("QueryStage"):
-        _walk(node.plan(), depth + 1, lines)
+        _walk(node.plan(), depth + 1, lines, resolve_final)
 
 
 def analyze(df: DataFrame, materialize: bool = True) -> str:
@@ -74,10 +76,16 @@ def analyze(df: DataFrame, materialize: bool = True) -> str:
     (``executedPlan().execute().count()`` — one job, no rows fetched
     to Python): a write/collect on the DataFrame would run under a
     DIFFERENT QueryExecution, leaving this plan's metrics empty and
-    re-materializing every stage a second time when walked."""
+    re-materializing every stage a second time when walked.
+
+    ``materialize=False`` renders the UNEXECUTED plan (the
+    AdaptiveSparkPlan before stage resolution, no metrics) and runs
+    NOTHING — resolving AQE's final plan on a cold query would itself
+    materialize every intermediate stage, silently executing most of
+    the job the flag promised to skip."""
     qe = df._jdf.queryExecution()
     if materialize:
         qe.executedPlan().execute().count()
     lines: list[str] = []
-    _walk(qe.executedPlan(), 0, lines)
+    _walk(qe.executedPlan(), 0, lines, resolve_final=materialize)
     return "\n".join(lines)

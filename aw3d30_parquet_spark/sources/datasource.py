@@ -39,9 +39,9 @@ from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
-    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -227,55 +227,77 @@ class AW3D30StreamReader(DataSourceStreamReader):
 
 @dataclass
 class TileCommit(WriterCommitMessage):
+    #: (staged temp name, final name) per tile written by one task
     files: tuple
 
 
-class AW3D30Writer(DataSourceWriter):
-    """Writing half of the format: point rows → one GeoTIFF per tile
-    (the EXPORT inverse of the ingest — what the reference consumes as
-    input, our sink can now produce).
+class AW3D30Writer(DataSourceArrowWriter):
+    """Writing half of the format: point DataFrame → one GeoTIFF per
+    tile (the EXPORT inverse of the ingest — what the reference
+    consumes as input, our sink can now produce).
 
-    Each task groups its rows by tile, reconstructs the raster grid by
-    inverting the pixel-corner affine (``x = round((lon − lo)·s)``,
-    ``y = round((la+1 − lat)·s)``, ``s = √n`` for a full 1°×1° tile),
-    and encodes a DEFLATE GeoTIFF via the repo codec. Tiles must be
-    complete within a task — repartition by (tile_lat, tile_lon)
-    first (:func:`write_geotiff_tiles` does). Files land via
-    write-temp + atomic rename; a re-run overwrites (last-writer-wins,
-    like any object-store raster dump — the idempotent skip layer sits
-    above, in the work-list subtraction)."""
+    Arrow path (`DataSourceArrowWriter`): each task receives
+    RecordBatches — columns stay numpy end-to-end, a 3600² tile never
+    materializes as Python objects (the read path's contract, kept on
+    the write side). Per tile the task inverts the pixel-corner affine
+    (``x = round((lon − lo)·s)``, ``y = round((la+1 − lat)·s)``,
+    ``s = √n``) to rebuild the raster, validates the grid is complete
+    and collision-free, and encodes via the repo codec. Tiles must be
+    complete within a task — repartition by (tile_lat, tile_lon) first
+    (:func:`write_geotiff_tiles` does).
 
-    def __init__(self, options):
+    Transactional: ``write`` stages ``*.tif.tmp-<uuid>`` files; only
+    job-level ``commit`` renames them into place (and, under
+    ``mode("overwrite")``, removes stale tiles this job did not
+    produce); ``abort`` unlinks the stage files — a failed job leaves
+    the previous tile set untouched (orphaned ``.tmp-*`` from killed
+    tasks are inert: the reader's glob matches only ``*_DSM.tif``)."""
+
+    def __init__(self, options, overwrite: bool):
         self.out_dir = options.get("path")
         if not self.out_dir:
             raise ValueError("aw3d30 writer needs a path: .save(out_dir)")
         self.compression = options.get("compression", "deflate")
+        self.overwrite = overwrite
 
-    def write(self, rows) -> TileCommit:
+    def write(self, batches) -> TileCommit:
         import os
-        import tempfile
+        import uuid
 
         import numpy as np
 
         from aw3d30_parquet_spark.sources.tiff import encode_geotiff
 
-        by_tile: dict = {}
-        for r in rows:
-            by_tile.setdefault((r["tile_lat"], r["tile_lon"]), []).append(
-                (r["lat"], r["lon"], r["elevation"])
-            )
+        cols: dict = {}
+        for rb in batches:
+            tab = rb
+            la_arr = tab.column(tab.schema.get_field_index("tile_lat")).to_numpy(zero_copy_only=False)
+            lo_arr = tab.column(tab.schema.get_field_index("tile_lon")).to_numpy(zero_copy_only=False)
+            lat = tab.column(tab.schema.get_field_index("lat")).to_numpy(zero_copy_only=False)
+            lon = tab.column(tab.schema.get_field_index("lon")).to_numpy(zero_copy_only=False)
+            elev = tab.column(tab.schema.get_field_index("elevation")).to_numpy(zero_copy_only=False)
+            tiles = la_arr.astype(np.int64) * 1000 + lo_arr
+            for t in np.unique(tiles):
+                m = tiles == t
+                cols.setdefault(int(t), []).append(
+                    (lat[m], lon[m], elev[m])
+                )
         os.makedirs(self.out_dir, exist_ok=True)
-        written = []
-        for (la, lo), pts in by_tile.items():
-            n = len(pts)
+        staged = []
+        for t, chunks in cols.items():
+            la, lo = t // 1000, t % 1000
+            if lo > 500:  # negative lon encoded mod 1000
+                lo -= 1000
+                la += 1
+            lat = np.concatenate([c[0] for c in chunks])
+            lon = np.concatenate([c[1] for c in chunks])
+            elev = np.concatenate([c[2] for c in chunks])
+            n = len(lat)
             s = int(round(n**0.5))
             if s * s != n:
                 raise ValueError(
                     f"tile ({la},{lo}): {n} points is not a full s×s grid"
                 )
-            lat = np.fromiter((p[0] for p in pts), np.float64, n)
-            lon = np.fromiter((p[1] for p in pts), np.float64, n)
-            elev = np.fromiter((p[2] for p in pts), np.int64, n)
             y = np.rint((la + 1 - lat) * s).astype(np.intp)
             x = np.rint((lon - lo) * s).astype(np.intp)
             if (
@@ -287,19 +309,36 @@ class AW3D30Writer(DataSourceWriter):
                     f"pixel-corner grid at size {s}"
                 )
             band = np.zeros((s, s), np.int32)
-            band[y, x] = elev
+            band[y, x] = elev.astype(np.int32)
             gt = (float(lo), 1.0 / s, 0.0, float(la + 1), 0.0, -1.0 / s)
             data = encode_geotiff(band, gt, compression=self.compression)
-            name = f"{tile_key(la, lo)}.tif"
-            fd, tmp = tempfile.mkstemp(dir=self.out_dir, suffix=".tmp")
-            with os.fdopen(fd, "wb") as fh:
+            name = f"{tile_key(int(la), int(lo))}.tif"
+            tmp = f"{name}.tmp-{uuid.uuid4().hex[:12]}"
+            with open(os.path.join(self.out_dir, tmp), "wb") as fh:
                 fh.write(data)
-            os.replace(tmp, os.path.join(self.out_dir, name))
-            written.append(name)
-        return TileCommit(tuple(written))
+            staged.append((tmp, name))
+        return TileCommit(tuple(staged))
 
     def commit(self, messages) -> None:
-        pass  # files land atomically per tile in write()
+        import os
+
+        final = set()
+        for m in messages:
+            if m is None:
+                continue
+            for tmp, name in m.files:
+                os.replace(
+                    os.path.join(self.out_dir, tmp),
+                    os.path.join(self.out_dir, name),
+                )
+                final.add(name)
+        if self.overwrite:
+            for entry in os.listdir(self.out_dir):
+                if entry.endswith("_DSM.tif") and entry not in final:
+                    try:
+                        os.unlink(os.path.join(self.out_dir, entry))
+                    except OSError:
+                        pass
 
     def abort(self, messages) -> None:
         import os
@@ -307,9 +346,9 @@ class AW3D30Writer(DataSourceWriter):
         for m in messages:
             if m is None:
                 continue
-            for name in m.files:
+            for tmp, _name in m.files:
                 try:
-                    os.unlink(os.path.join(self.out_dir, name))
+                    os.unlink(os.path.join(self.out_dir, tmp))
                 except OSError:
                     pass
 
@@ -344,7 +383,7 @@ class AW3D30DataSource(DataSource):
         return AW3D30StreamReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> AW3D30Writer:
-        return AW3D30Writer(self.options)
+        return AW3D30Writer(self.options, overwrite)
 
 
 def register(spark) -> None:

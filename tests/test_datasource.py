@@ -202,3 +202,52 @@ def test_writer_rejects_partial_tiles(spark, tmp_path):
     )
     with pytest.raises(Exception, match="not a full|grid"):
         write_geotiff_tiles(df, str(tmp_path / "bad"))
+
+
+def test_writer_overwrite_removes_stale_tiles(spark, demo_dir, tmp_path):
+    from aw3d30_parquet_spark.sources.datasource import write_geotiff_tiles
+
+    out = str(tmp_path / "exp")
+    pts = read_tiles(spark, demo_dir, "netherlands")
+    write_geotiff_tiles(pts, out)
+    import os
+
+    assert len(os.listdir(out)) == 2
+    # overwrite with only one tile: the other must be removed
+    register(spark)
+    (
+        pts.filter("tile_lat = 51")
+        .repartition("tile_lat", "tile_lon")
+        .write.format("aw3d30")
+        .mode("overwrite")
+        .save(out)
+    )
+    assert sorted(os.listdir(out)) == ["ALPSMLC30_N051E004_DSM.tif"]
+
+
+def test_writer_failed_job_leaves_previous_tiles_intact(
+    spark, demo_dir, tmp_path
+):
+    from aw3d30_parquet_spark.sources.datasource import write_geotiff_tiles
+
+    out = str(tmp_path / "exp")
+    pts = read_tiles(spark, demo_dir, "netherlands")
+    write_geotiff_tiles(pts, out)
+    import glob
+    import os
+
+    before = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{out}/*_DSM.tif")
+    }
+    assert len(before) == 2
+    # partial tile -> the write job fails; staged tmps are aborted and
+    # the prior export stays byte-for-byte in place
+    bad = spark.createDataFrame(
+        [(51, 4, 51.5, 4.5, 7), (51, 4, 51.25, 4.25, 9), (51, 4, 51.75, 4.75, 1)],
+        "tile_lat INT, tile_lon INT, lat DOUBLE, lon DOUBLE, elevation INT",
+    )
+    with pytest.raises(Exception):
+        write_geotiff_tiles(bad, out)
+    after = {f: os.path.getmtime(f) for f in glob.glob(f"{out}/*_DSM.tif")}
+    assert after == before
+    assert glob.glob(f"{out}/*.tmp-*") == []
