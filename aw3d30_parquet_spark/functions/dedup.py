@@ -481,9 +481,14 @@ def qgram_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cost profile mirrors d04's: the gram join's volume tracks gram
     selectivity, so low-entropy corpora (tiny vocabularies, heavy
-    duplication — the 10× probe) inflate candidates. The scale path is
-    ED-Join-style rare-gram prefix filtering (d07's relationship to
-    d04), worth building when the fuzzy join becomes a hot operator."""
+    duplication — the 10× probe) inflate candidates. Measured
+    alternative: a PassJoin segment-index variant (6 disjoint
+    segments, pigeonhole ≥1 survives d edits) produced identical pairs
+    but ran 2–3× SLOWER here (3.0 s vs 1.5 s at sf0.1, 352 s vs 119 s
+    at the 10× probe) — its ≥1-shared-segment candidate bar is far
+    looser than the ≥7-gram count bound on low-entropy text. The
+    remaining scale lever is ED-Join-style rare-gram prefix selection
+    (d07's relationship to d04) if this join ever gets hot."""
     docs = _scratch_persist(
         "d10",
         _docs(spark, sf_dir)
