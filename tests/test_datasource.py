@@ -251,3 +251,38 @@ def test_writer_failed_job_leaves_previous_tiles_intact(
     after = {f: os.path.getmtime(f) for f in glob.glob(f"{out}/*_DSM.tif")}
     assert after == before
     assert glob.glob(f"{out}/*.tmp-*") == []
+
+
+def test_writer_southern_western_tile(spark, tmp_path):
+    """The writer's packed (lat*1000+lon) grouping must round-trip
+    negative coordinates (southern/western hemisphere tiles)."""
+    import os
+
+    import numpy as np
+
+    from aw3d30_parquet_spark.sources.datasource import write_geotiff_tiles
+    from aw3d30_parquet_spark.sources.tiff import decode_geotiff
+
+    s, la, lo = 8, -30, -5
+    rows = [
+        (
+            la,
+            lo,
+            float(la + 1) - y / s,
+            float(lo) + x / s,
+            100 * y + x,
+        )
+        for y in range(s)
+        for x in range(s)
+    ]
+    df = spark.createDataFrame(
+        rows, "tile_lat INT, tile_lon INT, lat DOUBLE, lon DOUBLE, elevation INT"
+    )
+    out = str(tmp_path / "sw")
+    write_geotiff_tiles(df, out)
+    assert os.listdir(out) == ["ALPSMLC30_S030W005_DSM.tif"]
+    with open(os.path.join(out, "ALPSMLC30_S030W005_DSM.tif"), "rb") as fh:
+        band, gt = decode_geotiff(fh.read())
+    expect = np.arange(s)[:, None] * 100 + np.arange(s)[None, :]
+    np.testing.assert_array_equal(band, expect)
+    assert gt == (float(lo), 1.0 / s, 0.0, float(la + 1), 0.0, -1.0 / s)
