@@ -33,34 +33,55 @@ def entry(spark: SparkSession) -> DataFrame:
     return q06_star_join(spark, SMOKE_SF_DIR)
 
 
-def _driver_checked() -> set[str]:
-    """Names with a row in ANY prior round's CORRECTNESS_r*.json — the
-    driver's per-round capture is bounded (~50 entries in registration
-    order), so queries it has already recorded rotate to the back and
-    the never-checked ones come first. Reading the accumulated result
-    files makes the rotation automatic every round."""
+def _driver_history() -> tuple[set[str], set[str]]:
+    """``(failed, passed)`` per the accumulated CORRECTNESS_r*.json.
+
+    The driver's per-round capture is bounded (~50 entries in
+    registration order), so ordering IS coverage policy. A name's
+    status is its LATEST recorded row (rounds are replayed in
+    ascending round order): a hash/row mismatch or a hard error marks
+    it failed until a later round records it green — so fixed queries
+    rotate to the FRONT of the dict and the next driver run certifies
+    the fix; ``no_oracle`` rows-only captures count as passed."""
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    seen: set[str] = set()
-    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+    status: dict[str, bool] = {}  # name -> ok?
+    paths = sorted(
+        glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    for path in paths:
         try:
             with open(path) as fh:
-                seen.update(json.load(fh).keys())
+                rows = json.load(fh)
         except Exception:
             continue
-    return seen
+        for name, row in rows.items():
+            ok = (
+                row.get("err") in (None, "no_oracle")
+                and row.get("hash_match") is not False
+                and row.get("rows_match") is not False
+            )
+            status[name] = ok
+    failed = {n for n, ok in status.items() if not ok}
+    passed = {n for n, ok in status.items() if ok}
+    return failed, passed
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Registration order is the driver's check order, and its per-round
-    capture is bounded — so the queries with no CORRECTNESS row yet come
-    FIRST, round-robin interleaved by family (d/g/m/p/s/t/u/v + q49+) so
-    any prefix of the dict samples every family; already-recorded entries
-    follow in their original order.
+    capture is bounded — so ordering is coverage policy, three tiers:
+
+    1. previously-FAILED queries (latest driver row not green) — the
+       fixes land in the very next CORRECTNESS file;
+    2. never-checked queries, round-robin interleaved by family
+       (d/g/m/p/s/t/u/v + q49+) so any prefix samples every family;
+    3. previously-passed queries in their original order.
     """
     from aw3d30_parquet_spark.operators.relational import RELATIONAL_QUERIES
 
@@ -83,8 +104,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     combined.update(streaming_events.QUERIES)
 
-    checked = _driver_checked()
-    fresh = [n for n in combined if n not in checked]
+    failed, passed = _driver_history()
+    refit = [n for n in combined if n in failed]
+    fresh = [n for n in combined if n not in failed and n not in passed]
     by_family: dict[str, list[str]] = {}
     for n in sorted(fresh):
         by_family.setdefault(n[0], []).append(n)
@@ -96,7 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if lane:
             interleaved.append(lane.pop(0))
         i += 1
-    ordered = interleaved + [n for n in combined if n in checked]
+    ordered = refit + interleaved + [n for n in combined if n in passed]
     return {n: combined[n] for n in ordered}
 
 
