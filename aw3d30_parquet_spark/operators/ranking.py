@@ -29,20 +29,32 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-#: semantic-hash → eagerly localCheckpoint-ed range-partitioned
-#: interim. Checkpointing (not persist) is the correctness mechanism:
-#: it TRUNCATES LINEAGE, so the returned DataFrame's two branches can
-#: only ever read the one materialization — no cache eviction,
-#: ``spark.catalog.clearCache()``, or deferred execution can make a
-#: branch silently recompute with freshly-sampled (divergent) range
-#: boundaries. The memo is then purely a perf cache (reuse across
-#: repeated runs of the same rank query); evicted entries just drop
-#: our reference — checkpoint blocks free when the consumer
-#: DataFrames are gc'd. On a multi-executor cluster, prefer a
-#: RELIABLE checkpoint dir (``sc.setCheckpointDir`` + ``checkpoint``)
-#: — localCheckpoint blocks die with their executor.
-_SCRATCH: dict = {}
-_SCRATCH_CAP = 8
+def _materialize(part: DataFrame) -> DataFrame:
+    """Eagerly checkpoint the range-partitioned interim.
+
+    Checkpointing (not persist) is the correctness mechanism: it
+    TRUNCATES LINEAGE, so the returned DataFrame's two branches can
+    only ever read the one materialization — no cache eviction,
+    ``spark.catalog.clearCache()``, or deferred execution can make a
+    branch silently recompute with freshly-sampled (divergent) range
+    boundaries. Each call checkpoints afresh — a cross-call memo keyed
+    on the analyzed plan would serve stale data if the files under the
+    same path changed, and lineage truncation makes that undetectable.
+
+    When ``spark.graft.checkpointDir`` is set, the interim goes to a
+    RELIABLE checkpoint (``sc.setCheckpointDir`` + ``checkpoint``) —
+    the cluster-grade path, since ``localCheckpoint`` blocks die with
+    their executor and a lost block is unrecoverable (lineage is
+    gone). ``localCheckpoint`` remains the single-JVM local default,
+    where executor loss means JVM loss anyway."""
+    spark = part.sparkSession
+    ckpt_dir = spark.conf.get("spark.graft.checkpointDir", None)
+    if ckpt_dir:
+        sc = spark.sparkContext
+        if sc.getCheckpointDir() != ckpt_dir:
+            sc.setCheckpointDir(ckpt_dir)
+        return part.checkpoint(eager=True)
+    return part.localCheckpoint(eager=True)
 
 
 def with_global_rank(
@@ -58,18 +70,7 @@ def with_global_rank(
     part = df.repartitionByRange(num_partitions, *order_cols).withColumn(
         "_gr_pid", F.spark_partition_id()
     )
-    key = (
-        part.sparkSession.sparkContext.applicationId,
-        part._jdf.queryExecution().analyzed().semanticHash(),
-    )
-    cached = _SCRATCH.pop(key, None)
-    if cached is not None:
-        part = cached  # re-insert below as most-recently-used
-    else:
-        part = part.localCheckpoint(eager=True)
-        while len(_SCRATCH) >= _SCRATCH_CAP:
-            _SCRATCH.pop(next(iter(_SCRATCH)))
-    _SCRATCH[key] = part
+    part = _materialize(part)
     w_local = Window.partitionBy("_gr_pid").orderBy(*order_cols)
     local = part.withColumn("_gr_rn", F.row_number().over(w_local))
     counts = local.groupBy("_gr_pid").agg(F.count("*").alias("_gr_c"))

@@ -44,6 +44,39 @@ def test_global_rank_matches_order(spark):
     assert ends[N] == (hi.key, hi.id)
 
 
+def test_reliable_checkpoint_dir_produces_identical_ranks(
+    spark, tmp_path
+):
+    """With spark.graft.checkpointDir set the interim goes through a
+    reliable checkpoint (sc.setCheckpointDir + df.checkpoint) — the
+    multi-executor path — and every rank is identical to the
+    localCheckpoint default."""
+    base = _ranked(spark).select("key", "id", "_r", "_n")
+    spark.conf.set("spark.graft.checkpointDir", str(tmp_path / "ckpt"))
+    try:
+        reliable = _ranked(spark).select("key", "id", "_r", "_n")
+        assert base.exceptAll(reliable).isEmpty()
+        assert reliable.exceptAll(base).isEmpty()
+        assert spark.sparkContext.getCheckpointDir() is not None
+    finally:
+        spark.conf.unset("spark.graft.checkpointDir")
+
+
+def test_rerank_after_data_change_sees_new_data(spark, tmp_path):
+    """No cross-call memo: re-running the same rank query after the
+    files at the same path change must rank the NEW rows (the round-2
+    memo keyed on the analyzed plan would have served the stale
+    checkpoint)."""
+    p = str(tmp_path / "t")
+    spark.range(10).write.mode("overwrite").parquet(p)
+    r1 = with_global_rank(spark.read.parquet(p), [F.col("id")])
+    assert r1.agg(F.max("_n")).first()[0] == 10
+    spark.range(25).write.mode("overwrite").parquet(p)
+    r2 = with_global_rank(spark.read.parquet(p), [F.col("id")])
+    assert r2.agg(F.max("_n")).first()[0] == 25
+    assert r2.agg(F.max("_r")).first()[0] == 25
+
+
 def test_ntile_phases_equal_width(spark):
     r = _ranked(spark)
     widths = (
