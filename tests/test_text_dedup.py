@@ -94,3 +94,98 @@ def test_d07_prefix_variant_equals_d04(spark):
     h_direct = canonical_hash(ngram_jaccard_pairs(spark, sf).toPandas())
     h_prefix = canonical_hash(ngram_jaccard_pairs_prefix(spark, sf).toPandas())
     assert h_direct == h_prefix
+
+
+def test_d08_union_find_equals_label_propagation(spark):
+    """The size-gated driver union-find path and the distributed
+    label-propagation path produce identical clusters (same keepers,
+    sizes, and member strings)."""
+    from aw3d30_parquet_spark.functions.dedup import neardup_components
+    from aw3d30_parquet_spark.oracle import canonical_hash
+
+    sf = "/root/testdata/sf0.01"
+    via_uf = neardup_components(spark, sf).toPandas()
+    via_lp = neardup_components(spark, sf, driver_edge_cap=0).toPandas()
+    assert len(via_uf) > 0, "fixture should contain near-dup clusters"
+    assert canonical_hash(via_uf) == canonical_hash(via_lp)
+
+
+def test_d08_member_cap_bounds_row_width(spark):
+    """A cluster larger than MEMBER_CAP lists exactly MEMBER_CAP
+    member ids while cluster_size keeps the true count."""
+    import aw3d30_parquet_spark.functions.dedup as dd
+
+    orig = dd.MEMBER_CAP
+    dd.MEMBER_CAP = 2
+    try:
+        out = dd.neardup_components(spark, "/root/testdata/sf0.01").collect()
+    finally:
+        dd.MEMBER_CAP = orig
+    big = [r for r in out if r.cluster_size > 2]
+    assert big, "fixture should contain a cluster larger than the cap"
+    for r in big:
+        assert len(r.members.split(",")) == 2
+        # keeper (the min label) is always in the sorted sample prefix
+        assert r.members.split(",")[0] == str(r.keeper)
+
+
+def test_d11_editdist_prefix_equals_d10(spark):
+    """The ED-Join rare-gram prefix variant produces exactly the
+    count-filter relation — prefix candidate pruning is lossless
+    (and the fixture must actually exercise it)."""
+    from aw3d30_parquet_spark.functions.dedup import (
+        qgram_editdist_pairs,
+        qgram_editdist_pairs_prefix,
+    )
+    from aw3d30_parquet_spark.oracle import canonical_hash
+
+    sf = "/root/testdata/sf0.01"
+    direct = qgram_editdist_pairs(spark, sf).toPandas()
+    prefix = qgram_editdist_pairs_prefix(spark, sf).toPandas()
+    assert len(direct) > 0, "fixture should contain edit-dist pairs"
+    assert canonical_hash(direct) == canonical_hash(prefix)
+
+
+def test_d11_prefix_covers_adversarial_tie_boundary(spark, tmp_path):
+    """Duplicate grams tied at the prefix boundary are the case the
+    tie-extension exists for: strings made of ONE repeated character
+    have 22 identical grams (every occurrence ties with the boundary),
+    and every within-distance pair must still surface."""
+    import pandas as pd
+
+    from aw3d30_parquet_spark.functions.dedup import (
+        qgram_editdist_pairs,
+        qgram_editdist_pairs_prefix,
+    )
+
+    rows = []
+    # aaa…a vs aaa…ab-style: distance ≤ 5 via suffix substitutions
+    for i in range(6):
+        rows.append({
+            "doc_id": i,
+            "text": "a" * (24 - i) + "b" * i,
+            "source": "t",
+        })
+    # plus a far-away string (all c's) that must NOT pair with the a's
+    rows.append({"doc_id": 99, "text": "c" * 24, "source": "t"})
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    for name in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ]:
+        src = f"/root/testdata/sf0.001/{name}.parquet"
+        (tmp_path / f"{name}.parquet").write_bytes(
+            open(src, "rb").read()
+        )
+    sf = str(tmp_path)
+    direct = {
+        (r.id_a, r.id_b, r.dist)
+        for r in qgram_editdist_pairs(spark, sf).collect()
+    }
+    prefix = {
+        (r.id_a, r.id_b, r.dist)
+        for r in qgram_editdist_pairs_prefix(spark, sf).collect()
+    }
+    assert direct == prefix
+    assert (0, 1, 1) in prefix and (0, 5, 5) in prefix
+    assert not any(99 in (a, b) for a, b, _ in prefix)
