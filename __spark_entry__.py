@@ -96,9 +96,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     combined.update(EXTENDED_QUERIES)
 
-    from aw3d30_parquet_spark.sources import demo
+    from aw3d30_parquet_spark.sources import demo, files
 
     combined.update(demo.QUERIES)
+    combined.update(files.QUERIES)
 
     from aw3d30_parquet_spark.streaming import events as streaming_events
 
@@ -138,9 +139,10 @@ def oracle_sql() -> dict[str, str]:
 
     out.update(EXTENDED_ORACLE_SQL)
 
-    from aw3d30_parquet_spark.sources import demo
+    from aw3d30_parquet_spark.sources import demo, files
 
     out.update(demo.ORACLE_SQL)
+    out.update(files.ORACLE_SQL)
 
     from aw3d30_parquet_spark.streaming import events as streaming_events
 

@@ -77,6 +77,13 @@ class AW3D30Reader(DataSourceReader):
         self.tif_dir = options.get("path")
         if not self.tif_dir:
             raise ValueError("aw3d30 source needs a path: .load(tif_dir)")
+        if not os.path.isdir(self.tif_dir):
+            # fail at load() with the option named, not as a raw
+            # FileNotFoundError from inside partition planning
+            raise ValueError(
+                f"aw3d30 source path {self.tif_dir!r} is not a readable "
+                "directory — .load() expects a directory of *_DSM.tif tiles"
+            )
         self.set_name = options.get("set", "world")
         if self.set_name not in REGION_SETS:
             raise ValueError(

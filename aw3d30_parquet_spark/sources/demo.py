@@ -380,6 +380,55 @@ def g09_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (row y=0 sits ON the tile's north edge)
 _G09_SUM = 1001 * DEMO_SIZE * (DEMO_SIZE * (DEMO_SIZE - 1) // 2)
 
+#: 7×7 fixture grid for the partition-parallel stress read (g10):
+#: 49 tiles on disk; the query's pushed box keeps the inner 6×6 = 36.
+GRID_COORDS = tuple(
+    (la, lo) for la in range(40, 47) for lo in range(10, 17)
+)
+GRID_BOX = {"lat": (41, 46), "lon": (11, 16)}  # inclusive survivors
+_GRID_DIR = _DEMO_DIR + "_grid"
+
+
+def g10_datasource_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g10: the aw3d30 Python Data Source under real partition
+    parallelism — 49 tiles on disk, four pushed range predicates
+    (>=, <=, >, <) prune the listing to the inner 36, and each
+    surviving tile is its own InputPartition/Arrow-batch decode (so
+    local[32] actually schedules a wave of concurrent tile tasks,
+    unlike g09's 1-tile read). Per-tile aggregates pin every decoded
+    cell against the closed-form ramp."""
+    from aw3d30_parquet_spark.sources.datasource import register
+
+    ensure_demo_tiles(_GRID_DIR, GRID_COORDS)
+    register(spark)
+    (la0, la1), (lo0, lo1) = GRID_BOX["lat"], GRID_BOX["lon"]
+    df = spark.read.format("aw3d30").option("set", "world").load(_GRID_DIR)
+    return (
+        df.filter(
+            (F.col("tile_lat") >= la0)
+            & (F.col("tile_lat") <= la1)
+            & (F.col("tile_lon") > lo0 - 1)
+            & (F.col("tile_lon") < lo1 + 1)
+        )
+        .groupBy("tile_lat", "tile_lon")
+        .agg(
+            F.count("*").alias("points"),
+            F.sum("elevation").alias("sum_elev"),
+            F.round(F.min("lon"), 6).alias("min_lon"),
+            F.round(F.max("lat"), 6).alias("max_lat"),
+        )
+        .orderBy("tile_lat", "tile_lon")
+    )
+
+
+_G10_ROWS = ",\n".join(
+    f"  (CAST({la} AS INTEGER), CAST({lo} AS INTEGER),"
+    f" CAST({DEMO_SIZE * DEMO_SIZE} AS BIGINT), CAST({_G09_SUM} AS BIGINT),"
+    f" CAST({lo}.0 AS DOUBLE), CAST({la + 1}.0 AS DOUBLE))"
+    for la in range(GRID_BOX["lat"][0], GRID_BOX["lat"][1] + 1)
+    for lo in range(GRID_BOX["lon"][0], GRID_BOX["lon"][1] + 1)
+)
+
 
 QUERIES = {
     "g01_geotiff_ingest": g01_geotiff_ingest,
@@ -391,6 +440,7 @@ QUERIES = {
     "g07_warp_resample": g07_warp_resample,
     "g08_seamless_gradient": g08_seamless_gradient,
     "g09_python_datasource": g09_python_datasource,
+    "g10_datasource_grid": g10_datasource_grid,
 }
 ORACLE_SQL = {
     "g01_geotiff_ingest": f"""
@@ -490,6 +540,15 @@ SELECT CAST(51 AS INTEGER) AS tile_lat, CAST(4 AS INTEGER) AS tile_lon,
        CAST({_G09_SUM} AS BIGINT) AS sum_elev,
        CAST(4.0 AS DOUBLE) AS min_lon,
        CAST(52.0 AS DOUBLE) AS max_lat
+""",
+    # g10: closed-form per-tile ramp aggregates for the 36 box
+    # survivors (every tile carries the same 64² ramp; min lon / max
+    # lat are the tile's west/north pixel-corner edges exactly)
+    "g10_datasource_grid": f"""
+SELECT * FROM (VALUES
+{_G10_ROWS}
+) AS t(tile_lat, tile_lon, points, sum_elev, min_lon, max_lat)
+ORDER BY tile_lat, tile_lon
 """,
     # g08: closed-form seamless-gradient sums (see _G08_ROWS derivation)
     "g08_seamless_gradient": f"""

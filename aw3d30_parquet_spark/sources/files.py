@@ -1,0 +1,106 @@
+"""CSV / JSON file sources as a hash-checked driver query (f01).
+
+SURVEY §2.2's "CSV/JSON file source" row was smoke-only through round
+2; this module gives it a full oracle-checked entry: the query exports
+the dimension tables through Spark's CSV and JSON WRITERS, reads them
+back through ``spark.read.csv`` / ``spark.read.json`` with EXPLICIT
+schemas (schema inference is a second full scan — never on at scale),
+and joins the file-sourced dims against the Parquet fact view. The
+oracle computes the same relation from the ORIGINAL Parquet tables, so
+a hash match certifies the whole write→read roundtrip lossless — a
+strictly stronger statement than oracling the exported files
+themselves, and independent of query/oracle execution order.
+
+Scale notes: the dims stay distributed through the export (plain
+``df.write``, one file per partition — the 1000-executor shape); the
+read-back joins are broadcast (dimension-sized); the fact side is the
+untouched Parquet scan with pushdown intact.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aw3d30_parquet_spark.session import register_views
+
+REGION_SCHEMA = "r_regionkey INT, r_name STRING"
+NATION_SCHEMA = "n_nationkey INT, n_name STRING, n_regionkey INT"
+
+
+def _export_dir(sf_dir: str) -> str:
+    slug = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(tempfile.gettempdir(), f"graft_filesrc_{slug}")
+
+
+def csv_json_roundtrip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f01: region→CSV and nation→JSON roundtrips joined to Parquet.
+
+    Customers per region, with the region dimension travelling through
+    CSV (header, explicit schema on read) and the nation dimension
+    through newline-delimited JSON — the two text formats every
+    ingest pipeline still meets at its edges.
+    """
+    register_views(spark, sf_dir)
+    out = _export_dir(sf_dir)
+    (
+        spark.table("region")
+        .select("r_regionkey", "r_name")
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(os.path.join(out, "region_csv"))
+    )
+    (
+        spark.table("nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite")
+        .json(os.path.join(out, "nation_json"))
+    )
+    region = (
+        spark.read.schema(REGION_SCHEMA)
+        .option("header", True)
+        .csv(os.path.join(out, "region_csv"))
+    )
+    nation = spark.read.schema(NATION_SCHEMA).json(
+        os.path.join(out, "nation_json")
+    )
+    return (
+        spark.table("customer")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.count_distinct("n_nationkey").alias("n_nations"),
+            F.sum(F.floor(F.col("c_acctbal") * 100).cast("long")).alias(
+                "acctbal_cents"
+            ),
+        )
+        .orderBy("r_name")
+    )
+
+
+QUERIES = {"f01_csv_json_roundtrip": csv_json_roundtrip_join}
+
+ORACLE_SQL = {
+    "f01_csv_json_roundtrip": """
+SELECT r.r_name,
+       count(*) AS n_cust,
+       count(DISTINCT n.n_nationkey) AS n_nations,
+       CAST(sum(CAST(floor(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS acctbal_cents
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name ORDER BY r.r_name
+"""
+}

@@ -346,6 +346,23 @@ def _seamless_gradient_partition(batches: Iterable, chunk_rows: int) -> Iterator
                 s: None if v is None else np.asarray(v, dtype=np.int32)
                 for s, v in halos.items()
             }
+            # halo lengths must equal the receiver's edge EXACTLY: a
+            # silent [:w] truncation would misalign a reduced-width
+            # neighbor's halo positionally (real AW3D30 narrows tiles
+            # at high latitudes) and corrupt seam gradients with no
+            # error. Uniform resolution is this operator's contract;
+            # mixed-resolution mosaics need halo resampling first.
+            for side, need in (
+                ("top", w), ("bottom", w), ("left", h), ("right", h)
+            ):
+                got = pads[side]
+                if got is not None and len(got) != need:
+                    raise ValueError(
+                        f"tile {coord}: {side} halo has {len(got)} "
+                        f"samples but this tile's edge has {need} — "
+                        "neighbor resolution differs; resample halos "
+                        "to the receiver's grid before the exchange"
+                    )
             top = 1 if pads["top"] is not None else 0
             bot = 1 if pads["bottom"] is not None else 0
             left = 1 if pads["left"] is not None else 0
@@ -353,13 +370,13 @@ def _seamless_gradient_partition(batches: Iterable, chunk_rows: int) -> Iterator
             padded = np.zeros((h + top + bot, w + left + right), np.float64)
             padded[top : top + h, left : left + w] = band
             if top:
-                padded[0, left : left + w] = pads["top"][:w]
+                padded[0, left : left + w] = pads["top"]
             if bot:
-                padded[-1, left : left + w] = pads["bottom"][:w]
+                padded[-1, left : left + w] = pads["bottom"]
             if left:
-                padded[top : top + h, 0] = pads["left"][:h]
+                padded[top : top + h, 0] = pads["left"]
             if right:
-                padded[top : top + h, -1] = pads["right"][:h]
+                padded[top : top + h, -1] = pads["right"]
             dzdy_p = (
                 np.gradient(padded, axis=0)
                 if padded.shape[0] > 1

@@ -286,3 +286,67 @@ def test_writer_southern_western_tile(spark, tmp_path):
     expect = np.arange(s)[:, None] * 100 + np.arange(s)[None, :]
     np.testing.assert_array_equal(band, expect)
     assert gt == (float(lo), 1.0 / s, 0.0, float(la + 1), 0.0, -1.0 / s)
+
+
+def test_g10_grid_prunes_to_36_partitions():
+    """The 7x7 grid fixture under g10's four pushed range predicates
+    plans exactly one InputPartition per surviving tile (36 of 49) —
+    per-tile-pruned listing, asserted at the planning surface."""
+    from pyspark.sql.datasource import (
+        GreaterThanOrEqual,
+        LessThan,
+    )
+
+    grid_dir = demo.ensure_demo_tiles(demo._GRID_DIR, demo.GRID_COORDS)
+    r = AW3D30Reader({"path": grid_dir, "set": "world"})
+    (la0, la1), (lo0, lo1) = demo.GRID_BOX["lat"], demo.GRID_BOX["lon"]
+    unhandled = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("tile_lat",), la0),
+                LessThanOrEqual(("tile_lat",), la1),
+                GreaterThan(("tile_lon",), lo0 - 1),
+                LessThan(("tile_lon",), lo1 + 1),
+            ]
+        )
+    )
+    assert unhandled == []
+    parts = r.partitions()
+    assert len(parts) == 36
+    assert {(p.tile_lat, p.tile_lon) for p in parts} == {
+        (la, lo)
+        for la in range(la0, la1 + 1)
+        for lo in range(lo0, lo1 + 1)
+    }
+
+
+def test_g10_reads_one_spark_partition_per_tile(spark):
+    """End-to-end: the scan RDD schedules 36 concurrent tile tasks."""
+    demo.ensure_demo_tiles(demo._GRID_DIR, demo.GRID_COORDS)
+    register(spark)
+    (la0, la1), (lo0, lo1) = demo.GRID_BOX["lat"], demo.GRID_BOX["lon"]
+    scan = (
+        spark.read.format("aw3d30")
+        .option("set", "world")
+        .load(demo._GRID_DIR)
+        .filter(
+            (F.col("tile_lat") >= la0)
+            & (F.col("tile_lat") <= la1)
+            & (F.col("tile_lon") > lo0 - 1)
+            & (F.col("tile_lon") < lo1 + 1)
+        )
+    )
+    assert scan.rdd.getNumPartitions() == 36
+
+
+def test_g10_oracle(spark, duck_t2):
+    from aw3d30_parquet_spark.oracle import compare
+
+    df = demo.g10_datasource_grid(spark, "/root/testdata/sf0.01")
+    ok, h1, h2 = compare(df, duck_t2, demo.ORACLE_SQL["g10_datasource_grid"])
+    assert ok, (h1, h2)
+
+
+def test_nonexistent_path_raises_descriptive_error():
+    with pytest.raises(ValueError, match="not a readable directory"):
+        AW3D30Reader({"path": "/no/such/dir/anywhere", "set": "world"})

@@ -1,6 +1,7 @@
-"""CSV/JSON file source smoke (SURVEY §2.2 scans: "smoke only") —
-round-trip the region table through both formats with explicit schemas
-(at scale: schema-on-read, never inference over the full input)."""
+"""CSV/JSON file sources (SURVEY §2.2) — roundtrips with explicit
+schemas (at scale: schema-on-read, never inference over the full
+input), plus the registered f01 query joining file-sourced dims to the
+Parquet fact view."""
 
 from __future__ import annotations
 
@@ -33,3 +34,51 @@ def test_json_roundtrip(spark, tmp_path):
     assert sorted((r.asDict() for r in back.collect()), key=key) == sorted(
         (r.asDict() for r in region.collect()), key=key
     )
+
+
+def test_f01_file_sourced_dims_match_parquet_dims(spark):
+    """f01's file-sourced join must equal the same join computed from
+    the original Parquet views — the roundtrip-lossless claim its
+    driver oracle certifies, pinned locally too."""
+    from pyspark.sql import functions as F
+
+    from aw3d30_parquet_spark.sources.files import csv_json_roundtrip_join
+
+    sf = "/root/testdata/sf0.001"
+    via_files = csv_json_roundtrip_join(spark, sf)
+    register_views(spark, sf)
+    direct = (
+        spark.table("customer")
+        .join(
+            spark.table("nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            spark.table("region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.count_distinct("n_nationkey").alias("n_nations"),
+            F.sum(
+                F.floor(F.col("c_acctbal") * 100).cast("long")
+            ).alias("acctbal_cents"),
+        )
+        .orderBy("r_name")
+    )
+    assert [r.asDict() for r in via_files.collect()] == [
+        r.asDict() for r in direct.collect()
+    ]
+
+
+def test_f01_reads_actually_come_from_csv_and_json(spark):
+    """The read-back plan must scan csv/json relations, not secretly
+    reuse the Parquet views."""
+    from aw3d30_parquet_spark.sources.files import csv_json_roundtrip_join
+
+    plan = csv_json_roundtrip_join(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "csv" in plan.lower()
+    assert "json" in plan.lower()
