@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aw3d30_parquet_spark.session import register_views
+from aw3d30_parquet_spark.session import register_views, spread
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1657,6 +1657,76 @@ def a06_theta_audience_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HH_K = 200  # heavy hitter ⟺ token count ≥ total_tokens / HH_K
+
+
+def a07_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters (tokens with count ≥ n/``HH_K``) via
+    merged Misra–Gries candidate summaries + an exact verify pass —
+    the two-pass pattern that never shuffles the full distinct-token
+    relation.
+
+    Why not a plain groupBy: at 100 TB the token relation's distinct
+    shuffle IS the cost (billions of keys, nearly all far below the
+    threshold). Misra–Gries bounds each partition's summary at
+    ``HH_K`` counters, so the candidate stage ships ≤ K tokens per
+    partition regardless of input size, and mergeability (Agarwal et
+    al., "Mergeable Summaries", PODS'12) makes the union of partition
+    summaries a valid global summary: total undercount ≤ n/(K+1), so
+    every token with true count ≥ n/K > n/(K+1) SURVIVES in at least
+    one partition summary — the candidate set provably contains all
+    true heavy hitters. The verify pass then semi-joins the token
+    stream against the broadcast candidates and counts exactly:
+    precision exact by construction, recall exact by the MG bound, so
+    the operator is oracle-checkable (unlike a01–a06's approximate
+    sketches).
+
+    The per-partition summary runs in ``mapInPandas`` with VECTORIZED
+    batch merges (value_counts + the (K+1)-th-largest subtraction —
+    the classic MG decrement generalized to batches); no per-row
+    Python."""
+    toks = (
+        spread(_t(spark, sf_dir, "documents"))
+        .select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+        )
+    )
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counts = None
+        for pdf in batches:
+            vc = pdf["tok"].value_counts()
+            counts = (
+                vc
+                if counts is None
+                else counts.add(vc, fill_value=0).astype("int64")
+            )
+            if len(counts) > HH_K:
+                # batched MG decrement: subtracting the (K+1)-th
+                # largest count from ALL counters drops at least
+                # len-K entries to ≤0, keeping ≤K survivors; the
+                # subtraction total per token bounds the undercount
+                thresh = counts.nlargest(HH_K + 1).iloc[-1]
+                counts = counts - thresh
+                counts = counts[counts > 0]
+        if counts is not None and len(counts):
+            yield pd.DataFrame({"tok": counts.index.astype(str)})
+
+    cands = toks.mapInPandas(mg_partition, "tok string").distinct()
+    total = toks.agg(F.count("*").alias("n_toks"))
+    return (
+        toks.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(total))
+        .filter(F.col("cnt") * HH_K >= F.col("n_toks"))
+        .select("tok", "cnt")
+        .orderBy(F.desc("cnt"), "tok")
+    )
+
+
 ANOM_FRAME = 20  # trailing window size (rows) per user
 ANOM_SIGMA_SQ = 9  # flag |z| > 3 ⟺ z² > 9
 
@@ -1801,6 +1871,7 @@ RELATIONAL_QUERIES = {
     "a04_quantile_sketch_rollup": a04_quantile_sketch_rollup,
     "a05_kll_quantile_rollup": a05_kll_quantile_rollup,
     "a06_theta_audience_rollup": a06_theta_audience_rollup,
+    "a07_heavy_hitters": a07_heavy_hitters,
     "q02_filter_conjunction": q02_filter_conjunction,
     "q03_filter_disjunction": q03_filter_disjunction,
     "q04_regex_extract": q04_regex_extract,

@@ -734,4 +734,18 @@ SELECT event_type, count(*) AS n,
        count(DISTINCT CAST(props::JSON->>'k' AS BIGINT)) AS n_k
 FROM events GROUP BY event_type ORDER BY event_type
 """,
+    # a07: EXACT heavy hitters — the oracle is the naive full groupBy;
+    # matching it proves the Misra–Gries candidate pass dropped no
+    # true heavy hitter and the verify pass counted exactly
+    "a07_heavy_hitters": """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), tot AS (SELECT count(*) AS n FROM toks)
+SELECT tok, count(*) AS cnt
+FROM toks, tot
+GROUP BY tok, n
+HAVING count(*) * 200 >= n
+ORDER BY cnt DESC, tok
+""",
 }

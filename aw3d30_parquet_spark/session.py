@@ -165,7 +165,12 @@ def spread(df, min_partitions: int | None = None):
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # JVM-side internal-row RDD: same partition count as df.rdd but
+    # without building the Python-serializer conversion plan (~2 ms vs
+    # ~0.3 s per fresh DataFrame — this probe runs on every family
+    # entry, so the difference is a measurable slice of the suite)
+    n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    if n_parts < target:
         return df.repartition(target)
     return df
 

@@ -337,3 +337,22 @@ def test_q72_zvalue_is_codegen(spark):
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_d11_prefix_join_no_cartesian_no_python(spark):
+    """The ED-Join prefix variant must stay candidate-bounded hash
+    joins in codegen: no cartesian product, no Python eval node."""
+    plan = formatted_plan(dedup.qgram_editdist_pairs_prefix(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Python" not in plan
+
+
+def test_a07_single_scan_family_and_broadcast_verify(spark):
+    """a07's verify pass joins the token stream against BROADCAST
+    candidates (the candidate relation is ≤K·partitions rows by the
+    Misra–Gries bound); the heavy token relation itself is never the
+    build side of a shuffle join."""
+    plan = formatted_plan(R.a07_heavy_hitters(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
