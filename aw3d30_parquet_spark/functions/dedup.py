@@ -803,10 +803,9 @@ def neardup_components(
     count, the member sample identifies the cluster.
     """
     pairs, n_pairs = _pair_graph(spark, sf_dir)
-    if n_pairs <= driver_edge_cap:
-        labels = _components_union_find(spark, pairs)
-    else:
-        labels = _components_label_propagation(pairs, max_iters)
+    labels = _component_labels(
+        spark, pairs, n_pairs, driver_edge_cap, max_iters
+    )
     # rank-then-collect (not slice-after-collect): the per-group
     # aggregation buffer is bounded at MEMBER_CAP ids too, so a
     # mega-cluster can't balloon executor memory before truncation
@@ -828,6 +827,23 @@ def neardup_components(
         .select(F.col("label").alias("keeper"), "cluster_size", "members")
         .orderBy("keeper")
     )
+
+
+def _component_labels(
+    spark: SparkSession,
+    pairs: DataFrame,
+    n_pairs_bound: int,
+    driver_edge_cap: int,
+    max_iters: int,
+) -> DataFrame:
+    """(node, label) for an arbitrary (id_a, id_b) pair relation —
+    the size-gated strategy switch shared by d08 and d12.
+    ``n_pairs_bound`` may be any UPPER bound on the edge count (a
+    restricted subgraph reuses its parent graph's measured count
+    without an extra job)."""
+    if n_pairs_bound <= driver_edge_cap:
+        return _components_union_find(spark, pairs)
+    return _components_label_propagation(pairs, max_iters)
 
 
 def _components_union_find(spark: SparkSession, pairs: DataFrame) -> DataFrame:
@@ -977,6 +993,70 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["d09_incremental_dedup"] = incremental_dedup
 
+
+def dedup_pipeline_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    driver_edge_cap: int = COMPONENT_DRIVER_EDGE_CAP,
+    max_iters: int = 20,
+) -> DataFrame:
+    """d12: the END-TO-END dedup pipeline as one audited operator —
+    what a training-data build actually runs before tokenization:
+
+    1. exact dedup: keep the lowest doc_id per content digest (d02's
+       rule); later copies are ``exact_dup``;
+    2. near-dup clustering over the exact-SURVIVING corpus: the d04
+       pair graph restricted to survivors, connected components via
+       the shared size-gated strategy (:func:`_component_labels`),
+       cluster keeper = min doc_id; non-keeper members are
+       ``near_dup``;
+    3. per-source audit: how many documents each source contributed
+       and where they went — the accounting table every data-curation
+       review asks for.
+
+    Scale shape: step 1 shuffles 16-byte digests; step 2 consumes the
+    BUILD-ONCE pair graph (memoized d04 output — the restriction to
+    survivors is two semi-joins on ids, and the parent graph's
+    measured edge count upper-bounds the subgraph for the strategy
+    gate); step 3 is a broadcast-small left join + one groupBy. No
+    stage re-reads document text after step 1.
+    """
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    pairs, n_pairs = _pair_graph(spark, sf_dir)
+    surv = ranked.filter(F.col("rn") == 1).select("doc_id")
+    pairs_s = pairs.join(
+        surv.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
+    ).join(surv.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+    labels = _component_labels(
+        spark, pairs_s, n_pairs, driver_edge_cap, max_iters
+    )
+    near_removed = (
+        labels.filter(F.col("node") != F.col("label"))
+        .select(F.col("node").alias("doc_id"), F.lit(1).alias("nd"))
+    )
+    return (
+        ranked.join(F.broadcast(near_removed), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("rn") > 1, 1)).alias("n_exact_dup"),
+            F.count(
+                F.when((F.col("rn") == 1) & F.col("nd").isNotNull(), 1)
+            ).alias("n_near_dup"),
+            F.count(
+                F.when((F.col("rn") == 1) & F.col("nd").isNull(), 1)
+            ).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["d12_dedup_pipeline"] = dedup_pipeline_audit
+
 ORACLE_SQL["d09_incremental_dedup"] = """
 WITH snap AS (
   SELECT doc_id, source, md5(text) AS h FROM documents WHERE doc_id % 10 >= 8
@@ -1037,3 +1117,42 @@ ORDER BY id_a, id_b
 # d11 computes the same relation as d10 by prefix filtering — same
 # oracle, plus a direct d10≡d11 pytest pin (like d04≡d07).
 ORACLE_SQL["d11_editdist_prefix"] = ORACLE_SQL["d10_qgram_editdist_pairs"]
+
+# d12 oracle: exact-dedup rank + d04 pairs restricted to exact
+# survivors + recursive-CTE components + per-source fate counts.
+ORACLE_SQL["d12_dedup_pipeline"] = f"""
+WITH RECURSIVE ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+), surv AS (
+  SELECT doc_id FROM ranked WHERE rn = 1
+), dpairs AS (
+  SELECT id_a, id_b FROM ({ORACLE_SQL["d04_ngram_jaccard_pairs"]}) dp
+  WHERE id_a IN (SELECT doc_id FROM surv)
+    AND id_b IN (SELECT doc_id FROM surv)
+), edges AS (
+  SELECT id_a, id_b FROM dpairs
+  UNION ALL
+  SELECT id_b AS id_a, id_a AS id_b FROM dpairs
+), nodes AS (
+  SELECT DISTINCT id_a AS node FROM edges
+), reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.id_a, r.lbl FROM edges e JOIN reach r ON e.id_b = r.node
+), best AS (
+  SELECT node, min(lbl) AS label FROM reach GROUP BY node
+), removed AS (
+  SELECT node FROM best WHERE node <> label
+)
+SELECT source, count(*) AS n_docs,
+       count(CASE WHEN rn > 1 THEN 1 END) AS n_exact_dup,
+       count(CASE WHEN rn = 1
+                   AND doc_id IN (SELECT node FROM removed)
+             THEN 1 END) AS n_near_dup,
+       count(CASE WHEN rn = 1
+                   AND doc_id NOT IN (SELECT node FROM removed)
+             THEN 1 END) AS n_kept
+FROM ranked GROUP BY source ORDER BY source
+"""

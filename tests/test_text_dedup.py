@@ -189,3 +189,42 @@ def test_d11_prefix_covers_adversarial_tie_boundary(spark, tmp_path):
     assert direct == prefix
     assert (0, 1, 1) in prefix and (0, 5, 5) in prefix
     assert not any(99 in (a, b) for a, b, _ in prefix)
+
+
+def test_d12_pipeline_audit_with_injected_exact_dups(spark, tmp_path):
+    """End-to-end pipeline audit on a corpus with BOTH fates present:
+    exact copies must count as exact_dup (never double-counted as
+    near-dup), near-dup cluster non-keepers as near_dup, and totals
+    must add up per source."""
+    import pandas as pd
+
+    base = pd.read_parquet("/root/testdata/sf0.01/documents.parquet")
+    extra = base.head(10).copy()  # exact copies of 10 existing texts
+    extra["doc_id"] = extra["doc_id"] + 1_000_000
+    extra["source"] = "copies"
+    docs = pd.concat([base, extra], ignore_index=True)
+    docs.to_parquet(tmp_path / "documents.parquet")
+    for name in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ]:
+        src = f"/root/testdata/sf0.001/{name}.parquet"
+        (tmp_path / f"{name}.parquet").write_bytes(open(src, "rb").read())
+
+    import aw3d30_parquet_spark.functions.dedup as dd
+    from aw3d30_parquet_spark.oracle import canonical_hash
+
+    out = dd.dedup_pipeline_audit(spark, str(tmp_path)).toPandas()
+    copies = out[out.source == "copies"].iloc[0]
+    assert copies.n_docs == 10
+    assert copies.n_exact_dup == 10  # originals have lower doc_ids
+    assert copies.n_near_dup == 0 and copies.n_kept == 0
+    assert (
+        out.n_exact_dup + out.n_near_dup + out.n_kept == out.n_docs
+    ).all()
+    assert out.n_near_dup.sum() > 0, "fixture should have near-dups"
+    # distributed path identical
+    out2 = dd.dedup_pipeline_audit(
+        spark, str(tmp_path), driver_edge_cap=0
+    ).toPandas()
+    assert canonical_hash(out) == canonical_hash(out2)
