@@ -228,3 +228,73 @@ def test_d12_pipeline_audit_with_injected_exact_dups(spark, tmp_path):
         spark, str(tmp_path), driver_edge_cap=0
     ).toPandas()
     assert canonical_hash(out) == canonical_hash(out2)
+
+
+def test_d11_lossless_on_random_low_entropy_corpora(spark, tmp_path):
+    """Randomized ground-truth check: on low-entropy alphabets (maximal
+    gram duplication — the regime where prefix-filter tie handling can
+    silently drop pairs) d11's output must equal a direct DP
+    Levenshtein over all pairs, for several seeded corpora."""
+    import numpy as np
+    import pandas as pd
+
+    from aw3d30_parquet_spark.functions.dedup import (
+        EDIT_D,
+        EDIT_PREFIX,
+        qgram_editdist_pairs_prefix,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            cur = np.empty(len(b) + 1, dtype=np.int64)
+            cur[0] = i
+            for j, cb in enumerate(b, 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb),
+                )
+            prev = cur
+        return int(prev[-1])
+
+    for seed in (7, 23):
+        rng = np.random.default_rng(seed)
+        # 6 base strings, 5 mutants each (0–5 random substitutions):
+        # within-cluster pairs are true matches, cross-cluster mostly
+        # not — and the 3-letter alphabet makes every gram hot
+        texts = []
+        for _ in range(6):
+            base = rng.choice(list("abc"), EDIT_PREFIX)
+            for m in range(5):
+                s = base.copy()
+                pos = rng.choice(EDIT_PREFIX, size=m, replace=False)
+                s[pos] = rng.choice(list("abc"), m)
+                texts.append("".join(s))
+        d = tmp_path / f"corpus{seed}"
+        d.mkdir()
+        pd.DataFrame(
+            {
+                "doc_id": range(30),
+                "text": texts,
+                "source": ["r"] * 30,
+            }
+        ).to_parquet(d / "documents.parquet")
+        for name in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "embeddings",
+        ]:
+            src = f"/root/testdata/sf0.001/{name}.parquet"
+            (d / f"{name}.parquet").write_bytes(open(src, "rb").read())
+        truth = {
+            (i, j, lev(texts[i], texts[j]))
+            for i in range(30)
+            for j in range(i + 1, 30)
+            if lev(texts[i], texts[j]) <= EDIT_D
+        }
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in qgram_editdist_pairs_prefix(spark, str(d)).collect()
+        }
+        assert got == truth, f"seed {seed}: {truth - got} missing"
+        assert truth, f"seed {seed}: degenerate fixture (no pairs)"
