@@ -79,15 +79,21 @@ def ann_topk_bruteforce(
     scored = (
         F.broadcast(queries)
         .join(corpus, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("cos", F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4))
     )
+    # rank on the ROUNDED cosine (id tiebreak): ranking at 4-decimal
+    # precision is the operator's determinism contract — raw-float
+    # rank order is not bit-stable across engines (two neighbors
+    # within 1e-16 could legally swap), but rounded scores + id
+    # tiebreak give one canonical answer, which is what makes this
+    # entry DuckDB-oracle-checkable instead of rows-only
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos"))
+        .select("query_id", "rank", "neighbor_id", "cos")
         .orderBy("query_id", "rank")
     )
 
@@ -584,7 +590,32 @@ SELECT count(*) AS cnt, min(len(embedding)) AS min_dim,
        max(len(embedding)) AS max_dim, count(DISTINCT label) AS n_labels
 FROM embeddings
 """,
-    # v02–v04: float cosine rank order is not bit-stable across engines
-    # (SURVEY §2.3 exclusions) — verified in pytest against a numpy
-    # brute-force oracle (V2) and by recall (V3/V4); driver rows-only.
+    # v02: rank order is defined on the ROUNDED cosine (4 decimals,
+    # id tiebreak) — the determinism contract that lets the exact
+    # brute-force top-k be oracle-checked (same float64 list math as
+    # the green u03); additionally verified in pytest against a numpy
+    # brute-force oracle (V2).
+    "v02_ann_topk_bruteforce": """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 20
+), scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         round(list_dot_product(v.e, q.qe)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos
+  FROM q JOIN v ON v.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cos
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+""",
+    # v03–v04: approximate (sketch recall) — rows-only by design,
+    # verified by recall bounds in pytest (V3/V4).
 }

@@ -28,7 +28,9 @@ def emb_np():
 
 
 def _numpy_topk(ids, mat, k=K, nq=NQ):
-    """Exact cosine top-k oracle."""
+    """Exact cosine top-k oracle — ranked on the ROUNDED cosine with
+    id tiebreak, matching v02's determinism contract (4-decimal
+    precision is the operator's rank granularity)."""
     norms = np.linalg.norm(mat, axis=1)
     unit = mat / norms[:, None]
     out = {}
@@ -36,8 +38,12 @@ def _numpy_topk(ids, mat, k=K, nq=NQ):
         if ids[qi] >= nq:
             continue
         cos = unit @ unit[qi]
-        # exclude self; sort by (-cos, id) for the deterministic tie-break
-        cand = [(float(-cos[j]), int(ids[j])) for j in range(len(ids)) if j != qi]
+        # exclude self; sort by (-round(cos,4), id) tie-break
+        cand = [
+            (round(float(-cos[j]), 4), int(ids[j]))
+            for j in range(len(ids))
+            if j != qi
+        ]
         cand.sort()
         out[int(ids[qi])] = [nid for _, nid in cand[:k]]
     return out
