@@ -356,3 +356,13 @@ def test_a07_single_scan_family_and_broadcast_verify(spark):
     plan = formatted_plan(R.a07_heavy_hitters(spark, SF))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_d12_pipeline_no_cartesian_broadcast_flags(spark):
+    """d12's fate join must broadcast the (tiny) near-dup removal set
+    and contain no cartesian product anywhere in the pipeline."""
+    from aw3d30_parquet_spark.functions.dedup import dedup_pipeline_audit
+
+    plan = formatted_plan(dedup_pipeline_audit(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
