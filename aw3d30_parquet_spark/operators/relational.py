@@ -683,6 +683,35 @@ def q40_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q74_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL table subquery (Spark 4 lateral join): per
+    market segment, the top-2 order-spending customers — the
+    per-row-driven derived table every BI layer generates. Catalyst
+    DECORRELATES the lateral into one aggregate + join + ranking pass
+    over the whole input (DecorrelateInnerQuery), so the declarative
+    per-segment form costs the same as a hand-written window top-k —
+    it never re-executes the subquery per driving row. Spending is an
+    exact integer-cents sum so rank order carries no float-boundary
+    hash risk."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s.c_mktsegment, t.c_custkey, t.spend_cents
+        FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+        LATERAL (
+          SELECT c.c_custkey,
+                 sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                     AS spend_cents
+          FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+          WHERE c.c_mktsegment = s.c_mktsegment
+          GROUP BY c.c_custkey
+          ORDER BY spend_cents DESC, c_custkey LIMIT 2
+        ) t
+        ORDER BY c_mktsegment, spend_cents DESC, c_custkey
+        """
+    )
+
+
 def a01_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5: HLL++ approximate distinct users per event type.
 
@@ -1943,4 +1972,5 @@ RELATIONAL_QUERIES = {
     "q70_rolling_anomalies": q70_rolling_anomalies,
     "q71_snapshot_diff": q71_snapshot_diff,
     "q73_variant_json": q73_variant_json,
+    "q74_lateral_topk": q74_lateral_topk,
 }

@@ -734,6 +734,22 @@ SELECT event_type, count(*) AS n,
        count(DISTINCT CAST(props::JSON->>'k' AS BIGINT)) AS n_k
 FROM events GROUP BY event_type ORDER BY event_type
 """,
+    # q74: same LATERAL construct in DuckDB (both engines decorrelate;
+    # integer-cents spend keeps rank order float-free)
+    "q74_lateral_topk": """
+SELECT s.c_mktsegment, t.c_custkey, t.spend_cents
+FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+LATERAL (
+  SELECT c.c_custkey,
+         CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS spend_cents
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = s.c_mktsegment
+  GROUP BY c.c_custkey
+  ORDER BY spend_cents DESC, c_custkey LIMIT 2
+) t
+ORDER BY c_mktsegment, spend_cents DESC, c_custkey
+""",
     # a07: EXACT heavy hitters — the oracle is the naive full groupBy;
     # matching it proves the Misra–Gries candidate pass dropped no
     # true heavy hitter and the verify pass counted exactly

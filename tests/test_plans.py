@@ -366,3 +366,13 @@ def test_d12_pipeline_no_cartesian_broadcast_flags(spark):
     plan = formatted_plan(dedup_pipeline_audit(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q74_lateral_decorrelates_no_cartesian(spark):
+    """The LATERAL top-k must decorrelate into a window/join pass —
+    a CartesianProduct (per-driving-row re-execution) here would be
+    quadratic at scale."""
+    df = R.q74_lateral_topk(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
