@@ -123,6 +123,27 @@ def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def dedup_events_within_watermark(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """S8: ``dropDuplicatesWithinWatermark`` — the at-least-once RETRY
+    case where the redelivered event carries a NEW event time (a
+    broker re-stamps on retry). Plain ``dropDuplicates`` keys its
+    state eviction on the first occurrence's own timestamp;
+    ``dropDuplicatesWithinWatermark`` guarantees suppression of any
+    duplicate arriving within the watermark delay of the first, even
+    when the duplicate's timestamp differs. STREAMING-ONLY by Spark
+    contract (batch raises ``dropDuplicatesWithinWatermark is not
+    supported with batch DataFrames``), so this operator has a replay
+    test but no batch driver entry — the batch-equivalent relation is
+    ``dropDuplicates`` on the same key (s04)."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
 def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
     """Stream⋈static enrichment: events joined to the customer dimension.
 

@@ -26,6 +26,7 @@ def stage_event_chunks(
     stage_dir: str,
     n_chunks: int = 8,
     duplicate_every: int = 0,
+    duplicate_jitter_s: int = 0,
 ) -> None:
     """Materialize ``events`` as ``n_chunks`` ts-ordered Parquet files.
 
@@ -33,7 +34,9 @@ def stage_event_chunks(
     per chunk with strictly increasing mtimes so the file stream source
     replays them in event-time order. ``duplicate_every > 0`` re-appends
     every k-th row of each chunk (intra- and cross-batch duplicates for
-    the stateful-dedup test S4).
+    the stateful-dedup test S4); ``duplicate_jitter_s`` shifts each
+    injected duplicate's event time forward (the broker-re-stamp retry
+    case for the within-watermark dedup test S8).
     """
     import pandas as pd
     import pyarrow as pa
@@ -63,7 +66,17 @@ def stage_event_chunks(
             dups = [chunk.iloc[::duplicate_every]]
             if prev is not None:
                 dups.append(prev.iloc[::duplicate_every])
+            if duplicate_jitter_s:
+                dups = [
+                    d.assign(
+                        ts=(
+                            d["ts"] + pd.Timedelta(seconds=duplicate_jitter_s)
+                        ).astype("datetime64[us]")
+                    )
+                    for d in dups
+                ]
             chunk = pd.concat([chunk, *dups], ignore_index=True)
+            chunk["ts"] = chunk["ts"].astype("datetime64[us]")
             prev = pdf.iloc[k * size : (k + 1) * size]
         path = os.path.join(stage_dir, f"chunk-{k:04d}.parquet")
         pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), path)

@@ -169,6 +169,32 @@ def test_s4_stateful_dedup(spark, tmp_path, batch_events):
     assert canonical_hash(got) == canonical_hash(want)
 
 
+def test_s8_dedup_within_watermark_jittered_retries(
+    spark, tmp_path, batch_events
+):
+    """S8: duplicates REDELIVERED WITH A NEW EVENT TIME (+30 s broker
+    re-stamp) across micro-batches are all suppressed by
+    dropDuplicatesWithinWatermark — the retry case plain key-dedup's
+    eviction contract does not guarantee. Surviving event_ids equal the
+    clean feed's id set exactly."""
+    from aw3d30_parquet_spark.streaming.events import (
+        dedup_events_within_watermark,
+    )
+
+    d = str(tmp_path / "jitter_stream")
+    stage_event_chunks(
+        spark, SF, d, n_chunks=6, duplicate_every=5, duplicate_jitter_s=30
+    )
+    res = dedup_events_within_watermark(
+        read_event_stream(spark, d, SF), watermark="60 days"
+    )
+    run_to_memory(res, "s8_tbl", output_mode="append")
+    got = spark.sql("SELECT event_id FROM s8_tbl").toPandas()
+    want = batch_events.toPandas()
+    assert len(got) == len(want)  # every jittered duplicate suppressed
+    assert set(got["event_id"]) == set(want["event_id"])
+
+
 def test_s01_session_windows_oracle(spark, duck_t2):
     """Batch session-window query hash-matches the gaps-and-islands
     relational oracle (independent derivation of session semantics)."""
