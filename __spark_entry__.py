@@ -49,9 +49,14 @@ def _driver_history() -> tuple[set[str], set[str]]:
 
     here = os.path.dirname(os.path.abspath(__file__))
     status: dict[str, bool] = {}  # name -> ok?
+    def round_no(path: str) -> int:
+        m = re.search(r"_r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else 0
+
+    # an unparseable filename must never take queries() down with it —
+    # it sorts first (treated as oldest) and later rounds override
     paths = sorted(
-        glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
-        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+        glob.glob(os.path.join(here, "CORRECTNESS_r*.json")), key=round_no
     )
     for path in paths:
         try:

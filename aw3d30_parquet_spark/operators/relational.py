@@ -1698,22 +1698,27 @@ def a07_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Why not a plain groupBy: at 100 TB the token relation's distinct
     shuffle IS the cost (billions of keys, nearly all far below the
     threshold). Misra–Gries bounds each partition's summary at
-    ``HH_K`` counters, so the candidate stage ships ≤ K tokens per
-    partition regardless of input size, and mergeability (Agarwal et
-    al., "Mergeable Summaries", PODS'12) makes the union of partition
-    summaries a valid global summary: total undercount ≤ n/(K+1), so
-    every token with true count ≥ n/K > n/(K+1) SURVIVES in at least
-    one partition summary — the candidate set provably contains all
-    true heavy hitters. The verify pass then semi-joins the token
-    stream against the broadcast candidates and counts exactly:
-    precision exact by construction, recall exact by the MG bound, so
-    the operator is oracle-checkable (unlike a01–a06's approximate
-    sketches).
+    ``HH_K`` counters, so the candidate stage ships ≤ K (token, count)
+    rows per partition regardless of input size, and mergeability
+    (Agarwal et al., "Mergeable Summaries", PODS'12) lets the
+    partition summaries MERGE INTO ONE GLOBAL MG SUMMARY of ≤ K
+    candidates: sum the counters per token, then apply the same
+    (K+1)-th-largest decrement globally. Total undercount across the
+    per-partition prunes plus the merge prune stays ≤ n/(K+1), so
+    every token with true count ≥ n/K > n/(K+1) survives — the ≤ K
+    candidates provably contain all true heavy hitters, and the
+    verify-side broadcast is bounded by K, never by K·partitions.
+    The verify pass semi-joins the token stream against the broadcast
+    candidates and counts exactly: precision exact by construction,
+    recall exact by the MG bound, so the operator is oracle-checkable
+    (unlike a01–a06's approximate sketches).
 
     The per-partition summary runs in ``mapInPandas`` with VECTORIZED
     batch merges (value_counts + the (K+1)-th-largest subtraction —
     the classic MG decrement generalized to batches); no per-row
-    Python."""
+    Python. The merge prune's threshold comes off a ≤(K+1)-row driver
+    collect over the already-aggregated summary relation — a bounded
+    artifact like a broadcast build side."""
     toks = (
         spread(_t(spark, sf_dir, "documents"))
         .select(
@@ -1741,9 +1746,27 @@ def a07_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 counts = counts - thresh
                 counts = counts[counts > 0]
         if counts is not None and len(counts):
-            yield pd.DataFrame({"tok": counts.index.astype(str)})
+            yield pd.DataFrame(
+                {
+                    "tok": counts.index.astype(str),
+                    "cnt": counts.to_numpy(),
+                }
+            )
 
-    cands = toks.mapInPandas(mg_partition, "tok string").distinct()
+    merged = (
+        toks.mapInPandas(mg_partition, "tok string, cnt long")
+        .groupBy("tok")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    # global MG merge prune: the summed summary holds ≤ K·partitions
+    # rows; subtracting the (K+1)-th largest merged counter keeps ≤ K
+    # survivors (no prune when ≤ K tokens remain at all)
+    top = merged.select("c").orderBy(F.desc("c")).limit(HH_K + 1).collect()
+    cands = (
+        merged.filter(F.col("c") > top[-1].c)
+        if len(top) > HH_K
+        else merged
+    ).select("tok")
     total = toks.agg(F.count("*").alias("n_toks"))
     return (
         toks.join(F.broadcast(cands), "tok")
