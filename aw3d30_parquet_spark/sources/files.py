@@ -32,6 +32,11 @@ NATION_SCHEMA = "n_nationkey INT, n_name STRING, n_regionkey INT"
 
 
 def _export_dir(sf_dir: str) -> str:
+    """Per-dataset export root. Local tmp is correct for the
+    single-JVM driver contract; on a real cluster this must be a
+    SHARED filesystem URI (s3a://, hdfs://) — executors write the
+    partition files, and a node-local path would scatter them across
+    machines (DEPLOY.md row 9's checkpoint rule, applied to sinks)."""
     slug = sf_dir.strip("/").replace("/", "_")
     return os.path.join(tempfile.gettempdir(), f"graft_filesrc_{slug}")
 
