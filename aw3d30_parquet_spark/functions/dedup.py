@@ -750,11 +750,14 @@ MEMBER_CAP = 32
 
 
 #: pair graphs at or below this edge count are solved driver-side
-#: (union-find over the collected pairs — the same size-gated bounded
-#: driver artifact as a broadcast join's build side or the PQ
-#: codebook); above it, distributed label propagation. 1 M edges ≈
-#: 16 MB of id pairs — well under any driver's broadcast threshold
-#: comfort zone, and the union-find runs in milliseconds.
+#: (union-find over the Arrow-collected pairs — the same size-gated
+#: bounded driver artifact as a broadcast join's build side or the PQ
+#: codebook); above it, distributed label propagation. Honest cost at
+#: the cap: the Arrow transfer is ~16 MB of longs, but the Python
+#: union-find holds a dict of up to 2 M boxed ints (~200 MB heap) and
+#: runs a few seconds of driver CPU — fine for a normally-sized
+#: driver, and the reason the cap is 1 M rather than "whatever fits
+#: the 16 MB transfer".
 COMPONENT_DRIVER_EDGE_CAP = 1_000_000
 
 
@@ -850,7 +853,11 @@ def _components_union_find(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     """(node, label) via driver-side union-find over a size-gated edge
     list — path-halving find + union-by-label-min, so every node's
     final label is the component's minimum id (identical to what label
-    propagation converges to)."""
+    propagation converges to). Edges travel via Arrow (``toPandas``),
+    not ``collect()`` — 1 M Row objects would cost ~10× the heap of
+    two int64 numpy columns."""
+    import pandas as pd
+
     parent: dict = {}
 
     def find(x):
@@ -861,8 +868,11 @@ def _components_union_find(spark: SparkSession, pairs: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in pairs.collect():
-        a, b = row[0], row[1]
+    pdf = pairs.toPandas()
+    for a, b in zip(
+        pdf.iloc[:, 0].to_numpy().tolist(),
+        pdf.iloc[:, 1].to_numpy().tolist(),
+    ):
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
@@ -872,8 +882,12 @@ def _components_union_find(spark: SparkSession, pairs: DataFrame) -> DataFrame:
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
-    rows = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(rows, "node long, label long")
+    if not parent:
+        return spark.createDataFrame([], "node long, label long")
+    out = pd.DataFrame(
+        {"node": list(parent), "label": [find(n) for n in parent]}
+    )
+    return spark.createDataFrame(out.astype("int64"))
 
 
 def _components_label_propagation(
@@ -1025,7 +1039,13 @@ def dedup_pipeline_audit(
         "doc_id", "source", F.md5("text").alias("h")
     )
     w = Window.partitionBy("h").orderBy("doc_id")
-    ranked = docs.withColumn("rn", F.row_number().over(w))
+    # persisted: three plan branches read this relation (both survivor
+    # semi-joins + the final fate join); without the persist each
+    # branch would re-scan document text and re-run the digest window
+    # — the docstring's one-text-scan claim depends on this
+    ranked = _scratch_persist(
+        "d12", docs.withColumn("rn", F.row_number().over(w))
+    )
     pairs, n_pairs = _pair_graph(spark, sf_dir)
     surv = ranked.filter(F.col("rn") == 1).select("doc_id")
     pairs_s = pairs.join(

@@ -76,10 +76,21 @@ def ann_topk_bruteforce(
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
     )
+    raw = cosine(F.col("q_emb"), F.col("c_emb"))
+    # floor-based half-up rounding, NOT round(): Spark's Round on
+    # doubles goes through the value's shortest-decimal BigDecimal
+    # (HALF_UP on the decimal repr) while DuckDB rounds in double
+    # arithmetic — the two can disagree at 4th-decimal half
+    # boundaries. floor(x·10⁴ + 0.5) is pure IEEE arithmetic, computed
+    # identically by both engines on identical doubles (the same
+    # reasoning as d04's jaccard rounding).
     scored = (
         F.broadcast(queries)
         .join(corpus, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4))
+        .withColumn(
+            "cos",
+            F.floor(raw * 10000 + 0.5).cast("bigint") / 10000.0,
+        )
     )
     # rank on the ROUNDED cosine (id tiebreak): ranking at 4-decimal
     # precision is the operator's determinism contract — raw-float
@@ -603,9 +614,10 @@ WITH v AS (
   SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 20
 ), scored AS (
   SELECT q.query_id, v.vec_id AS neighbor_id,
-         round(list_dot_product(v.e, q.qe)
+         CAST(floor(list_dot_product(v.e, q.qe)
                / (sqrt(list_dot_product(v.e, v.e))
-                  * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos
+                  * sqrt(list_dot_product(q.qe, q.qe)))
+               * 10000 + 0.5) AS BIGINT) / 10000.0 AS cos
   FROM q JOIN v ON v.vec_id <> q.query_id
 ), ranked AS (
   SELECT query_id, neighbor_id, cos,

@@ -29,6 +29,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+#: applicationId → checkpoint dir already applied via setCheckpointDir
+#: (the applied value is wrapped in a random UUID subdir, so it cannot
+#: be read back and compared — see _materialize)
+_CKPT_APPLIED: dict[str, str] = {}
+
+
 def _materialize(part: DataFrame) -> DataFrame:
     """Eagerly checkpoint the range-partitioned interim.
 
@@ -51,8 +57,17 @@ def _materialize(part: DataFrame) -> DataFrame:
     ckpt_dir = spark.conf.get("spark.graft.checkpointDir", None)
     if ckpt_dir:
         sc = spark.sparkContext
-        if sc.getCheckpointDir() != ckpt_dir:
+        # setCheckpointDir stores <dir>/<random-UUID>, so comparing
+        # getCheckpointDir() to the raw conf value is always unequal —
+        # memoize the applied conf per context instead, or every call
+        # would mkdir a fresh orphan UUID directory on the remote FS
+        key = (sc.applicationId, ckpt_dir)
+        if _CKPT_APPLIED.get(sc.applicationId) != ckpt_dir:
             sc.setCheckpointDir(ckpt_dir)
+            _CKPT_APPLIED[sc.applicationId] = ckpt_dir
+        # reliable checkpoints are not auto-deleted; long-running apps
+        # should also set spark.cleaner.referenceTracking.cleanCheckpoints
+        # so gc'd interims free their files
         return part.checkpoint(eager=True)
     return part.localCheckpoint(eager=True)
 

@@ -1692,8 +1692,10 @@ HH_K = 200  # heavy hitter ⟺ token count ≥ total_tokens / HH_K
 def a07_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT corpus heavy hitters (tokens with count ≥ n/``HH_K``) via
     merged Misra–Gries candidate summaries + an exact verify pass —
-    the two-pass pattern that never shuffles the full distinct-token
-    relation.
+    the candidate/verify pattern that never shuffles the full
+    distinct-token relation (three token-stream scans total:
+    summaries, the n_toks count, verify — each shuffling at most K
+    rows or one long).
 
     Why not a plain groupBy: at 100 TB the token relation's distinct
     shuffle IS the cost (billions of keys, nearly all far below the
@@ -1758,15 +1760,24 @@ def a07_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.sum("cnt").alias("c"))
     )
-    # global MG merge prune: the summed summary holds ≤ K·partitions
-    # rows; subtracting the (K+1)-th largest merged counter keeps ≤ K
-    # survivors (no prune when ≤ K tokens remain at all)
-    top = merged.select("c").orderBy(F.desc("c")).limit(HH_K + 1).collect()
-    cands = (
-        merged.filter(F.col("c") > top[-1].c)
-        if len(top) > HH_K
-        else merged
-    ).select("tok")
+    # global MG merge prune, executed EXACTLY ONCE: collect the top
+    # K+1 (token, counter) rows — every candidate that can survive the
+    # (K+1)-th-largest decrement is among them — and rebuild the ≤K
+    # survivors as a literal relation. Filtering a lazy `merged` here
+    # instead would re-execute the summary job at action time and
+    # apply this run's threshold to a second run's counters, voiding
+    # the ≤ n/(K+1) undercount bound under any nondeterminism.
+    top = (
+        merged.orderBy(F.desc("c"), "tok").limit(HH_K + 1).collect()
+    )
+    if len(top) > HH_K:
+        cut = top[-1].c
+        cand_toks = [r.tok for r in top if r.c > cut]
+    else:
+        cand_toks = [r.tok for r in top]
+    cands = spark.createDataFrame(
+        [(t,) for t in cand_toks], "tok string"
+    )
     total = toks.agg(F.count("*").alias("n_toks"))
     return (
         toks.join(F.broadcast(cands), "tok")

@@ -31,14 +31,21 @@ REGION_SCHEMA = "r_regionkey INT, r_name STRING"
 NATION_SCHEMA = "n_nationkey INT, n_name STRING, n_regionkey INT"
 
 
-def _export_dir(sf_dir: str) -> str:
-    """Per-dataset export root. Local tmp is correct for the
-    single-JVM driver contract; on a real cluster this must be a
-    SHARED filesystem URI (s3a://, hdfs://) — executors write the
-    partition files, and a node-local path would scatter them across
-    machines (DEPLOY.md row 9's checkpoint rule, applied to sinks)."""
+def _export_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Per-(application, dataset) export root: the applicationId
+    component makes concurrent processes (bench CLI + a pytest run on
+    the same host) write disjoint trees — a shared fixed path would
+    race one process's overwrite against another's read-back scan.
+    Local tmp is correct for the single-JVM driver contract; on a
+    real cluster this must be a SHARED filesystem URI (s3a://,
+    hdfs://) — executors write the partition files, and a node-local
+    path would scatter them across machines (DEPLOY.md row 9's
+    checkpoint rule, applied to sinks)."""
     slug = sf_dir.strip("/").replace("/", "_")
-    return os.path.join(tempfile.gettempdir(), f"graft_filesrc_{slug}")
+    app = spark.sparkContext.applicationId
+    return os.path.join(
+        tempfile.gettempdir(), f"graft_filesrc_{app}_{slug}"
+    )
 
 
 def csv_json_roundtrip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,7 +57,7 @@ def csv_json_roundtrip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest pipeline still meets at its edges.
     """
     register_views(spark, sf_dir)
-    out = _export_dir(sf_dir)
+    out = _export_dir(spark, sf_dir)
     (
         spark.table("region")
         .select("r_regionkey", "r_name")

@@ -38,9 +38,11 @@ def _numpy_topk(ids, mat, k=K, nq=NQ):
         if ids[qi] >= nq:
             continue
         cos = unit @ unit[qi]
-        # exclude self; sort by (-round(cos,4), id) tie-break
+        # exclude self; sort by (-floor-half-up-rounded cos, id) —
+        # the same floor(x·10⁴+0.5) rounding the operator uses
+        # (python round() is banker's and can differ at boundaries)
         cand = [
-            (round(float(-cos[j]), 4), int(ids[j]))
+            (-(np.floor(float(cos[j]) * 10000 + 0.5) / 10000), int(ids[j]))
             for j in range(len(ids))
             if j != qi
         ]
