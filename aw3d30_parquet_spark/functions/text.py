@@ -170,8 +170,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
 
     At 100 TB: the DF relation is |vocabulary|-sized (≪ corpus) and
     broadcast; both aggregations are partial+final map-side combines.
-    Float scores are engine-local (libm ULP) → verified against a pure
-    Python recomputation in pytest, rows-only for the driver.
+    Determinism contract (what makes this oracle-checkable): ranking
+    and output use the FLOOR-ROUNDED score floor(tf·idf·10⁴+0.5)/10⁴
+    with a term tiebreak — pure IEEE arithmetic both engines compute
+    identically on identical doubles; the residual risk is a last-ulp
+    ``ln`` divergence landing exactly on a rounding boundary (~1e-13
+    per row — the accepted class t07 documents). Also verified against
+    a pure Python recomputation in pytest.
     """
     docs = _docs(spark, sf_dir)
     # corpus size as a broadcast 1-row relation, not a driver .count()
@@ -187,10 +192,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     # over a second scan+explode of the corpus.
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    score_r = (
+        F.floor(F.col("tf") * idf * 10000 + 0.5).cast("bigint") / 10000.0
+    )
     scored = (
         tf.join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(n_docs_rel))
-        .withColumn("score", F.col("tf") * idf)
+        .withColumn("score", score_r)
     )
     from pyspark.sql.window import Window
 
@@ -200,7 +208,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("doc_id", "rn", "term", "tf", "df", F.round("score", 4).alias("score"))
+        .select("doc_id", "rn", "term", "tf", "df", "score")
         .orderBy("doc_id", "rn")
     )
 
@@ -286,6 +294,32 @@ FROM documents ORDER BY doc_id
 SELECT doc_id,
        md5(array_to_string(list_sort(regexp_split_to_array(trim(text), '\\s+')), ' ')) AS fp
 FROM documents ORDER BY doc_id
+""",
+    # t06: same smoothed TF-IDF in DuckDB; both engines rank on the
+    # floor-rounded score with a term tiebreak (see docstring)
+    "t06_tfidf_top_terms": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), nd AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(floor(tf.tf * (ln((n_docs + 1) / (df.df + 1)) + 1)
+              * 10000 + 0.5) AS BIGINT) / 10000.0 AS score
+  FROM tf JOIN df USING (term) CROSS JOIN nd
+), ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, rn, term, tf, df, score
+FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn
 """,
     "t07_unigram_surprisal": """
 WITH toks AS (
