@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from aw3d30_parquet_spark.numeric import round_half_up
 from aw3d30_parquet_spark.session import register_views, spread
 
 SHINGLE_WIDTH = 3
@@ -150,7 +151,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     # floor-based 2-decimal rounding: int/int ratios (3/8 = 0.375) land
     # exactly on .005 boundaries where Spark and DuckDB round() differ.
-    jac2 = F.floor(jac * 100 + 0.5).cast("bigint") / 100.0
+    jac2 = round_half_up(jac, 2)
     return (
         inter.filter(F.coalesce(jac >= t, F.lit(False)))
         .select("id_a", "id_b", jac2.alias("jaccard"))
@@ -258,7 +259,7 @@ def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
     )
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-    jac2 = F.floor(jac * 100 + 0.5).cast("bigint") / 100.0
+    jac2 = round_half_up(jac, 2)
     return (
         ver.filter(F.coalesce(jac >= t, F.lit(False)))
         .select("id_a", "id_b", jac2.alias("jaccard"))

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aw3d30_parquet_spark.numeric import round_half_up
 from aw3d30_parquet_spark.session import register_views, spread
 
 #: Tiny per-language stopword profiles for the heuristic language-ID.
@@ -56,24 +57,16 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.length("text").alias("n_chars"),
             n_tokens.alias("n_tokens"),
-            # floor(x*100 + 0.5)/100 instead of round(): ratios like
+            # round_half_up instead of round(): ratios like
             # 189/40 = 4.725 sit exactly on the .005 boundary, where
             # Spark (HALF_UP on decimal string) and DuckDB (binary
-            # double) disagree; this formula is pure IEEE arithmetic and
-            # bit-identical in both engines.
-            (
-                F.floor(
-                    # strip ALL whitespace (the tokenizer splits on
-                    # \s+, so tabs/newlines are separators, not token
-                    # characters)
-                    F.length(
-                        F.regexp_replace(F.col("text"), r"\s+", "")
-                    )
-                    / n_tokens.cast("double")
-                    * 100
-                    + 0.5
-                ).cast("bigint")
-                / 100.0
+            # double) disagree (see numeric.py). Token chars strip ALL
+            # whitespace — the tokenizer splits on \s+, so
+            # tabs/newlines are separators, not token characters.
+            round_half_up(
+                F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+                / n_tokens.cast("double"),
+                2,
             ).alias("avg_tok_len"),
         )
         .orderBy("doc_id")
@@ -87,12 +80,9 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(toks, lambda t: t.isin(*STOPWORDS))
     )
     n_tokens = F.size(toks)
-    # floor-based rounding — see avg_tok_len note (0.125-style halfway
-    # ratios round differently between Spark and DuckDB otherwise).
-    ratio = (
-        F.floor(stop_cnt / n_tokens.cast("double") * 100 + 0.5).cast("bigint")
-        / 100.0
-    )
+    # round_half_up — see numeric.py (0.125-style halfway ratios
+    # round differently between Spark and DuckDB under round()).
+    ratio = round_half_up(stop_cnt / n_tokens.cast("double"), 2)
     return (
         _docs(spark, sf_dir)
         .select(
@@ -193,7 +183,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
     score_r = (
-        F.floor(F.col("tf") * idf * 10000 + 0.5).cast("bigint") / 10000.0
+        round_half_up(F.col("tf") * idf, 4)
     )
     scored = (
         tf.join(F.broadcast(df_), "term")
@@ -237,7 +227,7 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("term").agg(F.count("*").alias("tf"))
     total = tf.agg(F.sum("tf").cast("double").alias("n_total"))
     nll = -F.log(F.col("tf").cast("double") / F.col("n_total"))
-    surprisal = F.floor(F.avg(nll) * 100 + 0.5).cast("bigint") / 100.0
+    surprisal = round_half_up(F.avg(nll), 2)
     return (
         toks.join(tf, "term")
         .crossJoin(F.broadcast(total))

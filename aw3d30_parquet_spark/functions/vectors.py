@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from aw3d30_parquet_spark.numeric import round_half_up
 from aw3d30_parquet_spark.session import register_views, spread
 
 DEFAULT_K = 5
@@ -89,7 +90,7 @@ def ann_topk_bruteforce(
         .join(corpus, F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos",
-            F.floor(raw * 10000 + 0.5).cast("bigint") / 10000.0,
+            round_half_up(raw, 4),
         )
     )
     # rank on the ROUNDED cosine (id tiebreak): ranking at 4-decimal

@@ -1,0 +1,30 @@
+"""Cross-engine deterministic float rounding.
+
+The ONE named home of the determinism-critical idiom the oracle
+contract depends on: ``floor(x·10^s + 0.5) / 10^s``. Spark's
+``round()`` on doubles goes through the value's shortest-decimal
+BigDecimal (HALF_UP on the decimal repr) while DuckDB rounds in
+double arithmetic — the two can disagree exactly at 10^-s half
+boundaries. Floor-half-up is pure IEEE arithmetic, computed
+identically by both engines on identical doubles, so a Spark column
+built with :func:`round_half_up` hash-matches a DuckDB expression of
+the form ``CAST(floor(x * 10^s + 0.5) AS BIGINT) / 10^s.0`` whenever
+the underlying doubles agree (residual risk: a last-ulp libm
+divergence landing exactly on a boundary — ~1e-13 per row for
+transcendental inputs, zero for exact int/int ratios).
+
+Operators that still pair Spark ``F.round`` with DuckDB ``round``
+(e.g. u03) carry the half-boundary risk this module exists to remove;
+prefer this helper for any new oracle-checked float column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def round_half_up(col: Column, scale: int) -> Column:
+    """``floor(col·10^scale + 0.5) / 10^scale`` as a double column."""
+    f = 10**scale
+    return F.floor(col * f + 0.5).cast("bigint") / float(f)

@@ -61,7 +61,6 @@ def _materialize(part: DataFrame) -> DataFrame:
         # getCheckpointDir() to the raw conf value is always unequal —
         # memoize the applied conf per context instead, or every call
         # would mkdir a fresh orphan UUID directory on the remote FS
-        key = (sc.applicationId, ckpt_dir)
         if _CKPT_APPLIED.get(sc.applicationId) != ckpt_dir:
             sc.setCheckpointDir(ckpt_dir)
             _CKPT_APPLIED[sc.applicationId] = ckpt_dir

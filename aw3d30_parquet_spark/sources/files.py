@@ -43,9 +43,32 @@ def _export_dir(spark: SparkSession, sf_dir: str) -> str:
     checkpoint rule, applied to sinks)."""
     slug = sf_dir.strip("/").replace("/", "_")
     app = spark.sparkContext.applicationId
-    return os.path.join(
+    out = os.path.join(
         tempfile.gettempdir(), f"graft_filesrc_{app}_{slug}"
     )
+    if app not in _CLEANUP_REGISTERED:
+        # per-app dirs would otherwise accumulate in tmp forever (the
+        # old fixed path was self-bounding via overwrite; uniqueness
+        # traded that away) — reap this app's whole export family at
+        # process exit
+        import atexit
+        import glob
+        import shutil
+
+        pattern = os.path.join(
+            tempfile.gettempdir(), f"graft_filesrc_{app}_*"
+        )
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True)
+                for p in glob.glob(pattern)
+            ]
+        )
+        _CLEANUP_REGISTERED.add(app)
+    return out
+
+
+_CLEANUP_REGISTERED: set[str] = set()
 
 
 def csv_json_roundtrip_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -214,9 +214,23 @@ def test_v6_tfidf_vs_python_oracle(spark):
         df_counts.update(set(toks))
 
     def top3(toks):
+        # rank on the operator's contract: floor-half-up at 4 decimals
+        # with a term tiebreak (NOT the raw score — the rounded and
+        # raw orders can legally differ within one 1e-4 bucket)
         tf = Counter(toks)
         scored = [
-            (-tf[t] * (math.log((n_docs + 1) / (df_counts[t] + 1)) + 1), t)
+            (
+                -(
+                    math.floor(
+                        tf[t]
+                        * (math.log((n_docs + 1) / (df_counts[t] + 1)) + 1)
+                        * 10000
+                        + 0.5
+                    )
+                    / 10000
+                ),
+                t,
+            )
             for t in tf
         ]
         return [(t, tf[t], df_counts[t]) for _, t in sorted(scored)[:3]]
