@@ -33,8 +33,9 @@ def entry(spark: SparkSession) -> DataFrame:
     return q06_star_join(spark, SMOKE_SF_DIR)
 
 
-def _driver_history() -> tuple[set[str], set[str]]:
-    """``(failed, passed)`` per the accumulated CORRECTNESS_r*.json.
+def _driver_history() -> dict[str, tuple[int, bool, bool]]:
+    """``name -> (last_round, ok, rows_only)`` per the accumulated
+    CORRECTNESS_r*.json.
 
     The driver's per-round capture is bounded (~50 entries in
     registration order), so ordering IS coverage policy. A name's
@@ -42,13 +43,20 @@ def _driver_history() -> tuple[set[str], set[str]]:
     ascending round order): a hash/row mismatch or a hard error marks
     it failed until a later round records it green — so fixed queries
     rotate to the FRONT of the dict and the next driver run certifies
-    the fix; ``no_oracle`` rows-only captures count as passed."""
+    the fix; ``no_oracle`` rows-only captures count as passed but are
+    flagged ``rows_only`` so an operator later promoted to a full SQL
+    oracle takes the express lane back into the capture window.
+    ``last_round`` is the staleness key: with zero failed and zero
+    fresh names, a static order would re-certify the same prefix
+    forever while everyone else's driver evidence ages indefinitely —
+    least-recently-recorded-first re-certifies the whole surface every
+    ~3 rounds."""
     import glob
     import json
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    status: dict[str, bool] = {}  # name -> ok?
+    status: dict[str, tuple[int, bool, bool]] = {}
     def round_no(path: str) -> int:
         m = re.search(r"_r(\d+)", os.path.basename(path))
         return int(m.group(1)) if m else 0
@@ -64,38 +72,46 @@ def _driver_history() -> tuple[set[str], set[str]]:
                 rows = json.load(fh)
         except Exception:
             continue
+        rnd = round_no(path)
         for name, row in rows.items():
             ok = (
                 row.get("err") in (None, "no_oracle")
                 and row.get("hash_match") is not False
                 and row.get("rows_match") is not False
             )
-            status[name] = ok
-    failed = {n for n, ok in status.items() if not ok}
-    passed = {n for n, ok in status.items() if ok}
-    return failed, passed
+            status[name] = (rnd, ok, row.get("err") == "no_oracle")
+    return status
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Registration order is the driver's check order, and its per-round
-    capture is bounded — so ordering is coverage policy, three tiers:
+    capture is bounded — so ordering is coverage policy, four tiers:
 
     1. previously-FAILED queries (latest driver row not green) — the
        fixes land in the very next CORRECTNESS file;
-    2. never-checked queries, round-robin interleaved by family
+    2. ORACLE-UPGRADED queries: latest driver row was a rows-only
+       (``no_oracle``) capture but the operator now registers a full
+       SQL oracle — the promotion gets driver-recorded immediately
+       instead of aging behind the green tail;
+    3. never-checked queries, round-robin interleaved by family
        (d/g/m/p/s/t/u/v + q49+) so any prefix samples every family;
-    3. previously-passed queries in their original order.
+    4. previously-passed queries, LEAST-RECENTLY-RECORDED first
+       (stable on registration order within a round cohort) — the
+       staleness rotation that re-certifies the whole surface every
+       ~3 rounds instead of re-checking a static prefix forever.
     """
     from aw3d30_parquet_spark.operators.relational import RELATIONAL_QUERIES
 
     combined: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     combined.update(RELATIONAL_QUERIES)
 
-    from aw3d30_parquet_spark.operators import zorder
+    from aw3d30_parquet_spark.operators import bucketing, skew, zorder
 
     combined.update(zorder.QUERIES)
+    combined.update(skew.QUERIES)
+    combined.update(bucketing.QUERIES)
 
     from aw3d30_parquet_spark.functions import EXTENDED_QUERIES
 
@@ -110,9 +126,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     combined.update(streaming_events.QUERIES)
 
-    failed, passed = _driver_history()
-    refit = [n for n in combined if n in failed]
-    fresh = [n for n in combined if n not in failed and n not in passed]
+    hist = _driver_history()
+    with_oracle = set(oracle_sql())
+    refit = [n for n in combined if n in hist and not hist[n][1]]
+    upgraded = [
+        n
+        for n in combined
+        if n in hist and hist[n][1] and hist[n][2] and n in with_oracle
+    ]
+    fresh = [n for n in combined if n not in hist]
     by_family: dict[str, list[str]] = {}
     for n in sorted(fresh):
         by_family.setdefault(n[0], []).append(n)
@@ -124,7 +146,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if lane:
             interleaved.append(lane.pop(0))
         i += 1
-    ordered = refit + interleaved + [n for n in combined if n in passed]
+    head = set(refit) | set(upgraded)
+    stale_first = sorted(
+        (n for n in combined if n in hist and n not in head),
+        key=lambda n: hist[n][0],  # stable → registration order in ties
+    )
+    ordered = refit + upgraded + interleaved + stale_first
     return {n: combined[n] for n in ordered}
 
 
@@ -136,9 +163,11 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(ORACLE_SQL)
 
-    from aw3d30_parquet_spark.operators import zorder
+    from aw3d30_parquet_spark.operators import bucketing, skew, zorder
 
     out.update(zorder.ORACLE_SQL)
+    out.update(skew.ORACLE_SQL)
+    out.update(bucketing.ORACLE_SQL)
 
     from aw3d30_parquet_spark.functions import EXTENDED_ORACLE_SQL
 

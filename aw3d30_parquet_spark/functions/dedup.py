@@ -839,15 +839,19 @@ def _component_labels(
     n_pairs_bound: int,
     driver_edge_cap: int,
     max_iters: int,
+    scratch_key: str = "d08.labels",
 ) -> DataFrame:
     """(node, label) for an arbitrary (id_a, id_b) pair relation —
     the size-gated strategy switch shared by d08 and d12.
     ``n_pairs_bound`` may be any UPPER bound on the edge count (a
     restricted subgraph reuses its parent graph's measured count
-    without an extra job)."""
+    without an extra job). ``scratch_key`` names the persisted-label
+    pin on the propagation path — each OPERATOR gets its own slot, so
+    a d12 run can't release a not-yet-consumed d08 label table (and
+    vice versa)."""
     if n_pairs_bound <= driver_edge_cap:
         return _components_union_find(spark, pairs)
-    return _components_label_propagation(pairs, max_iters)
+    return _components_label_propagation(pairs, max_iters, scratch_key)
 
 
 def _components_union_find(spark: SparkSession, pairs: DataFrame) -> DataFrame:
@@ -892,7 +896,7 @@ def _components_union_find(spark: SparkSession, pairs: DataFrame) -> DataFrame:
 
 
 def _components_label_propagation(
-    pairs: DataFrame, max_iters: int
+    pairs: DataFrame, max_iters: int, scratch_key: str = "d08.labels"
 ) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(
@@ -946,13 +950,14 @@ def _components_label_propagation(
         )
     edges.unpersist()
     # the converged label table must stay persisted until the caller's
-    # action runs; the next d08 call releases it
-    for old in _SCRATCH.get("d08", []):
+    # action runs; the next call for the SAME operator releases it
+    # (per-operator keys — a d12 run must not drop d08's pin)
+    for old in _SCRATCH.get(scratch_key, []):
         try:
             old.unpersist()
         except Exception:
             pass
-    _SCRATCH["d08"] = [pinned]
+    _SCRATCH[scratch_key] = [pinned]
     return labels
 
 
@@ -1053,14 +1058,21 @@ def dedup_pipeline_audit(
         surv.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi"
     ).join(surv.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
     labels = _component_labels(
-        spark, pairs_s, n_pairs, driver_edge_cap, max_iters
+        spark, pairs_s, n_pairs, driver_edge_cap, max_iters,
+        scratch_key="d12.labels",
     )
     near_removed = (
         labels.filter(F.col("node") != F.col("label"))
         .select(F.col("node").alias("doc_id"), F.lit(1).alias("nd"))
     )
+    # |near_removed| ≤ |pairs|-derived node count; broadcast only when
+    # the measured edge count already proved the graph driver-small —
+    # a pathological mega-cluster graph above the cap would blow the
+    # broadcast budget, so there AQE picks the join strategy instead
+    if n_pairs <= driver_edge_cap:
+        near_removed = F.broadcast(near_removed)
     return (
-        ranked.join(F.broadcast(near_removed), "doc_id", "left")
+        ranked.join(near_removed, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),

@@ -34,6 +34,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from aw3d30_parquet_spark.numeric import round_half_up
 from aw3d30_parquet_spark.session import register_views, spread
 
 
@@ -102,8 +103,9 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def u02_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(spark, sf_dir).select(
-        "label", "n", F.round("centroid_norm", 4).alias("centroid_norm"),
-        F.round("mean_dist", 4).alias("mean_dist"),
+        "label", "n",
+        round_half_up(F.col("centroid_norm"), 4).alias("centroid_norm"),
+        round_half_up(F.col("mean_dist"), 4).alias("mean_dist"),
     )
 
 
@@ -128,7 +130,7 @@ def scalar_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         emb.filter(F.col("vec_id") != 0)
-        .select("vec_id", F.round(cos("embedding"), 4).alias("cos"))
+        .select("vec_id", round_half_up(cos("embedding"), 4).alias("cos"))
         .orderBy("vec_id")
     )
 
@@ -207,25 +209,31 @@ WITH dims AS (
   FROM dims d JOIN cent c ON d.label = c.label AND d.dim = c.dim
   GROUP BY d.label, d.vec_id
 )
-SELECT c.label, n.n, round(c.cn, 4) AS centroid_norm,
-       round(r.md, 4) AS mean_dist
+SELECT c.label, n.n,
+       CAST(floor(c.cn * 10000 + 0.5) AS BIGINT) / 10000.0 AS centroid_norm,
+       CAST(floor(r.md * 10000 + 0.5) AS BIGINT) / 10000.0 AS mean_dist
 FROM (SELECT label, sqrt(sum(c * c)) AS cn FROM cent GROUP BY label) c
 JOIN (SELECT label, count(*) AS n FROM embeddings GROUP BY label) n USING (label)
 JOIN (SELECT label, avg(dist) AS md FROM dist GROUP BY label) r USING (label)
 ORDER BY c.label
 """,
     # u03: same cosine in DuckDB list arithmetic (float64 lists; the
-    # u02 note on numpy-vs-sequential summation ulps applies — round(4))
+    # u02 note on numpy-vs-sequential summation ulps applies). Rounded
+    # via the shared floor-half-up contract (numeric.round_half_up) —
+    # Spark round() and DuckDB round() can disagree at 10^-4 half
+    # boundaries, floor(x·10⁴+0.5) is identical IEEE math on both.
     "u03_scalar_cosine": """
 WITH q AS (
   SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
   FROM embeddings WHERE vec_id = 0
 )
 SELECT e.vec_id,
-       round(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qe)
+       CAST(floor(
+         list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qe)
              / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
                                       list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
-                * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos
+                * sqrt(list_dot_product(q.qe, q.qe))) * 10000 + 0.5
+       ) AS BIGINT) / 10000.0 AS cos
 FROM embeddings e, q WHERE e.vec_id <> 0 ORDER BY e.vec_id
 """,
     # u04: Python re and DuckDB RE2 agree on the plain [a-z]+ class;

@@ -13,9 +13,9 @@ the underlying doubles agree (residual risk: a last-ulp libm
 divergence landing exactly on a boundary — ~1e-13 per row for
 transcendental inputs, zero for exact int/int ratios).
 
-Operators that still pair Spark ``F.round`` with DuckDB ``round``
-(e.g. u03) carry the half-boundary risk this module exists to remove;
-prefer this helper for any new oracle-checked float column.
+Every oracle-checked float column in the package now routes through
+this contract (u02/u03 were the last holdouts, migrated round 4);
+use this helper for any new oracle-checked float column.
 """
 
 from __future__ import annotations

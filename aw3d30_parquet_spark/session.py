@@ -168,8 +168,13 @@ def spread(df, min_partitions: int | None = None):
     # JVM-side internal-row RDD: same partition count as df.rdd but
     # without building the Python-serializer conversion plan (~2 ms vs
     # ~0.3 s per fresh DataFrame — this probe runs on every family
-    # entry, so the difference is a measurable slice of the suite)
-    n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    # entry, so the difference is a measurable slice of the suite).
+    # _jdf is a classic-session internal; under Spark Connect it is
+    # absent, so fall back to the public (slower) partition probe.
+    try:
+        n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    except AttributeError:
+        n_parts = df.rdd.getNumPartitions()
     if n_parts < target:
         return df.repartition(target)
     return df

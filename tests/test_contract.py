@@ -16,53 +16,79 @@ def test_every_oracle_names_a_registered_query():
     assert len(set(qs) - set(oracles)) <= 20
 
 
-def test_rotation_orders_failed_then_fresh_then_passed():
+def test_rotation_four_tiers_failed_upgraded_fresh_stale():
     """The driver's per-round CORRECTNESS capture is bounded, so
-    registration order decides coverage: queries whose latest driver
-    row was a FAIL come first (the fix gets certified next round),
-    then names with no row in any CORRECTNESS_r*.json — interleaved
-    across families so any capture prefix samples the whole surface —
-    then the already-green tail."""
+    registration order decides coverage: latest-FAILED first, then
+    oracle-UPGRADED (last row was rows-only but the name now has a SQL
+    oracle), then never-checked names — interleaved across families so
+    any capture prefix samples the whole surface — then the green tail
+    ordered least-recently-recorded first (staleness rotation)."""
     qs = list(contract.queries())
-    failed, passed = contract._driver_history()
-    if not failed and not passed:
+    hist = contract._driver_history()
+    if not hist:
         pytest.skip("no CORRECTNESS files yet (round 1)")
-    refit = [n for n in qs if n in failed]
-    fresh = [n for n in qs if n not in failed and n not in passed]
-    assert qs[: len(refit)] == refit
-    assert qs[len(refit) : len(refit) + len(fresh)] == fresh
+    with_oracle = set(contract.oracle_sql())
+    refit = [n for n in qs if n in hist and not hist[n][1]]
+    upgraded = [
+        n
+        for n in qs
+        if n in hist and hist[n][1] and hist[n][2] and n in with_oracle
+    ]
+    fresh = [n for n in qs if n not in hist]
+    assert qs[: len(refit)] == sorted(refit, key=qs.index)
+    u0 = len(refit)
+    assert set(qs[u0 : u0 + len(upgraded)]) == set(upgraded)
+    f0 = u0 + len(upgraded)
+    assert set(qs[f0 : f0 + len(fresh)]) == set(fresh)
     if len(fresh) >= 6:
-        assert len({n[0] for n in fresh[:6]}) >= 3
+        assert len({n[0] for n in qs[f0 : f0 + 6]}) >= 3
+    # the green tail is monotone in last-recorded round: a name checked
+    # in r1 must never sit behind one checked in r3
+    tail = qs[f0 + len(fresh) :]
+    rounds = [hist[n][0] for n in tail]
+    assert rounds == sorted(rounds)
 
 
-def test_driver_history_marks_r01_fails_until_rerecorded():
-    """q24/q29/q31/q41/q48 failed in r01 and have no later green row;
-    they must sit in the failed tier (and thus the dict prefix) until
-    a CORRECTNESS file shows them green."""
+def test_rotation_express_lane_recovers_oracle_promotions():
+    """v02 was oracle-promoted after its rows-only r2 record; while its
+    latest driver row is still ``no_oracle``, it must sit in the
+    capture-window prefix (tiers 1–2), not at static position ~101."""
+    hist = contract._driver_history()
+    if "v02_ann_topk_bruteforce" not in hist:
+        pytest.skip("v02 not driver-recorded yet")
+    rnd, ok, rows_only = hist["v02_ann_topk_bruteforce"]
+    if not (ok and rows_only and "v02_ann_topk_bruteforce" in contract.oracle_sql()):
+        pytest.skip("v02 already re-recorded with its oracle")
+    qs = list(contract.queries())
+    assert qs.index("v02_ann_topk_bruteforce") < 10
+
+
+def test_driver_history_latest_row_wins():
+    """q24/q29/q31/q41/q48 failed in r01; their r03 green re-records
+    must win (latest row is the status), and any name whose latest row
+    is a FAIL must sit in the dict prefix."""
     import glob
     import json
+    import re
 
-    failed, passed = contract._driver_history()
-    r01_fails = {
-        "q24_cond_math",
-        "q29_json_path",
-        "q31_cross_join",
-        "q41_stat_agg",
-        "q48_bitwise",
-    }
-    later_green = set()
+    hist = contract._driver_history()
+    latest: dict[str, tuple[int, dict]] = {}
     for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
-        if "_r01" in path:
-            continue
-        rows = json.load(open(path))
-        later_green |= {
-            n
-            for n, r in rows.items()
-            if n in r01_fails and r.get("hash_match") is True
-        }
-    expect_failed = r01_fails - later_green
-    assert expect_failed <= failed
-    assert later_green <= passed
+        m = re.search(r"_r(\d+)", path)
+        rnd = int(m.group(1)) if m else 0
+        for n, r in json.load(open(path)).items():
+            if n not in latest or latest[n][0] < rnd:
+                latest[n] = (rnd, r)
+    for n, (rnd, r) in latest.items():
+        ok = (
+            r.get("err") in (None, "no_oracle")
+            and r.get("hash_match") is not False
+            and r.get("rows_match") is not False
+        )
+        assert hist[n] == (rnd, ok, r.get("err") == "no_oracle")
+    qs = list(contract.queries())
+    failed = [n for n in qs if n in hist and not hist[n][1]]
+    assert qs[: len(failed)] == failed
 
 
 def test_query_names_are_unique_3char_coded():
