@@ -40,3 +40,104 @@ def bucketed_equi_join(
     plans a SortMergeJoin with zero Exchange nodes."""
     lt, rt = spark.table(left_table), spark.table(right_table)
     return lt.join(rt, lt[left_key] == rt[right_key], "inner")
+
+
+#: (applicationId, sf_dir) → (orders_table, lineitem_table) already
+#: written this session — the write is the build-once index cost (like
+#: v05's IVF); every later call joins the existing bucketed tables.
+_BUCKETED: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _bucketed_fact_tables(
+    spark: SparkSession, sf_dir: str, buckets: int
+) -> tuple[str, str]:
+    import atexit
+    import re
+
+    from aw3d30_parquet_spark.operators.relational import _t
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    if key in _BUCKETED:
+        return _BUCKETED[key]
+    slug = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    tag = f"{re.sub(r'[^0-9a-zA-Z]+', '_', app)}_{slug}"
+    ot, lt = f"b01_orders_{tag}", f"b01_lineitem_{tag}"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lineitem = spark.table("lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    write_bucketed(orders, ot, "o_orderkey", buckets=buckets)
+    write_bucketed(lineitem, lt, "l_orderkey", buckets=buckets)
+    # managed tables land under spark.sql.warehouse.dir keyed by the
+    # applicationId — drop them at exit so repeated sessions don't
+    # accumulate warehouse directories (files.py's reaping rule)
+    atexit.register(
+        lambda: [
+            _drop_quietly(spark, t) for t in (ot, lt)
+        ]
+    )
+    _BUCKETED[key] = (ot, lt)
+    return ot, lt
+
+
+def _drop_quietly(spark: SparkSession, table: str) -> None:
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    except Exception:
+        pass
+
+
+def bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b01: fact-fact join with the shuffle ELIMINATED by bucketing —
+    orders ⋈ lineitem on the order key, both sides written as managed
+    tables bucketed (and sorted) by that key with the same bucket
+    count, rolled up to revenue per order priority.
+
+    This is the 100 TB posture claim made executable: a fact-fact join
+    normally shuffles BOTH inputs on the join key every time it runs;
+    bucketing pays that shuffle once at write time, and every
+    subsequent join of the two tables plans as a SortMergeJoin with
+    ZERO Exchange on either side (pinned by tests/test_bucketing.py on
+    THIS function). At 100 TB the re-shuffle is the dominant cost of
+    the pipeline's hottest join — bucketing turns it into a co-located
+    merge.
+
+    The oracle computes the identical relation from the original
+    Parquet tables, so a hash match also certifies the bucketed
+    write→read roundtrip lossless (f01's argument, applied to the
+    bucketed writer). Table names carry the applicationId so
+    concurrent sessions never collide; tables are dropped at exit.
+    """
+    from aw3d30_parquet_spark.operators.relational import (
+        _cents,
+        _exact_money_sum,
+    )
+
+    from pyspark.sql import functions as F
+
+    ot, lt = _bucketed_fact_tables(spark, sf_dir, buckets=8)
+    joined = bucketed_equi_join(spark, ot, lt, "o_orderkey", "l_orderkey")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            _exact_money_sum(_cents(F.col("l_extendedprice")), "revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES = {"b01_bucketed_fact_join": bucketed_fact_join}
+
+ORACLE_SQL = {
+    "b01_bucketed_fact_join": """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+}

@@ -346,23 +346,37 @@ def _seamless_gradient_partition(batches: Iterable, chunk_rows: int) -> Iterator
                 s: None if v is None else np.asarray(v, dtype=np.int32)
                 for s, v in halos.items()
             }
-            # halo lengths must equal the receiver's edge EXACTLY: a
-            # silent [:w] truncation would misalign a reduced-width
-            # neighbor's halo positionally (real AW3D30 narrows tiles
-            # at high latitudes) and corrupt seam gradients with no
-            # error. Uniform resolution is this operator's contract;
-            # mixed-resolution mosaics need halo resampling first.
+            # a neighbor's halo arrives at the NEIGHBOR's resolution;
+            # real AW3D30 narrows tiles at high latitude (a 60°N tile
+            # is 1800 px wide against its 3600 px south neighbor —
+            # ref src/main.rs:172-180 ingests whatever dims GDAL
+            # reports), so mismatched lengths are a legitimate mosaic,
+            # not corruption. Both edges span the same 1° of geography:
+            # nearest-neighbor resample via the pixel-CENTER index map
+            # (receiver pixel i's center ↔ donor pixel
+            # floor((i+0.5)·got/need)) — a silent [:need] truncation
+            # would instead misalign every sample positionally. A halo
+            # with <2 samples has no defined grid — that layout is
+            # genuinely unknown, keep failing loudly.
             for side, need in (
                 ("top", w), ("bottom", w), ("left", h), ("right", h)
             ):
                 got = pads[side]
                 if got is not None and len(got) != need:
-                    raise ValueError(
-                        f"tile {coord}: {side} halo has {len(got)} "
-                        f"samples but this tile's edge has {need} — "
-                        "neighbor resolution differs; resample halos "
-                        "to the receiver's grid before the exchange"
+                    if len(got) < 2:
+                        raise ValueError(
+                            f"tile {coord}: {side} halo has "
+                            f"{len(got)} samples — not a resamplable "
+                            "edge; unknown neighbor layout"
+                        )
+                    idx = np.minimum(
+                        (
+                            (np.arange(need, dtype=np.float64) + 0.5)
+                            * (len(got) / need)
+                        ).astype(np.int64),
+                        len(got) - 1,
                     )
+                    pads[side] = got[idx]
             top = 1 if pads["top"] is not None else 0
             bot = 1 if pads["bottom"] is not None else 0
             left = 1 if pads["left"] is not None else 0

@@ -92,6 +92,17 @@ def main() -> None:
     families: dict[str, float] = {}
     for name, sec in per_query.items():
         families[name[0]] = families.get(name[0], 0.0) + sec
+    # fixed declared set (SURVEY §2.3 Q1–Q28 ≙ q01–q28): the suite
+    # grows round over round, so this frozen subset is the ONE number
+    # comparable across BENCH_r*.json files
+    stable = round(
+        sum(
+            sec
+            for name, sec in per_query.items()
+            if name[0] == "q" and name[1:3].isdigit() and int(name[1:3]) <= 28
+        ),
+        4,
+    )
     result = {
         "metric": "declared_suite_total_sec",
         "value": total,
@@ -100,6 +111,7 @@ def main() -> None:
         # denominator so totals stay comparable across rounds
         "n_queries": len(per_query),
         "mean_sec": round(total / max(1, len(per_query)), 4),
+        "stable_q01_q28_sec": stable,
         # per-family subtotals (q relational, d dedup, v vectors,
         # t text, p pipeline, m multimodal, g raster, s streaming,
         # u UDF, a sketches) — where the time actually goes

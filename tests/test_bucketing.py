@@ -41,3 +41,29 @@ def test_bucketed_join_eliminates_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
         spark.sql("DROP TABLE IF EXISTS customer_bucketed")
+
+
+def test_b01_driver_query_join_is_shuffle_free(spark):
+    """The registered b01 query: the fact-fact join itself contributes
+    ZERO Exchange — the only shuffles in the whole plan are the
+    post-join rollup (hash agg) and the final orderBy, i.e. exactly
+    the two an already-co-located join leaves behind."""
+    from aw3d30_parquet_spark.operators.bucketing import bucketed_fact_join
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketed_fact_join(spark, SF)
+        plan = formatted_plan(df)
+        assert "SortMergeJoin" in plan
+        assert count_node(df, "Exchange") == 2  # agg + sort only
+        # and it is not vacuous: the same join over the raw views pays
+        # two more Exchanges (one per side)
+        orders = spark.table("orders")
+        lineitem = spark.table("lineitem")
+        plain = orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey, "inner"
+        )
+        assert count_node(plain, "Exchange") == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -298,3 +298,53 @@ def test_d11_lossless_on_random_low_entropy_corpora(spark, tmp_path):
         }
         assert got == truth, f"seed {seed}: {truth - got} missing"
         assert truth, f"seed {seed}: degenerate fixture (no pairs)"
+
+
+def test_d13_incremental_equals_d10_boundary_pairs(spark):
+    """d13 (snapshot-vs-corpus slice) must produce exactly the d10
+    pairs that CROSS the snapshot boundary — the asymmetric count
+    filter loses nothing the symmetric one finds."""
+    from aw3d30_parquet_spark.functions.dedup import (
+        editdist_incremental,
+        qgram_editdist_pairs,
+    )
+
+    full = qgram_editdist_pairs(spark, SF_SMOKE).toPandas()
+    inc = editdist_incremental(spark, SF_SMOKE).toPandas()
+
+    def is_snap(x):
+        return x % 10 >= 8
+
+    # crossing pairs reoriented as (new, old, dist)
+    want = {
+        ((a if is_snap(a) else b), (b if is_snap(a) else a), d)
+        for a, b, d in zip(full.id_a, full.id_b, full.dist)
+        if is_snap(a) != is_snap(b)
+    }
+    got = set(zip(inc.id_new, inc.id_old, inc.dist))
+    assert got == want
+
+
+def test_d14_metrics_internally_consistent(spark):
+    """d14's counts must cohere: both forms agree on n_true_pairs (the
+    losslessness witness), d10's candidates are fewer (tighter bar),
+    d11's gram-join rows are fewer (smaller join), and n_true_pairs
+    equals d10's actual output count."""
+    from aw3d30_parquet_spark.functions.dedup import (
+        editdist_candidate_metrics,
+        qgram_editdist_pairs,
+    )
+
+    m = (
+        editdist_candidate_metrics(spark, SF_SMOKE)
+        .toPandas()
+        .set_index("form")
+    )
+    d10, d11 = m.loc["d10_all_grams"], m.loc["d11_rare_prefix"]
+    assert d10.n_true_pairs == d11.n_true_pairs
+    assert d10.n_candidates <= d11.n_candidates
+    assert d11.gram_join_rows <= d10.gram_join_rows
+    assert d10.n_candidates >= d10.n_true_pairs
+    assert d10.n_true_pairs == len(
+        qgram_editdist_pairs(spark, SF_SMOKE).toPandas()
+    )
