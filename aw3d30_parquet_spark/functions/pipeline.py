@@ -521,6 +521,63 @@ def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p12: NEAR-dup-aware eval decontamination — p05 catches exact
+    shingle leakage; this op flags every held-out (test-split) document
+    that has a near-duplicate (d04 pair, jaccard ≥ 0.6) in the TRAIN
+    split. Exact-match decontamination misses paraphrased or
+    lightly-edited leaks — the case that actually inflates evals.
+
+    Composition, not recomputation: consumes the MEMOIZED d04 pair
+    graph (the build-once artifact d08/d12 share — in production the
+    dedup job's output table), symmetrizes it, semi-joins the train
+    side, and left-joins the bounded contaminated-id set to the test
+    slice for per-source accounting. No text is rescanned; the only
+    non-id column shuffled is the md5 digest that assigns the split
+    (p01's content-keyed rule, so the oracle reproduces it exactly).
+
+    Scale shape: pair graph ≪ corpus on any deduped crawl; the
+    contaminated set is bounded by 2·|pairs| and broadcast only under
+    the same measured edge-count gate d12 uses.
+    """
+    from aw3d30_parquet_spark.functions.dedup import (
+        COMPONENT_DRIVER_EDGE_CAP,
+        _pair_graph,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", _split_col().alias("split")
+    )
+    pairs, n_pairs = _pair_graph(spark, sf_dir)
+    sym = pairs.select("id_a", "id_b").unionByName(
+        pairs.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    )
+    train_ids = docs.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("id_b")
+    )
+    contam = (
+        sym.join(train_ids, "id_b", "left_semi")
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+        .withColumn("flag", F.lit(1))
+    )
+    if n_pairs <= COMPONENT_DRIVER_EDGE_CAP:
+        contam = F.broadcast(contam)
+    test = docs.filter(F.col("split") == "test")
+    return (
+        test.join(contam, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.count("flag").alias("n_contaminated"),
+            (F.count("*") - F.count("flag")).alias("n_clean"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "p01_hash_split": hash_split_assign,
     "p02_pack_token_bins": pack_token_bins,
@@ -533,6 +590,7 @@ QUERIES = {
     "p09_curriculum_bins": curriculum_bins,
     "p10_mixture_budget": mixture_budget,
     "p11_boilerplate_chunks": boilerplate_chunks,
+    "p12_neardup_decontaminate": neardup_decontaminate,
 }
 
 ORACLE_SQL = {
@@ -752,3 +810,38 @@ FROM ch c JOIN freq f USING (chunk)
 GROUP BY c.source ORDER BY c.source
 """,
 }
+
+
+def _p12_oracle() -> str:
+    """p12 oracle: d04's pair SQL nested under the split rule — the
+    oracle recomputes the near-dup graph independently, then applies
+    the identical md5-prefix split + per-source accounting."""
+    from aw3d30_parquet_spark.functions.dedup import ORACLE_SQL as DEDUP_SQL
+
+    return f"""
+WITH pairs AS (
+  SELECT id_a, id_b FROM ({DEDUP_SQL["d04_ngram_jaccard_pairs"]}) p
+), sym AS (
+  SELECT id_a, id_b FROM pairs
+  UNION ALL
+  SELECT id_b AS id_a, id_a AS id_b FROM pairs
+), lab AS (
+  SELECT doc_id, source,
+         CASE WHEN md5(text) < '{SPLIT_TRAIN_LT}' THEN 'train'
+              WHEN md5(text) < '{SPLIT_VAL_LT}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), contam AS (
+  SELECT DISTINCT s.id_a AS doc_id
+  FROM sym s JOIN lab t ON s.id_b = t.doc_id AND t.split = 'train'
+)
+SELECT l.source, count(*) AS n_test,
+       count(c.doc_id) AS n_contaminated,
+       count(*) - count(c.doc_id) AS n_clean
+FROM lab l LEFT JOIN contam c USING (doc_id)
+WHERE l.split = 'test'
+GROUP BY l.source ORDER BY l.source
+"""
+
+
+ORACLE_SQL["p12_neardup_decontaminate"] = _p12_oracle()

@@ -241,6 +241,84 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: bounded query slice for t08: 1% of the corpus are "query" docs
+SIMILAR_QUERY_MOD = 100
+SIMILAR_TOP_K = 5
+
+
+def similar_doc_search(
+    spark: SparkSession, sf_dir: str, k: int = SIMILAR_TOP_K
+) -> DataFrame:
+    """t08: top-k most-similar documents per query doc — similarity
+    SEARCH over the inverted shingle index (d04's machinery pointed at
+    retrieval instead of threshold pairs: "find sources/near-copies of
+    this document" is the curation question; "all pairs above t" is
+    the dedup one).
+
+    Query set is a bounded deterministic slice (``doc_id % 100 = 0``,
+    1% of the corpus). Plan shape: the hashed-shingle stream is built
+    ONCE (persisted — both the query slice and the corpus side read
+    it), the candidate join is ASYMMETRIC (query shingles ⋈ corpus
+    index), so candidate volume is linear in the query count × shingle
+    df — never corpus². Ranking runs per query over its own candidate
+    set (a window partitioned by q_id, size df-bounded), top-k with a
+    deterministic tie-break. Ranks compare the ROUNDED jaccard
+    (floor-half-up, the shared numeric contract) so the rank order is
+    the exact integer-ratio order both engines agree on.
+
+    At 100 TB the shingle stream is the maintained inverted-index
+    table; per-query top-k is the classic search-serving shape and the
+    window never sees more than one query's candidates.
+    """
+    from pyspark.sql import Window
+
+    from aw3d30_parquet_spark.functions.dedup import (
+        _scratch_persist,
+        _shingles,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sh = _scratch_persist(
+        "t08",
+        docs.select("doc_id", _shingles(F.col("text")).alias("shs"))
+        .select(
+            "doc_id",
+            F.size("shs").alias("n"),
+            F.explode_outer("shs").alias("s"),
+        )
+        .select("doc_id", "n", F.xxhash64("s").alias("h")),
+    )
+    q = sh.filter(F.col("doc_id") % SIMILAR_QUERY_MOD == 0)
+    inter = (
+        q.alias("q")
+        .join(
+            sh.alias("c"),
+            (F.col("q.h") == F.col("c.h"))
+            & (F.col("q.doc_id") != F.col("c.doc_id")),
+        )
+        .groupBy(
+            F.col("q.doc_id").alias("q_id"),
+            F.col("c.doc_id").alias("c_id"),
+            F.col("q.n").alias("n_q"),
+            F.col("c.n").alias("n_c"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n_q") + F.col("n_c") - F.col("inter"))
+    scored = inter.select(
+        "q_id", "c_id", round_half_up(jac, 4).alias("jaccard")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("jaccard").desc(), F.col("c_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "jaccard")
+        .orderBy("q_id", "rank")
+    )
+
+
 QUERIES = {
     "t01_token_stats": token_stats,
     "t02_quality_score": quality_score,
@@ -249,6 +327,7 @@ QUERIES = {
     "t05_doc_fingerprint": doc_fingerprint,
     "t06_tfidf_top_terms": tfidf_top_terms,
     "t07_unigram_surprisal": unigram_surprisal,
+    "t08_similar_doc_search": similar_doc_search,
 }
 
 ORACLE_SQL = {
@@ -364,3 +443,44 @@ FROM hits ORDER BY doc_id
 
 
 ORACLE_SQL["t04_lang_id"] = _lang_id_oracle()
+
+# t08: the d04 shingle twin pointed at retrieval — exact jaccard per
+# (query, candidate), ranked per query on the floor-rounded score with
+# a c_id tie-break (the rank must order the same values both engines
+# compute identically: integer-ratio jaccard → floor-half-up).
+ORACLE_SQL["t08_similar_doc_search"] = f"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), shing AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                 i -> array_to_string(w[i:i+2], ' ')))
+              ELSE [array_to_string(w, ' ')] END AS shs
+  FROM words
+), sh AS (
+  SELECT doc_id, unnest(shs) AS sh FROM shing
+), counts AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT q.doc_id AS q_id, c.doc_id AS c_id, count(*) AS inter
+  FROM sh q JOIN sh c ON q.sh = c.sh AND q.doc_id <> c.doc_id
+  WHERE q.doc_id % {SIMILAR_QUERY_MOD} = 0
+  GROUP BY 1, 2
+), scored AS (
+  SELECT q_id, c_id,
+         CAST(floor(inter / CAST(cq.n_sh + cc.n_sh - inter AS DOUBLE)
+               * 10000 + 0.5) AS BIGINT) / 10000.0 AS jaccard
+  FROM inter
+  JOIN counts cq ON cq.doc_id = q_id
+  JOIN counts cc ON cc.doc_id = c_id
+), ranked AS (
+  SELECT q_id, c_id, jaccard,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY jaccard DESC, c_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_id, rank, c_id, jaccard FROM ranked
+WHERE rank <= {SIMILAR_TOP_K} ORDER BY q_id, rank
+"""

@@ -1790,6 +1790,113 @@ def a07_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_DEPTH = 4  # CMS hash rows
+CMS_WIDTH = 1024  # CMS counters per row (ε ≈ e/W overestimate bound)
+#: fixed odd multipliers for the multiply-shift hash family — the
+#: sketch must hash IDENTICALLY on every executor and every day for
+#: daily matrices to be mergeable by element-wise addition
+_CMS_A = (
+    0x9E3779B97F4A7C15,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x27D4EB2F165667C5,
+)
+#: fixed probe set: the users whose weekly frequency the rollup reports
+CMS_PROBE_USERS = tuple(range(0, 100, 10))
+
+
+def _cms_hash(i: int, ids):
+    """Row-``i`` multiply-shift bucket for an int64 id array (numpy)."""
+    import numpy as np
+
+    a = np.uint64(_CMS_A[i])
+    return (
+        ((ids.astype(np.uint64) + np.uint64(1)) * a) >> np.uint64(13)
+    ).astype(np.int64) % CMS_WIDTH
+
+
+def a08_cms_freq_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Count-Min frequency rollup — the sketch-family member
+    for POINT-FREQUENCY queries (a03 answers distinct counts, a04/a05
+    quantiles, a06 set algebra, a07 exact heavy hitters; CMS answers
+    "how often did key x occur?" over any rollup window without
+    re-scanning raw events).
+
+    One D×W count matrix PER DAY (Cormode–Muthukrishnan CMS: D
+    multiply-shift hash rows, W counters — 32 KB here), built in a
+    grouped ``applyInPandas`` with vectorized ``np.add.at``; weekly
+    rollup is ELEMENT-WISE MATRIX ADDITION (the defining mergeable
+    property), then the probe users' weekly estimates read
+    ``min_i M[i, h_i(u)]``. Estimates never undercount, and
+    overcount ≤ (e/W)·N with prob 1−δ per probe — pytest asserts the
+    sandwich against exact counts (engine-specific state → driver
+    records rows-only, like a01–a06).
+
+    At 100 TB: daily sketches are kilobytes regardless of event
+    volume, so any weekly/monthly/backfill rollup is a metadata-sized
+    merge; the probe-set estimate never touches raw events again.
+    """
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+
+    def day_sketch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        ids = pdf["user_id"].to_numpy(dtype=np.int64)
+        m = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+        for i in range(CMS_DEPTH):
+            np.add.at(m[i], _cms_hash(i, ids), 1)
+        return pd.DataFrame(
+            {
+                "day": [pdf["day"].iloc[0]],
+                "cms": [m.reshape(-1).tolist()],
+                "n": [len(pdf)],
+            }
+        )
+
+    daily = ev.groupBy("day").applyInPandas(
+        day_sketch, schema="day timestamp_ntz, cms array<long>, n long"
+    )
+
+    def week_estimate(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        m = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+        for arr in pdf["cms"]:
+            m += np.asarray(arr, dtype=np.int64).reshape(
+                CMS_DEPTH, CMS_WIDTH
+            )
+        probes = np.asarray(CMS_PROBE_USERS, dtype=np.int64)
+        est = np.min(
+            np.stack(
+                [m[i, _cms_hash(i, probes)] for i in range(CMS_DEPTH)]
+            ),
+            axis=0,
+        )
+        n_week = int(pdf["n"].sum())
+        return pd.DataFrame(
+            {
+                "week": np.repeat(pdf["week"].iloc[0], len(probes)),
+                "user_id": probes,
+                "est": est,
+                "n_events": np.int64(n_week),
+            }
+        )
+
+    return (
+        daily.withColumn("week", F.date_trunc("week", "day").cast("date"))
+        .groupBy("week")
+        .applyInPandas(
+            week_estimate,
+            schema="week date, user_id long, est long, n_events long",
+        )
+        .orderBy("week", "user_id")
+    )
+
+
 ANOM_FRAME = 20  # trailing window size (rows) per user
 ANOM_SIGMA_SQ = 9  # flag |z| > 3 ⟺ z² > 9
 
@@ -1935,6 +2042,7 @@ RELATIONAL_QUERIES = {
     "a05_kll_quantile_rollup": a05_kll_quantile_rollup,
     "a06_theta_audience_rollup": a06_theta_audience_rollup,
     "a07_heavy_hitters": a07_heavy_hitters,
+    "a08_cms_freq_rollup": a08_cms_freq_rollup,
     "q02_filter_conjunction": q02_filter_conjunction,
     "q03_filter_disjunction": q03_filter_disjunction,
     "q04_regex_extract": q04_regex_extract,

@@ -244,3 +244,44 @@ def test_v6_tfidf_vs_python_oracle(spark):
         d for d in docs if by_doc[d] != top3(docs[d])
     ]
     assert not mismatches, (mismatches[:5], by_doc[mismatches[0]] if mismatches else None)
+
+
+def test_t5g_cms_freq_rollup_sandwich(spark):
+    """CMS weekly frequency estimates: never undercount (structural
+    CMS guarantee — every increment lands in each row), and overcount
+    within the e/W·N bound for every probe user (4 independent hash
+    rows make the min-estimate exceed it with negligible probability;
+    the fixed hash family makes this deterministic here)."""
+    import math
+
+    from aw3d30_parquet_spark.operators.relational import (
+        CMS_PROBE_USERS,
+        CMS_WIDTH,
+        a08_cms_freq_rollup,
+    )
+
+    rows = a08_cms_freq_rollup(spark, SF_T2).collect()
+    assert len(rows) > len(CMS_PROBE_USERS)  # several weeks
+    register_views(spark, SF_T2)
+    exact = {
+        (r.week, r.user_id): r.cnt
+        for r in spark.table("events")
+        .filter(F.col("user_id").isin(*CMS_PROBE_USERS))
+        .groupBy(
+            F.date_trunc("week", "ts").cast("date").alias("week"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    n_week = {r.week: r.n_events for r in rows}
+    eps = math.e / CMS_WIDTH
+    hit_exact = 0
+    for r in rows:
+        true = exact.get((r.week, r.user_id), 0)
+        assert r.est >= true, (r, true)
+        assert r.est <= true + eps * n_week[r.week] + 1e-9, (r, true)
+        hit_exact += r.est == true
+    # with W=1024 ≫ weekly active users, most probes collide with
+    # nothing — the sketch should usually be exact, not merely bounded
+    assert hit_exact >= len(rows) // 2
