@@ -155,6 +155,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {n: combined[n] for n in ordered}
 
 
+def rows_only() -> frozenset[str]:
+    """The declared no-oracle registry: queries whose outputs have no
+    DuckDB twin by design (sketch registers, xxhash64-keyed signatures,
+    recall-graded approximate indexes). Single source of truth — the
+    per-module ``ROWS_ONLY`` constants — consumed by tools/driver_sim.py
+    and tests/test_contract.py so ``queries() - oracle_sql()`` can only
+    diverge from it when a registration is genuinely inconsistent."""
+    from aw3d30_parquet_spark.functions import dedup, vectors
+    from aw3d30_parquet_spark.operators import relational
+
+    return relational.ROWS_ONLY | dedup.ROWS_ONLY | vectors.ROWS_ONLY
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL per query (omitted for ops that are
     not SQL-expressible — driver then records a rows-only check)."""

@@ -892,6 +892,13 @@ QUERIES = {
     "d14_editdist_metrics": editdist_candidate_metrics,
 }
 
+# No-DuckDB-oracle by design: d05's SimHash and d06's MinHash band keys
+# are xxhash64-seeded (Spark's XXH64 builtin); DuckDB exposes no XXH64,
+# so no ANSI-SQL twin can reproduce the signatures bit-for-bit
+# (SURVEY §2.4). Correctness is invariance/recall-tested in
+# tests/test_dedup.py instead. Consumed by __spark_entry__.rows_only().
+ROWS_ONLY = frozenset({"d05_simhash", "d06_minhash_lsh_pairs"})
+
 ORACLE_SQL = {
     "d01_exact_dedup_count": """
 SELECT count(*) AS cnt FROM (SELECT DISTINCT md5(text) AS h FROM documents) t

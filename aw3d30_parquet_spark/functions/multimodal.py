@@ -43,6 +43,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from aw3d30_parquet_spark.numeric import round_half_up
 from aw3d30_parquet_spark.session import register_views
 
 _MAGIC_IMAGE = b"RAW0"
@@ -428,7 +429,7 @@ def m01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("cnt"),
             F.sum("payload_bytes").alias("total_bytes"),
-            F.round(
+            round_half_up(
                 F.avg(F.coalesce(F.col("width"), F.col("n_samples"))), 2
             ).alias("avg_dim"),
         )
@@ -462,7 +463,8 @@ WITH params AS (
 )
 SELECT kind, count(*) AS cnt,
        CAST(sum(payload_bytes) AS BIGINT) AS total_bytes,
-       round(avg(CAST(dim AS DOUBLE)), 2) AS avg_dim
+       CAST(floor(avg(CAST(dim AS DOUBLE)) * 100 + 0.5) AS BIGINT) / 100.0
+         AS avg_dim
 FROM sized GROUP BY kind ORDER BY kind
 """
 
@@ -483,7 +485,9 @@ def m02_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("cnt"),
             F.sum("payload_bytes").alias("total_bytes"),
-            F.round(F.sum("intensity"), 2).alias("sum_intensity"),
+            # a sum of 1/128-grid fractions CAN land exactly on 2-dp
+            # midpoints (e.g. x.125) — the floor contract is load-bearing
+            round_half_up(F.sum("intensity"), 2).alias("sum_intensity"),
         )
         .orderBy("channels")
     )
@@ -512,7 +516,8 @@ WITH params AS (
 )
 SELECT CAST(c AS INTEGER) AS channels, count(*) AS cnt,
        CAST(count(*) * (16 + 64 * c) AS BIGINT) AS total_bytes,
-       round(sum(CAST(sum_v AS DOUBLE) / (64.0 * c)), 2) AS sum_intensity
+       CAST(floor(sum(CAST(sum_v AS DOUBLE) / (64.0 * c)) * 100 + 0.5)
+            AS BIGINT) / 100.0 AS sum_intensity
 FROM per_doc GROUP BY c ORDER BY channels
 """
 
@@ -554,8 +559,8 @@ def m04_audio_energy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle regenerates the identical samples arithmetically.
     """
     feats = extract_features(media_table(spark, sf_dir, kind="audio"))
-    energy = F.round(
-        F.col("intensity") * F.col("intensity") * F.col("n_samples")
+    energy = F.floor(
+        F.col("intensity") * F.col("intensity") * F.col("n_samples") + 0.5
     ).cast("bigint")
     return (
         feats.groupBy("sample_rate")
@@ -597,8 +602,8 @@ def m05_audio_decimate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(
         decimate_audio(media_table(spark, sf_dir, kind="audio"), 2)
     )
-    energy = F.round(
-        F.col("intensity") * F.col("intensity") * F.col("n_samples")
+    energy = F.floor(
+        F.col("intensity") * F.col("intensity") * F.col("n_samples") + 0.5
     ).cast("bigint")
     return (
         feats.groupBy("sample_rate")

@@ -52,10 +52,13 @@ def u01_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pandas interpolated median == DuckDB median() for even counts
         return float(v.median())
 
+    # floor-half-up, NOT F.round: an even-count median of 2-decimal
+    # values lands exactly on x.xx5 midpoints, the boundary where
+    # Spark's decimal-repr HALF_UP and DuckDB's double round() split
     return (
         spark.table("events")
         .groupBy("event_type")
-        .agg(F.round(median_udaf("value"), 2).alias("med"))
+        .agg(round_half_up(median_udaf("value"), 2).alias("med"))
         .orderBy("event_type")
     )
 
@@ -188,7 +191,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "u01_grouped_agg_median": """
-SELECT event_type, round(median(value), 2) AS med
+SELECT event_type,
+       CAST(floor(median(value) * 100 + 0.5) AS BIGINT) / 100.0 AS med
 FROM events GROUP BY event_type ORDER BY event_type
 """,
     # u02: independent SQL derivation of the same centroid math —

@@ -596,6 +596,19 @@ QUERIES = {
     "v06_ann_topk_pq": ann_topk_pq,
 }
 
+# No-DuckDB-oracle by design: v03/v04 band on xxhash64 (no DuckDB twin),
+# v05/v06 are approximate indexes (IVF probe / PQ codebook) whose
+# output is recall-graded, not exact — tests/test_vectors.py V3-V6 hold
+# the recall floors. Consumed by __spark_entry__.rows_only().
+ROWS_ONLY = frozenset(
+    {
+        "v03_ann_topk_lsh",
+        "v04_embedding_neardup",
+        "v05_ann_topk_ivf",
+        "v06_ann_topk_pq",
+    }
+)
+
 ORACLE_SQL = {
     "v01_embedding_dims": """
 SELECT count(*) AS cnt, min(len(embedding)) AS min_dim,

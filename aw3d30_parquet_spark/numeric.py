@@ -13,9 +13,14 @@ the underlying doubles agree (residual risk: a last-ulp libm
 divergence landing exactly on a boundary — ~1e-13 per row for
 transcendental inputs, zero for exact int/int ratios).
 
-Every oracle-checked float column in the package now routes through
-this contract (u02/u03 were the last holdouts, migrated round 4);
-use this helper for any new oracle-checked float column.
+Every oracle-checked float column in the package routes through this
+contract (u02/u03 migrated round 4; u01 and the remaining
+F.round↔DuckDB-round pairs — q06/q11/q13 and the rest of the Q-suite,
+g01/g05/g09/g10, m01/m02, k01, b01 — migrated round 5); use this
+helper (or the literal ``CAST(floor(x * 10^s + 0.5) AS BIGINT) /
+10^s.0`` form in shared SQL) for any new oracle-checked float column.
+``F.round`` survives only on rows-only queries with no DuckDB twin
+(d05/d06, v03/v05/v06) and in Python-side sketch internals.
 """
 
 from __future__ import annotations

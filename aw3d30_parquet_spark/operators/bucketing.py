@@ -135,8 +135,10 @@ QUERIES = {"b01_bucketed_fact_join": bucketed_fact_join}
 ORACLE_SQL = {
     "b01_bucketed_fact_join": """
 SELECT o_orderpriority, count(*) AS n_items,
-       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
-             / 100.0, 2) AS revenue
+       CAST(floor(
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS DOUBLE)
+         / 100.0 * 100 + 0.5) AS BIGINT) / 100.0 AS revenue
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """,

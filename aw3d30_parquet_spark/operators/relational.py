@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from aw3d30_parquet_spark.numeric import round_half_up
 from aw3d30_parquet_spark.session import register_views, spread
 
 
@@ -29,8 +30,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _cents(col) -> Column:
-    """Exact integer cents of a 2-decimal money/value column."""
-    return F.round(col * 100, 0).cast("bigint")
+    """Exact integer cents of a 2-decimal money/value column.
+
+    floor-half-up, not round(): col·100 sits within an ulp of an
+    integer (never near a half boundary for cents data), so both forms
+    agree — but the floor form keeps the whole oracle surface on ONE
+    rounding contract (numeric.round_half_up / the matching DuckDB
+    ``CAST(floor(x * 100 + 0.5) AS BIGINT)``)."""
+    return F.floor(col * 100 + F.lit(0.5)).cast("bigint")
 
 
 def _exact_money_sum(cents_col, alias: str, scale: float = 100.0) -> Column:
@@ -42,8 +49,8 @@ def _exact_money_sum(cents_col, alias: str, scale: float = 100.0) -> Column:
     associative and exact; the single divide+round afterward is the same
     IEEE computation in every engine and under every partitioning. The
     matching oracle SQL sums BIGINT cents (HUGEINT in DuckDB — also
-    exact) and applies the identical divide+round."""
-    return F.round(
+    exact) and applies the identical divide + floor-half-up."""
+    return round_half_up(
         F.sum(cents_col.cast("decimal(38,0)")).cast("double") / F.lit(scale), 2
     ).alias(alias)
 
@@ -167,13 +174,13 @@ def q11_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             # quantity is integral and price is exact cents: sum exact
             # integers, derive the rounded doubles after the aggregate
             # (merge-order independent — see _exact_money_sum)
-            F.round(
+            round_half_up(
                 F.sum(
                     F.col("l_quantity").cast("bigint").cast("decimal(38,0)")
                 ).cast("double"),
                 2,
             ).alias("sum_qty"),
-            F.round(
+            round_half_up(
                 F.sum(
                     _cents(F.col("l_extendedprice")).cast("decimal(38,0)")
                 ).cast("double")
@@ -239,7 +246,7 @@ def q16_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") == 1)
         .select(
             "event_id",
-            F.round(
+            round_half_up(
                 F.col("value") - F.lag("value", 1, 0.0).over(w), 2
             ).alias("delta"),
         )
@@ -256,7 +263,9 @@ def q17_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "events")
         .filter(F.col("user_id") <= 3)
-        .select("event_id", F.round(F.sum("value").over(w), 2).alias("run3"))
+        .select(
+            "event_id", round_half_up(F.sum("value").over(w), 2).alias("run3")
+        )
         .orderBy("event_id")
     )
 
@@ -268,7 +277,8 @@ def q18_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(10)
         .select(
-            "o_orderkey", F.round("o_totalprice", 2).alias("price")
+            "o_orderkey",
+            round_half_up(F.col("o_totalprice"), 2).alias("price"),
         )
     )
 
@@ -338,8 +348,8 @@ def q24_cond_math(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(value > 100.0, _cents(value)).otherwise(F.lit(0)), "big"
             ),
             # rooted sums irrational sqrt values — not integer-izable;
-            # a 2-dp round over a ~1e-10-ulp sum is boundary-safe
-            F.round(F.sum(F.sqrt(F.abs(value))), 2).alias("rooted"),
+            # a 2-dp rounding over a ~1e-10-ulp sum is boundary-safe
+            round_half_up(F.sum(F.sqrt(F.abs(value))), 2).alias("rooted"),
             F.sum(F.floor(value).cast("bigint")).alias("floored"),
         )
         .orderBy("event_type")
@@ -451,7 +461,7 @@ def q32_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") <= 3)
         .select(
             "event_id",
-            F.round(F.sum("value").over(w), 2).alias("range5"),
+            round_half_up(F.sum("value").over(w), 2).alias("range5"),
         )
         .orderBy("event_id")
     )
@@ -603,9 +613,9 @@ def q37_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "user_id",
-            F.round(F.first("value").over(w), 2).alias("first_v"),
-            F.round(F.last("value").over(w), 2).alias("last_v"),
-            F.round(F.nth_value("value", 3).over(w), 2).alias("third_v"),
+            round_half_up(F.first("value").over(w), 2).alias("first_v"),
+            round_half_up(F.last("value").over(w), 2).alias("last_v"),
+            round_half_up(F.nth_value("value", 3).over(w), 2).alias("third_v"),
         )
         .orderBy("event_id")
     )
@@ -640,8 +650,8 @@ def q38_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.groupBy("bucket")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.min("o_totalprice"), 2).alias("lo"),
-            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            round_half_up(F.min("o_totalprice"), 2).alias("lo"),
+            round_half_up(F.max("o_totalprice"), 2).alias("hi"),
         )
         .orderBy("bucket")
     )
@@ -674,7 +684,9 @@ def q40_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(
         """
-        SELECT o_orderkey, round(o_totalprice, 2) AS total
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) / 100.0D
+                 AS total
         FROM orders o
         WHERE (SELECT count(*) FROM lineitem l
                WHERE l.l_orderkey = o.o_orderkey) >= 7
@@ -770,8 +782,8 @@ def q41_stat_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Still one shuffle of constant-size state per group at 100 TB — the
     partial sums are as mergeable as the moment sketches they replace."""
     q = F.col("l_quantity").cast("bigint")
-    p = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
-    d = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    p = _cents(F.col("l_extendedprice"))
+    d = _cents(F.col("l_discount"))
     dec = "decimal(38,0)"
     sums = (
         _t(spark, sf_dir, "lineitem")
@@ -803,12 +815,12 @@ def q41_stat_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sums.select(
             "l_returnflag",
-            F.round(F.sqrt(var_raw), 2).alias("sd_qty"),
-            F.round(var_raw, 2).alias("var_qty"),
+            round_half_up(F.sqrt(var_raw), 2).alias("sd_qty"),
+            round_half_up(var_raw, 2).alias("var_qty"),
             # + 0.0 collapses IEEE -0.0 to +0.0 (DuckDB's round keeps the
             # sign of zero; Spark's normalizes) — mirrored in the oracle.
-            (F.round(corr_raw, 3) + F.lit(0.0)).alias("corr_qp"),
-            (F.round(cov_raw, 3) + F.lit(0.0)).alias("cov_qd"),
+            (round_half_up(corr_raw, 3) + F.lit(0.0)).alias("corr_qp"),
+            (round_half_up(cov_raw, 3) + F.lit(0.0)).alias("cov_qd"),
         )
         .orderBy("l_returnflag")
     )
@@ -853,8 +865,11 @@ def q44_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             "c_mktsegment",
-            F.round(F.percent_rank().over(w), 4).alias("pr"),
-            F.round(F.cume_dist().over(w), 4).alias("cd"),
+            # percent_rank/cume_dist are k/n ratios that CAN land
+            # exactly on 10⁻⁴ midpoints (e.g. 1/32 → 312.5e-4) — the
+            # floor contract is load-bearing here, not just uniformity
+            round_half_up(F.percent_rank().over(w), 4).alias("pr"),
+            round_half_up(F.cume_dist().over(w), 4).alias("cd"),
         )
         .orderBy("c_custkey")
     )
@@ -886,7 +901,8 @@ def q46_uncorrelated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(
         """
-        SELECT c_custkey, round(c_acctbal, 2) AS bal
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) / 100.0D AS bal
         FROM customer
         WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.5 FROM customer)
         ORDER BY c_custkey
@@ -985,7 +1001,7 @@ def q51_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(top.alias("top"))
         .select(
             "c_nationkey",
-            F.round(F.col("top.bal"), 2).alias("top_bal"),
+            round_half_up(F.col("top.bal"), 2).alias("top_bal"),
             F.col("top.name").alias("top_name"),
         )
         .orderBy("c_nationkey")
@@ -1041,7 +1057,8 @@ def q54_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT event_id,
                count(*) OVER w AS cnt_1h,
-               round(sum(value) OVER w, 2) AS sum_1h
+               CAST(floor(sum(value) OVER w * 100 + 0.5) AS BIGINT) / 100.0D
+                 AS sum_1h
         FROM events WHERE user_id <= 5
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
@@ -1061,8 +1078,12 @@ def q55_null_least_greatest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             banded.alias("band_nz"),
             F.coalesce(banded, F.lit(-1)).alias("band_filled"),
-            F.round(F.least(F.col("value"), F.lit(100.0)), 2).alias("capped"),
-            F.round(F.greatest(F.col("value"), F.lit(10.0)), 2).alias("floored"),
+            round_half_up(F.least(F.col("value"), F.lit(100.0)), 2).alias(
+                "capped"
+            ),
+            round_half_up(F.greatest(F.col("value"), F.lit(10.0)), 2).alias(
+                "floored"
+            ),
         )
         .orderBy("event_id")
     )
@@ -1075,14 +1096,18 @@ def q56_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(
         """
-        SELECT event_type, metric, round(val, 2) AS val FROM (
+        SELECT event_type, metric,
+               CAST(floor(val * 100 + 0.5) AS BIGINT) / 100.0D AS val FROM (
           SELECT event_type,
-                 round(CAST(sum(CAST(CAST(round(value * 100) AS BIGINT)
-                                     AS DECIMAL(38,0))) AS DOUBLE)
-                       / 100.0, 2) AS total,
-                 round(CAST(sum(CAST(CAST(round(value * 100) AS BIGINT)
-                                     AS DECIMAL(38,0))) AS DOUBLE)
-                       / CAST(count(*) AS DOUBLE) / 100.0, 2) AS mean,
+                 CAST(floor(CAST(sum(CAST(CAST(floor(value * 100 + 0.5)
+                                               AS BIGINT)
+                                          AS DECIMAL(38,0))) AS DOUBLE)
+                            / 100.0 * 100 + 0.5) AS BIGINT) / 100.0D AS total,
+                 CAST(floor(CAST(sum(CAST(CAST(floor(value * 100 + 0.5)
+                                               AS BIGINT)
+                                          AS DECIMAL(38,0))) AS DOUBLE)
+                            / CAST(count(*) AS DOUBLE) / 100.0
+                            * 100 + 0.5) AS BIGINT) / 100.0D AS mean,
                  CAST(count(*) AS DOUBLE) AS cnt
           FROM events GROUP BY event_type
         ) UNPIVOT (val FOR metric IN (total, mean, cnt))
@@ -1102,7 +1127,8 @@ def q57_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nation,
         LATERAL (
           SELECT count(*) AS n_cust,
-                 round(max(c_acctbal), 2) AS max_bal
+                 CAST(floor(max(c_acctbal) * 100 + 0.5) AS BIGINT) / 100.0D
+                   AS max_bal
           FROM customer WHERE c_nationkey = n_nationkey
         ) t
         ORDER BY n_name
@@ -1118,11 +1144,12 @@ def q58_ignore_nulls_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT event_id,
-               round(last_value(CASE WHEN event_type = 'error' THEN NULL
-                                     ELSE value END) IGNORE NULLS
-                     OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                     2) AS carried
+               CAST(floor(
+                 last_value(CASE WHEN event_type = 'error' THEN NULL
+                                 ELSE value END) IGNORE NULLS
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 100 + 0.5) AS BIGINT) / 100.0D AS carried
         FROM events WHERE user_id <= 8
         ORDER BY event_id
         """
@@ -1137,9 +1164,10 @@ def q59_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT event_type, user_id % 10 AS bucket, count(*) AS cnt,
-               round(CAST(sum(CAST(CAST(round(value * 100) AS BIGINT)
-                                   AS DECIMAL(38,0))) AS DOUBLE)
-                     / 100.0, 2) AS total
+               CAST(floor(
+                 CAST(sum(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                               AS DECIMAL(38,0))) AS DOUBLE)
+                 / 100.0 * 100 + 0.5) AS BIGINT) / 100.0D AS total
         FROM events GROUP BY ALL
         ORDER BY event_type, bucket
         """
@@ -1242,8 +1270,10 @@ def q64_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT width_bucket(o_totalprice, 0.0, 600000.0, 12) AS bucket,
                count(*) AS cnt,
-               round(min(o_totalprice), 2) AS lo,
-               round(max(o_totalprice), 2) AS hi
+               CAST(floor(min(o_totalprice) * 100 + 0.5) AS BIGINT) / 100.0D
+                 AS lo,
+               CAST(floor(max(o_totalprice) * 100 + 0.5) AS BIGINT) / 100.0D
+                 AS hi
         FROM orders GROUP BY bucket ORDER BY bucket
         """
     )
@@ -2116,3 +2146,24 @@ RELATIONAL_QUERIES = {
     "q73_variant_json": q73_variant_json,
     "q74_lateral_topk": q74_lateral_topk,
 }
+
+# Queries registered WITHOUT a DuckDB oracle, by design (sketch/approx
+# outputs are engine-specific: HLL++/GK/KLL/Theta/CMS binary registers
+# have no ANSI-SQL twin — SURVEY §2.3 exclusions; their correctness is
+# tolerance/sandwich-tested in tests/test_relational.py T5a-T5g).
+# This is THE registry: __spark_entry__.rows_only(), tools/driver_sim.py
+# and tests/test_relational_oracle.py all derive from it, so registering
+# a rows-only query means adding it here — the gate can only redden if
+# the registration is genuinely inconsistent (name here but an oracle
+# exists, or no-oracle name missing here).
+ROWS_ONLY = frozenset(
+    {
+        "a01_approx_count_distinct",
+        "a02_approx_percentile",
+        "a03_hll_sketch_rollup",
+        "a04_quantile_sketch_rollup",
+        "a05_kll_quantile_rollup",
+        "a06_theta_audience_rollup",
+        "a08_cms_freq_rollup",
+    }
+)

@@ -102,8 +102,9 @@ WITH hot AS (
   FROM orders
 )
 SELECT c_mktsegment, count(*) AS n_orders,
-       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
-             / 100.0, 2) AS total
+       CAST(floor(
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 * 100 + 0.5) AS BIGINT) / 100.0 AS total
 FROM hot JOIN customer USING (c_custkey)
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """,

@@ -47,8 +47,9 @@ GROUP BY n_name ORDER BY n_name
     # -- multi-way star join (broadcast-dim shape)
     "q06_star_join": """
 SELECT r_name,
-       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
-             / 100.0, 2) AS total
+       CAST(floor(
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 * 100 + 0.5) AS BIGINT) / 100.0 AS total
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
@@ -81,9 +82,13 @@ ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
     # -- grouped aggregation suite (TPC-H Q1 shape)
     "q11_group_agg": """
 SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-       round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE), 2) AS sum_qty,
-       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE) / 100.0, 2) AS avg_price,
+       CAST(floor(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                  * 100 + 0.5) AS BIGINT) / 100.0 AS sum_qty,
+       CAST(floor(
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) / 100.0 * 100 + 0.5) AS BIGINT) / 100.0
+         AS avg_price,
        min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -96,8 +101,9 @@ SELECT count(DISTINCT user_id) AS cnt FROM events WHERE event_type = 'purchase'
     # -- rollup
     "q13_rollup": """
 SELECT event_type, count(*) AS cnt,
-       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
-             / 100.0, 2) AS total
+       CAST(floor(
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 * 100 + 0.5) AS BIGINT) / 100.0 AS total
 FROM events GROUP BY ROLLUP (event_type)
 ORDER BY event_type NULLS FIRST
 """,
@@ -118,19 +124,24 @@ WHERE rn <= 3 ORDER BY c_mktsegment, c_custkey
 """,
     # -- analytic window (lag)
     "q16_lag": """
-SELECT event_id, round(value - lag(value, 1, 0.0)
-       OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+SELECT event_id,
+       CAST(floor((value - lag(value, 1, 0.0)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id))
+            * 100 + 0.5) AS BIGINT) / 100.0 AS delta
 FROM events WHERE user_id = 1 ORDER BY event_id
 """,
     # -- window frame spec
     "q17_window_frame": """
-SELECT event_id, round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS run3
+SELECT event_id,
+       CAST(floor(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            * 100 + 0.5) AS BIGINT) / 100.0 AS run3
 FROM events WHERE user_id <= 3 ORDER BY event_id
 """,
     # -- global sort + limit (top-k)
     "q18_topk": """
-SELECT o_orderkey, round(o_totalprice, 2) AS price
+SELECT o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) / 100.0 AS price
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """,
     # -- intersect
@@ -162,10 +173,13 @@ FROM events GROUP BY cast(date_trunc('day', ts) AS DATE) ORDER BY d
     # -- conditional + math functions
     "q24_cond_math": """
 SELECT event_type,
-       round(CAST(sum(CASE WHEN value > 100.0
-                           THEN CAST(round(value * 100) AS BIGINT)
-                           ELSE 0 END) AS DOUBLE) / 100.0, 2) AS big,
-       round(sum(sqrt(abs(value))), 2) AS rooted,
+       CAST(floor(
+         CAST(sum(CASE WHEN value > 100.0
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS DOUBLE) / 100.0
+         * 100 + 0.5) AS BIGINT) / 100.0 AS big,
+       CAST(floor(sum(sqrt(abs(value))) * 100 + 0.5) AS BIGINT) / 100.0
+         AS rooted,
        CAST(sum(cast(floor(value) AS BIGINT)) AS BIGINT) AS floored
 FROM events GROUP BY event_type ORDER BY event_type
 """,
@@ -209,8 +223,9 @@ GROUP BY event_type ORDER BY event_type
     "q30_cube": """
 SELECT event_type, CAST(floor(value / 50.0) AS INTEGER) AS band,
        count(*) AS cnt,
-       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
-             / 100.0, 2) AS total
+       CAST(floor(
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 * 100 + 0.5) AS BIGINT) / 100.0 AS total
 FROM events
 GROUP BY CUBE (event_type, CAST(floor(value / 50.0) AS INTEGER))
 ORDER BY event_type NULLS FIRST, band NULLS FIRST
@@ -222,15 +237,18 @@ GROUP BY r_regionkey ORDER BY r_regionkey
 """,
     "q32_range_frame": """
 SELECT event_id,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
-             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW), 2) AS range5
+       CAST(floor(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+              RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+            * 100 + 0.5) AS BIGINT) / 100.0 AS range5
 FROM events WHERE user_id <= 3 ORDER BY event_id
 """,
     "q33_fact_fact_join": """
 SELECT o_orderpriority, count(*) AS cnt,
-       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                  AS DOUBLE) / 10000.0, 2) AS revenue
+       CAST(floor(
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+              AS DOUBLE) / 10000.0 * 100 + 0.5) AS BIGINT) / 100.0
+         AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """,
@@ -239,8 +257,10 @@ SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, p_orders, p_total
 FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 750) c
 FULL OUTER JOIN (
   SELECT o_custkey, count(*) AS p_orders,
-         round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
-               / 100.0, 2) AS p_total
+         CAST(floor(
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE)
+           / 100.0 * 100 + 0.5) AS BIGINT) / 100.0 AS p_total
   FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey
 ) o ON c_custkey = o_custkey
 ORDER BY custkey
@@ -261,9 +281,12 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
     "q37_first_last_nth": """
 SELECT event_id, user_id,
-       round(first_value(value) OVER w, 2) AS first_v,
-       round(last_value(value)  OVER w, 2) AS last_v,
-       round(nth_value(value, 3) OVER w, 2) AS third_v
+       CAST(floor(first_value(value) OVER w * 100 + 0.5) AS BIGINT) / 100.0
+         AS first_v,
+       CAST(floor(last_value(value)  OVER w * 100 + 0.5) AS BIGINT) / 100.0
+         AS last_v,
+       CAST(floor(nth_value(value, 3) OVER w * 100 + 0.5) AS BIGINT) / 100.0
+         AS third_v
 FROM events WHERE user_id <= 3
 WINDOW w AS (PARTITION BY user_id ORDER BY event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
@@ -271,8 +294,8 @@ ORDER BY event_id
 """,
     "q38_ntile": """
 SELECT bucket, count(*) AS cnt,
-       round(min(o_totalprice), 2) AS lo,
-       round(max(o_totalprice), 2) AS hi
+       CAST(floor(min(o_totalprice) * 100 + 0.5) AS BIGINT) / 100.0 AS lo,
+       CAST(floor(max(o_totalprice) * 100 + 0.5) AS BIGINT) / 100.0 AS hi
 FROM (SELECT o_totalprice,
              ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
       FROM orders)
@@ -291,7 +314,8 @@ WHERE u.pos < 5
 GROUP BY u.token ORDER BY u.token
 """,
     "q40_correlated_subquery": """
-SELECT o_orderkey, round(o_totalprice, 2) AS total
+SELECT o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) / 100.0 AS total
 FROM orders o
 WHERE (SELECT count(*) FROM lineitem l
        WHERE l.l_orderkey = o.o_orderkey) >= 7
@@ -311,8 +335,8 @@ WITH s AS (
          sum(d) AS sd, sum(q*d) AS sqd
   FROM (SELECT l_returnflag,
                CAST(l_quantity AS BIGINT) AS q,
-               CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
-               CAST(round(l_discount * 100) AS BIGINT) AS d
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d
         FROM lineitem)
   GROUP BY l_returnflag
 ), f AS (
@@ -325,11 +349,15 @@ WITH s AS (
   FROM s
 )
 SELECT l_returnflag,
-       round(sqrt((sqq - sq*sq/n) / (n - 1.0)), 2) AS sd_qty,
-       round((sqq - sq*sq/n) / (n - 1.0), 2) AS var_qty,
-       round((sqp - sq*sp/n) /
-             (sqrt(sqq - sq*sq/n) * sqrt(spp - sp*sp/n)), 3) + 0.0 AS corr_qp,
-       round((sqd - sq*sd/n) / n / 100.0, 3) + 0.0 AS cov_qd
+       CAST(floor(sqrt((sqq - sq*sq/n) / (n - 1.0)) * 100 + 0.5) AS BIGINT)
+         / 100.0 AS sd_qty,
+       CAST(floor((sqq - sq*sq/n) / (n - 1.0) * 100 + 0.5) AS BIGINT)
+         / 100.0 AS var_qty,
+       CAST(floor((sqp - sq*sp/n) /
+                  (sqrt(sqq - sq*sq/n) * sqrt(spp - sp*sp/n))
+                  * 1000 + 0.5) AS BIGINT) / 1000.0 + 0.0 AS corr_qp,
+       CAST(floor((sqd - sq*sd/n) / n / 100.0 * 1000 + 0.5) AS BIGINT)
+         / 1000.0 + 0.0 AS cov_qd
 FROM f ORDER BY l_returnflag
 """,
     # q42: argmin/argmax — c_custkey unique ⇒ deterministic
@@ -341,15 +369,18 @@ FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
 """,
     "q43_having": """
 SELECT o_custkey, count(*) AS n_orders,
-       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
-             / 100.0, 2) AS total
+       CAST(floor(
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 * 100 + 0.5) AS BIGINT) / 100.0 AS total
 FROM orders GROUP BY o_custkey HAVING count(*) >= 15
 ORDER BY o_custkey
 """,
     "q44_percent_rank": """
 SELECT c_custkey, c_mktsegment,
-       round(percent_rank() OVER w, 4) AS pr,
-       round(cume_dist()    OVER w, 4) AS cd
+       CAST(floor(percent_rank() OVER w * 10000 + 0.5) AS BIGINT) / 10000.0
+         AS pr,
+       CAST(floor(cume_dist()    OVER w * 10000 + 0.5) AS BIGINT) / 10000.0
+         AS cd
 FROM customer WHERE c_custkey <= 200
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
 ORDER BY c_custkey
@@ -364,7 +395,8 @@ SELECT event_id,
 FROM events WHERE event_id < 50 ORDER BY event_id
 """,
     "q46_uncorrelated_subquery": """
-SELECT c_custkey, round(c_acctbal, 2) AS bal
+SELECT c_custkey,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) / 100.0 AS bal
 FROM customer
 WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.5 FROM customer)
 ORDER BY c_custkey
@@ -403,7 +435,7 @@ FROM events WHERE event_id < 50 ORDER BY event_id
     # q51: struct_pack ↔ named_struct; field access on the max_by result
     "q51_struct_ops": """
 SELECT c_nationkey,
-       round((t.top).bal, 2) AS top_bal,
+       CAST(floor((t.top).bal * 100 + 0.5) AS BIGINT) / 100.0 AS top_bal,
        (t.top).name AS top_name
 FROM (
   SELECT c_nationkey,
@@ -435,7 +467,8 @@ FROM documents WHERE doc_id < 30 ORDER BY doc_id
     "q54_time_range_frame": """
 SELECT event_id,
        count(*) OVER w AS cnt_1h,
-       round(sum(value) OVER w, 2) AS sum_1h
+       CAST(floor(sum(value) OVER w * 100 + 0.5) AS BIGINT) / 100.0
+         AS sum_1h
 FROM events WHERE user_id <= 5
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
@@ -445,19 +478,25 @@ ORDER BY event_id
 SELECT event_id,
        nullif(CAST(floor(value) AS BIGINT) % 3, 0) AS band_nz,
        coalesce(nullif(CAST(floor(value) AS BIGINT) % 3, 0), -1) AS band_filled,
-       round(least(value, 100.0), 2) AS capped,
-       round(greatest(value, 10.0), 2) AS floored
+       CAST(floor(least(value, 100.0) * 100 + 0.5) AS BIGINT) / 100.0
+         AS capped,
+       CAST(floor(greatest(value, 10.0) * 100 + 0.5) AS BIGINT) / 100.0
+         AS floored
 FROM events WHERE event_id < 60 ORDER BY event_id
 """,
     # q56: UNPIVOT syntax differs (Spark: FOR..IN; DuckDB: ON..INTO)
     "q56_unpivot": """
-SELECT event_type, metric, round(val, 2) AS val FROM (
+SELECT event_type, metric,
+       CAST(floor(val * 100 + 0.5) AS BIGINT) / 100.0 AS val FROM (
   UNPIVOT (
     SELECT event_type,
-           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
-                 / 100.0, 2) AS total,
-           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE) / 100.0, 2) AS mean,
+           CAST(floor(
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 * 100 + 0.5) AS BIGINT) / 100.0 AS total,
+           CAST(floor(
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 100.0
+             * 100 + 0.5) AS BIGINT) / 100.0 AS mean,
            CAST(count(*) AS DOUBLE) AS cnt
     FROM events GROUP BY event_type
   ) ON total, mean, cnt INTO NAME metric VALUE val
@@ -467,7 +506,9 @@ SELECT event_type, metric, round(val, 2) AS val FROM (
 SELECT n_name, t.n_cust, t.max_bal
 FROM nation,
 LATERAL (
-  SELECT count(*) AS n_cust, round(max(c_acctbal), 2) AS max_bal
+  SELECT count(*) AS n_cust,
+         CAST(floor(max(c_acctbal) * 100 + 0.5) AS BIGINT) / 100.0
+           AS max_bal
   FROM customer WHERE c_nationkey = n_nationkey
 ) t
 ORDER BY n_name
@@ -475,18 +516,20 @@ ORDER BY n_name
     # q58: DuckDB puts IGNORE NULLS inside the call parens
     "q58_ignore_nulls_window": """
 SELECT event_id,
-       round(last_value(CASE WHEN event_type = 'error' THEN NULL
-                             ELSE value END IGNORE NULLS)
-             OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             2) AS carried
+       CAST(floor(
+         last_value(CASE WHEN event_type = 'error' THEN NULL
+                         ELSE value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         * 100 + 0.5) AS BIGINT) / 100.0 AS carried
 FROM events WHERE user_id <= 8
 ORDER BY event_id
 """,
     "q59_group_by_all": """
 SELECT event_type, user_id % 10 AS bucket, count(*) AS cnt,
-       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
-             / 100.0, 2) AS total
+       CAST(floor(
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 * 100 + 0.5) AS BIGINT) / 100.0 AS total
 FROM events GROUP BY ALL
 ORDER BY event_type, bucket
 """,
@@ -549,8 +592,8 @@ SELECT CASE WHEN o_totalprice < 0.0 THEN 0
             WHEN o_totalprice >= 600000.0 THEN 13
             ELSE CAST(floor(o_totalprice / 50000.0) AS INT) + 1 END AS bucket,
        count(*) AS cnt,
-       round(min(o_totalprice), 2) AS lo,
-       round(max(o_totalprice), 2) AS hi
+       CAST(floor(min(o_totalprice) * 100 + 0.5) AS BIGINT) / 100.0 AS lo,
+       CAST(floor(max(o_totalprice) * 100 + 0.5) AS BIGINT) / 100.0 AS hi
 FROM orders GROUP BY 1 ORDER BY bucket
 """,
     # q65: same chained-carry windows; exact integer stage counts
@@ -703,7 +746,7 @@ FROM flagged GROUP BY event_type ORDER BY event_type
     "q71_snapshot_diff": """
 WITH v1 AS (
   SELECT c_custkey AS key,
-         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
          c_nationkey AS nk
   FROM customer
 ), v2 AS (

@@ -18,6 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aw3d30_parquet_spark.numeric import round_half_up
 from aw3d30_parquet_spark.sources.geotiff import read_tiles, tile_key
 
 DEMO_SIZE = 64
@@ -72,10 +73,10 @@ def g01_geotiff_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("points"),
             F.sum("elevation").alias("sum_elev"),
-            F.round(F.min("lat"), 2).alias("min_lat"),
-            F.round(F.max("lat"), 2).alias("max_lat"),
-            F.round(F.min("lon"), 2).alias("min_lon"),
-            F.round(F.max("lon"), 2).alias("max_lon"),
+            round_half_up(F.min("lat"), 2).alias("min_lat"),
+            round_half_up(F.max("lat"), 2).alias("max_lat"),
+            round_half_up(F.min("lon"), 2).alias("min_lon"),
+            round_half_up(F.max("lon"), 2).alias("max_lon"),
         )
         .orderBy("tile_lat", "tile_lon")
     )
@@ -215,9 +216,9 @@ def g05_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.groupBy("tile_lat", "tile_lon")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.avg(shade), 4).alias("mean_shade"),
-            F.round(F.min(shade), 4).alias("min_shade"),
-            F.round(F.max(shade), 4).alias("max_shade"),
+            round_half_up(F.avg(shade), 4).alias("mean_shade"),
+            round_half_up(F.min(shade), 4).alias("min_shade"),
+            round_half_up(F.max(shade), 4).alias("max_shade"),
         )
         .orderBy("tile_lat", "tile_lon")
     )
@@ -274,8 +275,8 @@ def g07_warp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s")
         .agg(F.count("*").alias("mult"))
     )
-    sy = F.round((F.col("tile_lat") + 1 - F.col("lat")) * n).cast("int")
-    sx = F.round((F.col("lon") - F.col("tile_lon")) * n).cast("int")
+    sy = F.floor((F.col("tile_lat") + 1 - F.col("lat")) * n + 0.5).cast("int")
+    sx = F.floor((F.col("lon") - F.col("tile_lon")) * n + 0.5).cast("int")
     indexed = pts.select(
         "tile_lat", "tile_lon", "elevation", sy.alias("sy"), sx.alias("sx")
     )
@@ -368,8 +369,8 @@ def g09_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("points"),
             F.sum("elevation").alias("sum_elev"),
-            F.round(F.min("lon"), 6).alias("min_lon"),
-            F.round(F.max("lat"), 6).alias("max_lat"),
+            round_half_up(F.min("lon"), 6).alias("min_lon"),
+            round_half_up(F.max("lat"), 6).alias("max_lat"),
         )
         .orderBy("tile_lat", "tile_lon")
     )
@@ -414,8 +415,8 @@ def g10_datasource_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("points"),
             F.sum("elevation").alias("sum_elev"),
-            F.round(F.min("lon"), 6).alias("min_lon"),
-            F.round(F.max("lat"), 6).alias("max_lat"),
+            round_half_up(F.min("lon"), 6).alias("min_lon"),
+            round_half_up(F.max("lat"), 6).alias("max_lat"),
         )
         .orderBy("tile_lat", "tile_lon")
     )
@@ -492,8 +493,9 @@ WITH hs AS (
 SELECT * FROM (
   SELECT t.tile_lat, t.tile_lon,
          CAST({DEMO_SIZE * DEMO_SIZE} AS BIGINT) AS cnt,
-         round(v, 4) AS mean_shade, round(v, 4) AS min_shade,
-         round(v, 4) AS max_shade
+         CAST(floor(v * 10000 + 0.5) AS BIGINT) / 10000.0 AS mean_shade,
+         CAST(floor(v * 10000 + 0.5) AS BIGINT) / 10000.0 AS min_shade,
+         CAST(floor(v * 10000 + 0.5) AS BIGINT) / 10000.0 AS max_shade
   FROM (VALUES {", ".join(f"({la}, {lo})" for la, lo in DEMO_COORDS)})
     AS t(tile_lat, tile_lon), hs
 ) ORDER BY tile_lat, tile_lon

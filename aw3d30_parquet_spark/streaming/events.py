@@ -28,6 +28,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aw3d30_parquet_spark.numeric import round_half_up
 from aw3d30_parquet_spark.session import register_views
 
 #: Post-conversion schema of the events view (nanos already truncated to
@@ -58,7 +59,10 @@ def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
     """S1: tumbling event-time window — count + value sum per window."""
     return (
         events.groupBy(F.window("ts", duration), "event_type")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(
+            F.count("*").alias("cnt"),
+            round_half_up(F.sum("value"), 2).alias("total"),
+        )
         .select(
             F.col("window.start").alias("w_start"),
             "event_type",

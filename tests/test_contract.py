@@ -12,8 +12,13 @@ def test_every_oracle_names_a_registered_query():
     qs = contract.queries()
     oracles = contract.oracle_sql()
     assert set(oracles) <= set(qs)
-    # the rows-only set is small and deliberate (sketches + recall ops)
-    assert len(set(qs) - set(oracles)) <= 20
+    # the no-oracle surface must be EXACTLY the declared ROWS_ONLY
+    # registry (per-module constants unioned by contract.rows_only()):
+    # a rows-only registration that forgets the registry, or a
+    # registry name that has since gained an oracle, fails here.
+    assert set(qs) - set(oracles) == set(contract.rows_only())
+    # and stays small and deliberate (sketches + recall ops)
+    assert len(contract.rows_only()) <= 20
 
 
 def test_rotation_four_tiers_failed_upgraded_fresh_stale():

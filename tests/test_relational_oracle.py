@@ -2,7 +2,10 @@
 
 import pytest
 
-from aw3d30_parquet_spark.operators.relational import RELATIONAL_QUERIES
+from aw3d30_parquet_spark.operators.relational import (
+    RELATIONAL_QUERIES,
+    ROWS_ONLY,
+)
 from aw3d30_parquet_spark.oracle import compare
 from aw3d30_parquet_spark.queries import ORACLE_SQL
 
@@ -10,18 +13,14 @@ from tests.conftest import SF_SMOKE, SF_T2
 
 
 def test_contract_complete():
-    # every oracle names a real query; only sketch-based ops (a01 HLL++,
-    # a02 GK percentiles — not oracle-hashable, SURVEY §2.3 exclusions)
-    # may lack one
+    # every oracle names a real query; only the declared ROWS_ONLY
+    # registry (sketch registers — not oracle-hashable, SURVEY §2.3
+    # exclusions) may lack one. Derived, not hard-coded: registering a
+    # new rows-only query means adding it to relational.ROWS_ONLY, and
+    # this can only fail on a genuinely inconsistent registration.
     assert set(ORACLE_SQL) <= set(RELATIONAL_QUERIES)
-    assert set(RELATIONAL_QUERIES) - set(ORACLE_SQL) == {
-        "a01_approx_count_distinct",
-        "a02_approx_percentile",
-        "a03_hll_sketch_rollup",
-        "a04_quantile_sketch_rollup",
-        "a05_kll_quantile_rollup",
-        "a06_theta_audience_rollup",
-    }
+    assert ROWS_ONLY <= set(RELATIONAL_QUERIES)
+    assert set(RELATIONAL_QUERIES) - set(ORACLE_SQL) == set(ROWS_ONLY)
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE_SQL))

@@ -46,6 +46,15 @@ def main() -> int:
 
     qs = contract.queries()
     oracles = contract.oracle_sql()
+    declared = set(contract.rows_only())
+    actual = set(qs) - set(oracles)
+    if actual != declared:
+        print(
+            "ROWS_ONLY registry inconsistent: "
+            f"undeclared={sorted(actual - declared)} "
+            f"stale={sorted(declared - actual)}"
+        )
+        return 1
     n_fail = 0
     n_ok = 0
     n_rows_only = 0
