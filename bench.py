@@ -78,6 +78,11 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     per_query: dict[str, float] = {}
+    # {med,min,max} from the SAME timed runs: the median alone hides
+    # host-steal variance (this host swings wall-clock up to ~4×), and
+    # a wide min..max band is the mechanical "noise, not regression"
+    # signal when comparing BENCH_r{N} files across rounds
+    spread: dict[str, dict[str, float]] = {}
     for name in sorted(qs):
         fn = qs[name]
         _materialize(fn(spark, SF_DIR))  # warm-up
@@ -87,6 +92,11 @@ def main() -> None:
             _materialize(fn(spark, SF_DIR))
             times.append(time.perf_counter() - t0)
         per_query[name] = round(statistics.median(times), 4)
+        spread[name] = {
+            "med": round(statistics.median(times), 4),
+            "min": round(min(times), 4),
+            "max": round(max(times), 4),
+        }
 
     total = round(sum(per_query.values()), 4)
     families: dict[str, float] = {}
@@ -117,16 +127,28 @@ def main() -> None:
         # u UDF, a sketches) — where the time actually goes
         "family_sec": {k: round(v, 3) for k, v in sorted(families.items())},
         "queries": {k: round(v, 3) for k, v in per_query.items()},
+        # per-query {med,min,max} (full map in bench_results.json; the
+        # stdout line carries the five widest bands — enough to
+        # adjudicate "regression vs noise" without the file)
+        "spread_top5": {
+            k[:3]: spread[k]
+            for k in sorted(
+                spread,
+                key=lambda n: spread[n]["max"] - spread[n]["min"],
+                reverse=True,
+            )[:5]
+        },
         "sf": sf,
         "ingest": _bench_ingest(spark),
     }
+    result_file = dict(result, spread=spread)
     # Full-fidelity copy on disk (the driver's stdout capture keeps only
     # a bounded tail — round 1 lost the head of a 4.3 KB line).
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json"),
         "w",
     ) as fh:
-        json.dump(result, fh, indent=1)
+        json.dump(result_file, fh, indent=1)
         fh.write("\n")
     line = json.dumps(result, separators=(",", ":"))
     if len(line) > 3000:
