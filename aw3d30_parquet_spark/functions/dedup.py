@@ -267,13 +267,38 @@ def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5_64(col):
+    """First 64 bits of md5 as a long (big-endian hex → two's
+    complement). md5 rather than xxhash64 because BOTH engines compute
+    it identically — DuckDB has no XXH64, so this is what makes d05's
+    signature hash-checkable by the driver's oracle instead of
+    rows-only. Still all built-in/codegen (conv+shift), no UDF; a
+    production deployment that doesn't need a cross-engine twin can
+    swap xxhash64 back in — same plan shape, ~3× less per-byte hash
+    cost."""
+    hx = F.md5(col)
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def _md5_60(col):
+    """First 60 bits of md5 as a NON-NEGATIVE long (15 hex chars —
+    always < 2^60, so Spark's signed long and DuckDB's BIGINT order
+    them identically; that sign-free total order is what lets the
+    oracle reproduce array_min over permutation hashes)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per doc as a bitstring, all built-in expressions.
 
-    For each token, its xxhash64 contributes ±1 per bit position; the
-    signature takes the majority sign. ``aggregate`` + ``zip_with``
-    keep the whole computation inside whole-stage codegen — no
-    explode, no shuffle, no Python.
+    For each token, its 64-bit md5 prefix contributes ±1 per bit
+    position; the signature takes the majority sign. ``aggregate`` +
+    ``zip_with`` keep the whole computation inside whole-stage codegen
+    — no explode, no shuffle, no Python. The md5-derived hash (vs
+    xxhash64) is exactly reproducible in DuckDB, so the full 64-bit
+    signature is driver-oracle-checked bit for bit.
     """
     words = F.split(F.trim(F.col("text")), r"\s+")
     zeros = F.array_repeat(F.lit(0).cast("long"), 64)
@@ -281,9 +306,9 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # hash each token ONCE into an array, then fold bits over the hash
     # values — higher-order lambdas are interpreted per element with no
-    # common-subexpression elimination, so putting xxhash64(tok) inside
-    # the per-bit transform would evaluate the hash 64× per token
-    hashes = F.transform(words, lambda tok: F.xxhash64(tok))
+    # common-subexpression elimination, so putting the hash inside
+    # the per-bit transform would evaluate it 64× per token
+    hashes = F.transform(words, lambda tok: _md5_64(tok))
 
     def bit_vec(h):
         # bit_get (unlike shiftright) takes the position as a column.
@@ -315,14 +340,18 @@ def minhash_lsh_pairs(
 
     All-codegen banding — no MLlib, no Python, no UDFs:
 
-    1. signature: shingles hash once to longs (``h0 = xxhash64(sh)``),
-       then ``minhash_i = array_min(transform(h0, h → xxhash64(i, h)))``
+    1. signature: shingles hash once to longs (``h0 = md5_60(sh)``),
+       then ``minhash_i = array_min(transform(h0, h → md5_60(i:h)))``
        for i < bands·rows_per_band — one pass over the hashed array per
        permutation, inside whole-stage codegen, and the per-permutation
-       re-hash touches 8-byte longs instead of shingle strings;
-    2. banding: hash each band's ``rows_per_band`` minhashes, posexplode
-       to (band, band_hash) — n·bands rows, the only exploded relation;
-    3. candidates: self-join on (band, band_hash) with id_a < id_b,
+       re-hash touches short decimal strings instead of shingle text;
+    2. banding: each band's ``rows_per_band`` minhashes concatenated to
+       a band KEY, posexplode to (band, key) — n·bands rows, the only
+       exploded relation. The key is the slice VALUES, not a hash of
+       them, so band collisions are exactly "slices equal" — the
+       property a DuckDB oracle can recompute (and no false-positive
+       candidates from band-hash collisions);
+    3. candidates: self-join on (band, key) with id_a < id_b,
        distinct — candidate count is driven by actual collisions, never
        O(n²);
     4. verify: exact Jaccard via ``array_intersect``/``array_union`` on
@@ -330,9 +359,16 @@ def minhash_lsh_pairs(
        only recall is approximate (missed pairs; P[detect] =
        1-(1-j^r)^b ≈ 0.995 at j = 0.6 for b=12, r=2).
 
-    Recall vs the exact d04 operator is asserted ≥0.9 in pytest (V5).
-    At 100 TB the shuffle keys are (band, 8-byte hash) — tiny — and the
-    verify join ships only candidate shingle arrays, not the corpus.
+    The md5-derived hash family (vs xxhash64) is what DuckDB can
+    reproduce, making the WHOLE pipeline — signatures, banding,
+    candidates, verified pairs — driver-oracle-checked rather than
+    rows-only; recall vs the exact d04 operator additionally asserted
+    ≥0.9 in pytest (V5). At 100 TB the shuffle keys are (band, ~2×20
+    decimal chars) — still tiny next to document text — and the verify
+    join ships only candidate shingle arrays, not the corpus; a
+    deployment that doesn't need the cross-engine twin can swap
+    xxhash64 back in for ~3× less hash cost and 8-byte band keys, same
+    plan shape and same candidates up to hash collisions.
     """
     # Shingle once, hash each shingle STRING once (8-byte ``h0``); the
     # nperm permutations then re-hash the longs, not the strings — at
@@ -350,20 +386,36 @@ def minhash_lsh_pairs(
     )
     hashed = docs.select(
         "doc_id",
-        F.transform(F.col("shs"), lambda sh: F.xxhash64(sh)).alias("h0"),
+        F.transform(F.col("shs"), lambda sh: _md5_60(sh)).alias("h0"),
     )
     nperm = bands * rows_per_band
-    # minhash signature: xxhash64 seeded per permutation via an i-prefix
+    # minhash signature: md5 seeded per permutation via an "i:h" prefix
+    # (both operands rendered as decimal strings — identical text in
+    # DuckDB, so the oracle recomputes the exact same longs)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(nperm - 1)),
         lambda i: F.array_min(
-            F.transform(F.col("h0"), lambda h: F.xxhash64(i, h))
+            F.transform(
+                F.col("h0"),
+                lambda h: _md5_60(
+                    F.concat_ws(
+                        ":", i.cast("string"), h.cast("string")
+                    )
+                ),
+            )
         ),
     )
-    # one 64-bit hash per band over its slice of the signature
+    # band key = the slice VALUES joined as a string (equality ⇔ the
+    # minhash slices are equal — reproducible by the oracle, and no
+    # band-hash collision false positives)
     band_hashes = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)),
+        lambda b: F.concat_ws(
+            "_",
+            F.slice(
+                F.col("sig"), b * rows_per_band + 1, rows_per_band
+            ).cast("array<string>"),
+        ),
     )
     # posexplode_outer: band_hashes is never empty, and the _outer form
     # stops Catalyst inferring a size()>0 guard that would re-evaluate
@@ -407,8 +459,12 @@ def minhash_lsh_pairs(
     jac = F.size(F.array_intersect("shs_a", "shs_b")) / F.size(
         F.array_union("shs_a", "shs_b")
     )
+    # floor-half-up: the shared cross-engine rounding contract
+    # (numeric.py) — jac is a small-integer ratio, which lands exactly
+    # on x.xx5 midpoints (e.g. 5/8), where Spark round and DuckDB
+    # round diverge
     return (
-        cand.withColumn("jaccard_est", F.round(jac, 2))
+        cand.withColumn("jaccard_est", round_half_up(jac, 2))
         .filter(jac >= threshold)
         .select("id_a", "id_b", "jaccard_est")
         .orderBy("id_a", "id_b")
@@ -883,12 +939,11 @@ QUERIES = {
     "d14_editdist_metrics": editdist_candidate_metrics,
 }
 
-# No-DuckDB-oracle by design: d05's SimHash and d06's MinHash band keys
-# are xxhash64-seeded (Spark's XXH64 builtin); DuckDB exposes no XXH64,
-# so no ANSI-SQL twin can reproduce the signatures bit-for-bit
-# (SURVEY §2.4). Correctness is invariance/recall-tested in
-# tests/test_dedup.py instead. Consumed by __spark_entry__.rows_only().
-ROWS_ONLY = frozenset({"d05_simhash", "d06_minhash_lsh_pairs"})
+# d05/d06 were rows-only while their hashes were xxhash64 (no XXH64 in
+# DuckDB); round 5 moved both to md5-derived hashes — computable
+# IDENTICALLY in DuckDB via ('0x' || substr(md5(x),1,k))::BIGINT — so
+# both now carry full hash-checked oracles below and this set is empty.
+ROWS_ONLY = frozenset()
 
 ORACLE_SQL = {
     "d01_exact_dedup_count": """
@@ -931,10 +986,78 @@ JOIN counts cb ON cb.doc_id = id_b
 WHERE inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE) >= 0.6
 ORDER BY id_a, id_b
 """,
-    # d05_simhash: xxhash64 is Spark-specific — verified by invariance
-    # properties in pytest (identical bags → identical signatures,
-    # near-dups → small Hamming distance); driver records rows-only.
-    # d06_minhash_lsh_pairs: approximate — recall vs d04 in pytest.
+    # d05: recompute the 64-bit md5-prefix token hash and fold the
+    # per-bit ±1 majority from first principles — bit i of
+    # ('0x' || first-16-hex)::UBIGINT, LSB-first string, exactly the
+    # engine's bit_get layout. Token multiset (not set): every
+    # occurrence votes, same as the engine's transform over the raw
+    # words array.
+    "d05_simhash": """
+WITH toks AS (
+  SELECT d.doc_id, t.tok
+  FROM documents d, unnest(regexp_split_to_array(trim(d.text), '\\s+')) AS t(tok)
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+), bitsum AS (
+  SELECT doc_id, i.i AS i,
+         SUM(CASE WHEN ((h >> CAST(i.i AS UTINYINT)) & 1) = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM th, (SELECT unnest(range(0, 64)) AS i) i
+  GROUP BY doc_id, i.i
+)
+SELECT doc_id,
+       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS simhash_bits
+FROM bitsum GROUP BY doc_id ORDER BY doc_id
+""",
+    # d06: full LSH twin — 60-bit md5-prefix shingle hashes, 24
+    # permutation hashes md5("i:h"), per-band minhash slices joined as
+    # "_"-strings (the engine's band KEY), candidate self-join on
+    # (band, key), then exact Jaccard verify ≥ 0.6 with the shared
+    # floor-half-up rounding. Shingling identical to d04's oracle.
+    "d06_minhash_lsh_pairs": """
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), shing AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                 i -> array_to_string(w[i:i+2], ' ')))
+              ELSE [array_to_string(w, ' ')] END AS shs
+  FROM words
+), sh AS (
+  SELECT doc_id, unnest(shs) AS sh FROM shing
+), h0 AS (
+  SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh
+), mh AS (
+  SELECT doc_id, i.i AS perm,
+         min(('0x' || substr(md5(i.i::VARCHAR || ':' || h::VARCHAR), 1, 15))::BIGINT) AS mh
+  FROM h0, (SELECT unnest(range(0, 24)) AS i) i
+  GROUP BY doc_id, i.i
+), bandkey AS (
+  SELECT doc_id, perm // 2 AS band,
+         string_agg(mh::VARCHAR, '_' ORDER BY perm) AS bk
+  FROM mh GROUP BY doc_id, perm // 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandkey a
+  JOIN bandkey b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+), counts AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       CAST(floor(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE) * 100 + 0.5) AS BIGINT) / 100.0 AS jaccard_est
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.id_a
+JOIN counts cb ON cb.doc_id = i.id_b
+WHERE inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE) >= 0.6
+ORDER BY i.id_a, i.id_b
+""",
 }
 
 # d07 computes the same relation as d04 by a different algorithm

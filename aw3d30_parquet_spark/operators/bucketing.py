@@ -47,6 +47,30 @@ def bucketed_equi_join(
 #: v05's IVF); every later call joins the existing bucketed tables.
 _BUCKETED: dict[tuple[str, str], tuple[str, str]] = {}
 
+#: one atexit hook per process (not per (app, sf_dir)) — it drops
+#: every table in _BUCKETED, whatever was registered by then
+_ATEXIT_ARMED = False
+
+
+def _reap_stale_b01(spark: SparkSession, app_tag: str) -> None:
+    """Drop b01_* managed tables left by sessions that never reached
+    their atexit hook (killed/crashed JVMs): names embed the writing
+    session's applicationId, so any b01_ table NOT carrying this
+    session's tag is an orphan — this session would generate a
+    different name and never otherwise touch it, leaving it in the
+    warehouse forever."""
+    try:
+        for row in spark.sql("SHOW TABLES").collect():
+            t = row.tableName
+            if (
+                t.startswith("b01_")
+                and not row.isTemporary
+                and app_tag not in t
+            ):
+                _drop_quietly(spark, t)
+    except Exception:
+        pass
+
 
 def _bucketed_fact_tables(
     spark: SparkSession, sf_dir: str, buckets: int
@@ -56,12 +80,16 @@ def _bucketed_fact_tables(
 
     from aw3d30_parquet_spark.operators.relational import _t
 
+    global _ATEXIT_ARMED
+
     app = spark.sparkContext.applicationId
     key = (app, sf_dir)
     if key in _BUCKETED:
         return _BUCKETED[key]
+    app_tag = re.sub(r"[^0-9a-zA-Z]+", "_", app)
+    _reap_stale_b01(spark, app_tag)
     slug = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
-    tag = f"{re.sub(r'[^0-9a-zA-Z]+', '_', app)}_{slug}"
+    tag = f"{app_tag}_{slug}"
     ot, lt = f"b01_orders_{tag}", f"b01_lineitem_{tag}"
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
@@ -72,13 +100,19 @@ def _bucketed_fact_tables(
     write_bucketed(orders, ot, "o_orderkey", buckets=buckets)
     write_bucketed(lineitem, lt, "l_orderkey", buckets=buckets)
     # managed tables land under spark.sql.warehouse.dir keyed by the
-    # applicationId — drop them at exit so repeated sessions don't
-    # accumulate warehouse directories (files.py's reaping rule)
-    atexit.register(
-        lambda: [
-            _drop_quietly(spark, t) for t in (ot, lt)
-        ]
-    )
+    # applicationId — drop whatever _BUCKETED holds at exit so repeated
+    # sessions don't accumulate warehouse directories (files.py's
+    # reaping rule); a crashed session's leftovers are reaped by the
+    # next session's _reap_stale_b01 above
+    if not _ATEXIT_ARMED:
+        _ATEXIT_ARMED = True
+        atexit.register(
+            lambda: [
+                _drop_quietly(spark, t)
+                for pair in _BUCKETED.values()
+                for t in pair
+            ]
+        )
     _BUCKETED[key] = (ot, lt)
     return ot, lt
 

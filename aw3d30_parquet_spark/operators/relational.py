@@ -1836,13 +1836,20 @@ CMS_PROBE_USERS = tuple(range(0, 100, 10))
 
 
 def _cms_hash(i: int, ids):
-    """Row-``i`` multiply-shift bucket for an int64 id array (numpy)."""
+    """Row-``i`` multiply-shift bucket for an int64 id array (numpy).
+
+    Takes the TOP log2(W) bits of the 64-bit product (shift by
+    64 − log2(W) = 54): multiply-shift is only a universal family —
+    which the (e/W)·N CMS overcount bound relies on — when the bucket
+    comes from the high product bits, not middle bits mod W.
+    """
     import numpy as np
 
     a = np.uint64(_CMS_A[i])
     return (
-        ((ids.astype(np.uint64) + np.uint64(1)) * a) >> np.uint64(13)
-    ).astype(np.int64) % CMS_WIDTH
+        ((ids.astype(np.uint64) + np.uint64(1)) * a)
+        >> np.uint64(64 - CMS_WIDTH.bit_length() + 1)
+    ).astype(np.int64)
 
 
 def a08_cms_freq_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -163,14 +163,20 @@ def spread(df, min_partitions: int | None = None):
     always true for a 100 TB table's thousands of splits — this is a
     no-op, so the policy is safe to leave on at scale.
     """
-    sc = df.sparkSession.sparkContext
+    # Under Spark Connect there is no sparkContext, no _jdf, and no
+    # df.rdd (all raise) — no partition probe exists there, so return
+    # the plan unchanged: Connect clusters set sane AQE/split configs
+    # server-side, and a blind repartition would add a shuffle to the
+    # 100 TB case this helper exists to avoid.
+    try:
+        sc = df.sparkSession.sparkContext
+    except Exception:
+        return df
     target = min_partitions or sc.defaultParallelism
     # JVM-side internal-row RDD: same partition count as df.rdd but
     # without building the Python-serializer conversion plan (~2 ms vs
     # ~0.3 s per fresh DataFrame — this probe runs on every family
     # entry, so the difference is a measurable slice of the suite).
-    # _jdf is a classic-session internal; under Spark Connect it is
-    # absent, so fall back to the public (slower) partition probe.
     try:
         n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
     except AttributeError:

@@ -431,6 +431,106 @@ _G10_ROWS = ",\n".join(
 )
 
 
+#: mixed-resolution mosaic fixture: a 64² tile beside a 32² tile —
+#: the real-AW3D30 high-latitude width reduction (a 60°N tile is half
+#: the width of its south neighbor; ref src/main.rs:172-180 ingests
+#: whatever dims GDAL reports). Exercises the nearest-neighbor halo
+#: resample branch (geotiff.py) under the driver contract, not just
+#: pytest.
+MIXED_COORDS = (((52, 4), 64), ((52, 5), 32))
+_MIXED_DIR = _DEMO_DIR + "_mixedres"
+
+
+def _ensure_mixed_tiles(tif_dir: str = _MIXED_DIR) -> str:
+    from aw3d30_parquet_spark.sources.tiff import encode_geotiff
+
+    import numpy as np
+
+    os.makedirs(tif_dir, exist_ok=True)
+    for (lat, lon), n in MIXED_COORDS:
+        path = os.path.join(tif_dir, f"{tile_key(lat, lon)}.tif")
+        if not os.path.exists(path):
+            yy = np.arange(n, dtype=np.int32)[:, None]
+            xx = np.arange(n, dtype=np.int32)[None, :]
+            gt = (float(lon), 1.0 / n, 0.0, float(lat + 1), 0.0, -1.0 / n)
+            with open(path, "wb") as f:
+                f.write(encode_geotiff(1000 * yy + xx, gt))
+    return tif_dir
+
+
+def g11_mixed_resolution_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g11: halo-exchange gradient over a MIXED-RESOLUTION mosaic —
+    the 64² west tile and 32² east tile exchange seam columns at
+    DIFFERENT lengths, so each receiver nearest-neighbor resamples its
+    neighbor's edge to its own grid (pixel-center index map) before
+    central differencing. Every gradient value is an exact integer
+    (ramp bands), so the per-tile sums/min hash-check against an
+    oracle derived by an INDEPENDENT numpy stitch (np.gradient of each
+    tile concatenated with its separately-resampled neighbor column —
+    no engine code involved)."""
+    from aw3d30_parquet_spark.sources.geotiff import (
+        read_tile_gradients_seamless,
+    )
+
+    _ensure_mixed_tiles()
+    g = read_tile_gradients_seamless(spark, _MIXED_DIR, "netherlands")
+    return (
+        g.groupBy("tile_lat", "tile_lon")
+        .agg(
+            F.count("*").alias("points"),
+            F.sum(F.col("dzdx").cast("bigint")).alias("sum_dzdx"),
+            F.sum(F.col("dzdy").cast("bigint")).alias("sum_dzdy"),
+            F.min(F.col("dzdx").cast("bigint")).alias("min_dzdx"),
+        )
+        .orderBy("tile_lat", "tile_lon")
+    )
+
+
+def _g11_rows() -> str:
+    """Expected g11 relation from first principles: stitch each ramp
+    tile with its neighbor's resampled edge column in plain numpy and
+    np.gradient it — the same construction as the pytest twin
+    (tests/test_geotiff.py), sharing nothing with the engine's
+    binaryFile → halo-exchange → mapInPandas pipeline."""
+    import numpy as np
+
+    def ramp(n):
+        y = np.arange(n, dtype=np.float64)[:, None]
+        x = np.arange(n, dtype=np.float64)[None, :]
+        return 1000.0 * y + x
+
+    def nn(v, need):
+        idx = np.minimum(
+            ((np.arange(need) + 0.5) * len(v) / need).astype(np.int64),
+            len(v) - 1,
+        )
+        return v[idx]
+
+    ((_, _), na), ((_, _), nb) = MIXED_COORDS
+    fa, fb = ramp(na), ramp(nb)
+    ga_x = np.gradient(
+        np.concatenate([fa, nn(fb[:, 0], na)[:, None]], axis=1), axis=1
+    )[:, :na]
+    ga_y = np.gradient(fa, axis=0)
+    gb_x = np.gradient(
+        np.concatenate([nn(fa[:, -1], nb)[:, None], fb], axis=1), axis=1
+    )[:, 1:]
+    gb_y = np.gradient(fb, axis=0)
+    rows = []
+    for ((la, lo), _n), gx, gy in (
+        (MIXED_COORDS[0], ga_x, ga_y),
+        (MIXED_COORDS[1], gb_x, gb_y),
+    ):
+        rows.append(
+            f"  (CAST({la} AS INTEGER), CAST({lo} AS INTEGER),"
+            f" CAST({gx.size} AS BIGINT),"
+            f" CAST({int(round(gx.sum()))} AS BIGINT),"
+            f" CAST({int(round(gy.sum()))} AS BIGINT),"
+            f" CAST({int(round(gx.min()))} AS BIGINT))"
+        )
+    return ",\n".join(rows)
+
+
 QUERIES = {
     "g01_geotiff_ingest": g01_geotiff_ingest,
     "g02_spatial_box": g02_spatial_box,
@@ -442,6 +542,7 @@ QUERIES = {
     "g08_seamless_gradient": g08_seamless_gradient,
     "g09_python_datasource": g09_python_datasource,
     "g10_datasource_grid": g10_datasource_grid,
+    "g11_mixed_resolution_gradient": g11_mixed_resolution_gradient,
 }
 ORACLE_SQL = {
     "g01_geotiff_ingest": f"""
@@ -557,6 +658,14 @@ ORDER BY tile_lat, tile_lon
 SELECT * FROM (VALUES
 {_G08_ROWS}
 ) AS t(tile_lat, tile_lon, points, sum_dzdx, sum_dzdy, min_dzdx, min_dzdy)
+ORDER BY tile_lat, tile_lon
+""",
+    # g11: independent numpy stitch of the mixed-resolution mosaic
+    # (see _g11_rows derivation)
+    "g11_mixed_resolution_gradient": f"""
+SELECT * FROM (VALUES
+{_g11_rows()}
+) AS t(tile_lat, tile_lon, points, sum_dzdx, sum_dzdy, min_dzdx)
 ORDER BY tile_lat, tile_lon
 """,
 }

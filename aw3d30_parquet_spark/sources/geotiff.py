@@ -358,16 +358,31 @@ def _seamless_gradient_partition(batches: Iterable, chunk_rows: int) -> Iterator
             # would instead misalign every sample positionally. A halo
             # with <2 samples has no defined grid — that layout is
             # genuinely unknown, keep failing loudly.
+            # Resample only PLAUSIBLE resolution mismatches. Real
+            # AW3D30 tiers are 3600/1800/1200/600 px per degree, so a
+            # legitimate neighbor edge differs by an integer factor
+            # (2, 3, 6) or the 1800:1200 tier adjacency (3:2). Any
+            # other mismatch — above all the off-by-one 3599-vs-3600
+            # shape of a truncated or mis-exchanged halo — is
+            # corruption that nearest-neighbor stretching would
+            # silently smear into the seam gradients: keep failing
+            # loudly for those.
             for side, need in (
                 ("top", w), ("bottom", w), ("left", h), ("right", h)
             ):
                 got = pads[side]
                 if got is not None and len(got) != need:
-                    if len(got) < 2:
+                    lo, hi = sorted((len(got), need))
+                    plausible = lo >= 2 and (
+                        hi % lo == 0 or hi * 2 == lo * 3
+                    )
+                    if not plausible:
                         raise ValueError(
                             f"tile {coord}: {side} halo has "
-                            f"{len(got)} samples — not a resamplable "
-                            "edge; unknown neighbor layout"
+                            f"{len(got)} samples against a {need}-px "
+                            "edge — not a known AW3D30 resolution "
+                            "ratio; refusing to resample a likely "
+                            "corrupt halo"
                         )
                     idx = np.minimum(
                         (

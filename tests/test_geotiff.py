@@ -797,3 +797,60 @@ def test_g08_mixed_resolution_halo_resample(spark, tmp_path):
             x, y = round((r.lon - 5.0) * nb), round((53.0 - r.lat) * nb)
             assert gb_x[y, x] == r.dzdx, (r, gb_x[y, x])
             assert gb_y[y, x] == r.dzdy
+
+
+def test_mixed_resolution_halo_rejects_offbyone(spark, tmp_path):
+    """An off-by-one neighbor edge (63 px against a 64-px tile) is NOT
+    a known AW3D30 resolution tier ratio — it is the signature of a
+    truncated or mis-exchanged halo, and resampling it would smear the
+    corruption into the seam gradients silently. The ingest must fail
+    loudly instead (only integer ratios and the 1800:1200 ≡ 3:2 tier
+    adjacency are resampled)."""
+    from aw3d30_parquet_spark.sources.geotiff import (
+        read_tile_gradients_seamless,
+    )
+
+    na, nb = 64, 63
+    yy, xx = np.mgrid[0:na, 0:na]
+    band_a = ((3 * yy + 7 * xx) % 251).astype(np.int32)
+    yy, xx = np.mgrid[0:nb, 0:nb]
+    band_b = ((5 * yy + 11 * xx) % 241).astype(np.int32)
+    tdir = str(tmp_path / "offbyone")
+    os.makedirs(tdir)
+    for (lat, lon), band, n in (
+        ((52, 4), band_a, na),
+        ((52, 5), band_b, nb),
+    ):
+        gt = (float(lon), 1.0 / n, 0.0, float(lat + 1), 0.0, -1.0 / n)
+        with open(os.path.join(tdir, f"{tile_key(lat, lon)}.tif"), "wb") as f:
+            f.write(encode_geotiff(band, gt))
+
+    with pytest.raises(Exception, match="resolution ratio"):
+        read_tile_gradients_seamless(spark, tdir, "netherlands").collect()
+
+
+def test_mixed_resolution_halo_accepts_tier_adjacency(spark, tmp_path):
+    """The 3:2 ratio (real AW3D30's 1800:1200 tier adjacency at 70°N,
+    scaled down to 48:32 for the fixture) IS plausible and must
+    resample cleanly rather than raise."""
+    from aw3d30_parquet_spark.sources.geotiff import (
+        read_tile_gradients_seamless,
+    )
+
+    na, nb = 48, 32
+    yy, xx = np.mgrid[0:na, 0:na]
+    band_a = ((3 * yy + 7 * xx) % 251).astype(np.int32)
+    yy, xx = np.mgrid[0:nb, 0:nb]
+    band_b = ((5 * yy + 11 * xx) % 241).astype(np.int32)
+    tdir = str(tmp_path / "tiers")
+    os.makedirs(tdir)
+    for (lat, lon), band, n in (
+        ((52, 4), band_a, na),
+        ((52, 5), band_b, nb),
+    ):
+        gt = (float(lon), 1.0 / n, 0.0, float(lat + 1), 0.0, -1.0 / n)
+        with open(os.path.join(tdir, f"{tile_key(lat, lon)}.tif"), "wb") as f:
+            f.write(encode_geotiff(band, gt))
+
+    got = read_tile_gradients_seamless(spark, tdir, "netherlands").collect()
+    assert len(got) == na * na + nb * nb
