@@ -76,6 +76,16 @@ def main() -> None:
     spark = get_spark(app_name="aw3d30-bench")
     qs = contract.queries()
 
+    # SPARK_GRAFT_BENCH_ONLY="k01,b01" (full names or 3-char codes):
+    # time just those queries — the 10× scaling probe's per-operator
+    # loop. Partial runs skip the ingest bench and write their file to
+    # bench_results_partial.json so the full-suite artifact the driver
+    # reads is never clobbered by a subset.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    if only:
+        wanted = {w.strip() for w in only.split(",") if w.strip()}
+        qs = {n: f for n, f in qs.items() if n in wanted or n[:3] in wanted}
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     per_query: dict[str, float] = {}
     # {med,min,max} from the SAME timed runs: the median alone hides
@@ -139,13 +149,17 @@ def main() -> None:
             )[:5]
         },
         "sf": sf,
-        "ingest": _bench_ingest(spark),
     }
+    if not only:
+        result["ingest"] = _bench_ingest(spark)
     result_file = dict(result, spread=spread)
     # Full-fidelity copy on disk (the driver's stdout capture keeps only
     # a bounded tail — round 1 lost the head of a 4.3 KB line).
     with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json"),
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "bench_results_partial.json" if only else "bench_results.json",
+        ),
         "w",
     ) as fh:
         json.dump(result_file, fh, indent=1)
