@@ -267,16 +267,19 @@ def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _md5_64(col):
-    """First 64 bits of md5 as a long (big-endian hex → two's
-    complement). md5 rather than xxhash64 because BOTH engines compute
-    it identically — DuckDB has no XXH64, so this is what makes d05's
-    signature hash-checkable by the driver's oracle instead of
-    rows-only. Still all built-in/codegen (conv+shift), no UDF; a
-    production deployment that doesn't need a cross-engine twin can
-    swap xxhash64 back in — same plan shape, ~3× less per-byte hash
-    cost."""
-    hx = F.md5(col)
+def _hex_to_64(hx):
+    """First 64 bits of an md5 hex string as a long (big-endian hex →
+    two's complement). Takes the HEX column, not the raw value: inside
+    an interpreted higher-order lambda there is no common-subexpression
+    elimination, so a helper that computed ``md5(col)`` internally
+    would run the digest twice (hi and lo halves both embed it) — the
+    caller hashes once and feeds the string here. md5 rather than
+    xxhash64 because BOTH engines compute it identically — DuckDB has
+    no XXH64, so this is what makes d05's signature hash-checkable by
+    the driver's oracle instead of rows-only. Still all built-in
+    (conv+shift), no UDF; a production deployment that doesn't need a
+    cross-engine twin can swap xxhash64 back in — same plan shape, ~3×
+    less per-byte hash cost."""
     hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
     lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
     return F.shiftleft(hi, 32).bitwiseOR(lo)
@@ -307,8 +310,11 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash each token ONCE into an array, then fold bits over the hash
     # values — higher-order lambdas are interpreted per element with no
     # common-subexpression elimination, so putting the hash inside
-    # the per-bit transform would evaluate it 64× per token
-    hashes = F.transform(words, lambda tok: _md5_64(tok))
+    # the per-bit transform would evaluate it 64× per token, and
+    # hex→long in a SEPARATE transform keeps the md5 itself single-
+    # evaluated (the hi/lo halves each reference the hex string)
+    hexes = F.transform(words, lambda tok: F.md5(tok))
+    hashes = F.transform(hexes, lambda hx: _hex_to_64(hx))
 
     def bit_vec(h):
         # bit_get (unlike shiftright) takes the position as a column.
@@ -638,8 +644,11 @@ _ED_MEMO: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
 def _ed_memo(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    return _ED_MEMO.setdefault(key, {})
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect: no sparkContext — the Python
+        app = f"connect_{id(spark):x}"  # session object is the session
+    return _ED_MEMO.setdefault((app, sf_dir), {})
 
 
 def _ed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -20,7 +20,9 @@ g01/g05/g09/g10, m01/m02, k01, b01 — migrated round 5); use this
 helper (or the literal ``CAST(floor(x * 10^s + 0.5) AS BIGINT) /
 10^s.0`` form in shared SQL) for any new oracle-checked float column.
 ``F.round`` survives only on rows-only queries with no DuckDB twin
-(d05/d06, v03/v05/v06) and in Python-side sketch internals.
+(v03/v05/v06 and unregistered helpers — d05/d06 left this set in
+round 5 when their outputs became md5-based and oracle-checked) and
+in Python-side sketch internals.
 """
 
 from __future__ import annotations

@@ -12,6 +12,8 @@ hence ``saveAsTable`` rather than a bare ``parquet(path)`` write.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -47,27 +49,67 @@ def bucketed_equi_join(
 #: v05's IVF); every later call joins the existing bucketed tables.
 _BUCKETED: dict[tuple[str, str], tuple[str, str]] = {}
 
-#: one atexit hook per process (not per (app, sf_dir)) — it drops
-#: every table in _BUCKETED, whatever was registered by then
+#: key → the session that WROTE those tables: each session's tables
+#: are dropped through its own catalog at exit (a later session's
+#: in-memory catalog has no entry for them, and issuing drops through
+#: a stopped context is a silent no-op)
+_OWNERS: dict[tuple[str, str], SparkSession] = {}
+
+#: one atexit hook per process (not per (app, sf_dir))
 _ATEXIT_ARMED = False
+
+#: filesystem reap age gate: a b01_* warehouse directory from a
+#: FOREIGN session tag younger than this may belong to a concurrently
+#: running session — never touch it
+_REAP_MIN_AGE_S = 6 * 3600
+
+
+def _session_tag(spark: SparkSession) -> str:
+    """Stable per-session tag: the applicationId classically; under
+    Spark Connect (no sparkContext) the Python session object's id,
+    which is unique for the life of the session — exactly the life of
+    its managed scratch tables."""
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:
+        return f"connect_{id(spark):x}"
 
 
 def _reap_stale_b01(spark: SparkSession, app_tag: str) -> None:
-    """Drop b01_* managed tables left by sessions that never reached
-    their atexit hook (killed/crashed JVMs): names embed the writing
-    session's applicationId, so any b01_ table NOT carrying this
-    session's tag is an orphan — this session would generate a
-    different name and never otherwise touch it, leaving it in the
-    warehouse forever."""
+    """Remove b01_* WAREHOUSE DIRECTORIES left by crashed sessions.
+
+    This must be a filesystem sweep, not a catalog sweep: under the
+    default in-memory catalog a killed JVM takes its catalog entries
+    with it, so the next session's ``SHOW TABLES`` can never list the
+    orphans — only their directories survive. Two safety rails:
+    (1) age gate — a foreign-tag directory younger than
+    ``_REAP_MIN_AGE_S`` may belong to a live concurrent session and is
+    left alone; (2) catalog entries for foreign tags are never
+    dropped — under a shared persistent metastore that would kill a
+    running session's tables mid-query.  Non-local warehouse URIs
+    (s3a://…) are skipped; object stores reap via lifecycle policies.
+    """
+    import shutil
+    import time
+    from urllib.parse import urlparse
+
     try:
-        for row in spark.sql("SHOW TABLES").collect():
-            t = row.tableName
+        parsed = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+        if parsed.scheme not in ("", "file"):
+            return
+        wh = parsed.path
+        if not wh or not os.path.isdir(wh):
+            return
+        now = time.time()
+        for name in os.listdir(wh):
+            full = os.path.join(wh, name)
             if (
-                t.startswith("b01_")
-                and not row.isTemporary
-                and app_tag not in t
+                name.startswith("b01_")
+                and app_tag.lower() not in name.lower()
+                and os.path.isdir(full)
+                and now - os.path.getmtime(full) > _REAP_MIN_AGE_S
             ):
-                _drop_quietly(spark, t)
+                shutil.rmtree(full, ignore_errors=True)
     except Exception:
         pass
 
@@ -82,7 +124,7 @@ def _bucketed_fact_tables(
 
     global _ATEXIT_ARMED
 
-    app = spark.sparkContext.applicationId
+    app = _session_tag(spark)
     key = (app, sf_dir)
     if key in _BUCKETED:
         return _BUCKETED[key]
@@ -99,21 +141,23 @@ def _bucketed_fact_tables(
     )
     write_bucketed(orders, ot, "o_orderkey", buckets=buckets)
     write_bucketed(lineitem, lt, "l_orderkey", buckets=buckets)
-    # managed tables land under spark.sql.warehouse.dir keyed by the
-    # applicationId — drop whatever _BUCKETED holds at exit so repeated
-    # sessions don't accumulate warehouse directories (files.py's
-    # reaping rule); a crashed session's leftovers are reaped by the
-    # next session's _reap_stale_b01 above
+    # managed tables land under spark.sql.warehouse.dir — drop whatever
+    # _BUCKETED holds at exit, each table through the session that
+    # OWNS it (a restarted context can't drop a predecessor's tables;
+    # those leak to the age-gated filesystem reap above instead)
     if not _ATEXIT_ARMED:
         _ATEXIT_ARMED = True
-        atexit.register(
-            lambda: [
-                _drop_quietly(spark, t)
-                for pair in _BUCKETED.values()
-                for t in pair
-            ]
-        )
+
+        def _drop_all() -> None:
+            for k, pair in list(_BUCKETED.items()):
+                owner = _OWNERS.get(k)
+                if owner is not None:
+                    for t in pair:
+                        _drop_quietly(owner, t)
+
+        atexit.register(_drop_all)
     _BUCKETED[key] = (ot, lt)
+    _OWNERS[key] = spark
     return ot, lt
 
 

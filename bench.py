@@ -85,6 +85,11 @@ def main() -> None:
     if only:
         wanted = {w.strip() for w in only.split(",") if w.strip()}
         qs = {n: f for n, f in qs.items() if n in wanted or n[:3] in wanted}
+        if not qs:
+            # a typo'd probe must fail, not record an "instant" run
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_ONLY matched no queries: {only!r}"
+            )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     per_query: dict[str, float] = {}
