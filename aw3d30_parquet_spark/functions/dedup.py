@@ -335,55 +335,23 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(
-    spark: SparkSession,
-    sf_dir: str,
-    threshold: float = JACCARD_THRESHOLD,
-    bands: int = 12,
-    rows_per_band: int = 2,
-) -> DataFrame:
-    """Approximate near-dup pairs via native MinHash LSH (the 100 TB path).
+def _minhash_banded(
+    spark: SparkSession, sf_dir: str, bands: int, rows_per_band: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shingled docs + the (doc_id, band, bh) MinHash band-key relation,
+    both scratch-persisted — the shared signature/banding stage consumed
+    by d06 (corpus self-join) and d15 (delta ⋈ corpus index).
 
-    All-codegen banding — no MLlib, no Python, no UDFs:
-
-    1. signature: shingles hash once to longs (``h0 = md5_60(sh)``),
-       then ``minhash_i = array_min(transform(h0, h → md5_60(i:h)))``
-       for i < bands·rows_per_band — one pass over the hashed array per
-       permutation, inside whole-stage codegen, and the per-permutation
-       re-hash touches short decimal strings instead of shingle text;
-    2. banding: each band's ``rows_per_band`` minhashes concatenated to
-       a band KEY, posexplode to (band, key) — n·bands rows, the only
-       exploded relation. The key is the slice VALUES, not a hash of
-       them, so band collisions are exactly "slices equal" — the
-       property a DuckDB oracle can recompute (and no false-positive
-       candidates from band-hash collisions);
-    3. candidates: self-join on (band, key) with id_a < id_b,
-       distinct — candidate count is driven by actual collisions, never
-       O(n²);
-    4. verify: exact Jaccard via ``array_intersect``/``array_union`` on
-       the shingle sets, filter ≥ threshold — so precision is exact and
-       only recall is approximate (missed pairs; P[detect] =
-       1-(1-j^r)^b ≈ 0.995 at j = 0.6 for b=12, r=2).
-
-    The md5-derived hash family (vs xxhash64) is what DuckDB can
-    reproduce, making the WHOLE pipeline — signatures, banding,
-    candidates, verified pairs — driver-oracle-checked rather than
-    rows-only; recall vs the exact d04 operator additionally asserted
-    ≥0.9 in pytest (V5). At 100 TB the shuffle keys are (band, ~2×20
-    decimal chars) — still tiny next to document text — and the verify
-    join ships only candidate shingle arrays, not the corpus; a
-    deployment that doesn't need the cross-engine twin can swap
-    xxhash64 back in for ~3× less hash cost and 8-byte band keys, same
-    plan shape and same candidates up to hash collisions.
+    Shingle once, hash each shingle STRING once (8-byte ``h0``); the
+    nperm permutations then re-hash the longs, not the strings — at
+    ~30-byte shingles that is 24× less byte-hashing on the hot path.
+    Persisted per job (same deferred-release scratch as d07): the
+    relation feeds the banding AND both exact-verify sides, and
+    without the persist the candidate join would evaluate the whole
+    shingling twice more. Production at 100 TB materializes BOTH
+    outputs as tables (signatures + the LSH index d15 treats as the
+    maintained artifact); the persists are the in-process analogue.
     """
-    # Shingle once, hash each shingle STRING once (8-byte ``h0``); the
-    # nperm permutations then re-hash the longs, not the strings — at
-    # ~30-byte shingles that is 24× less byte-hashing on the hot path.
-    # Persisted per job (same deferred-release scratch as d07): the
-    # relation feeds the banding AND both exact-verify sides, and
-    # without the persist the self-join below evaluates the whole
-    # shingling twice more. Production at 100 TB materializes this to a
-    # signatures table; the persist is the in-process analogue.
     docs = _scratch_persist(
         "d06_docs",
         _docs(spark, sf_dir).select(
@@ -427,7 +395,7 @@ def minhash_lsh_pairs(
     # stops Catalyst inferring a size()>0 guard that would re-evaluate
     # the full signature below the spread repartition (see d04 note).
     # The banded relation carries ONLY (doc_id, band, bh): shipping the
-    # shingle arrays through the bands·n explode and the self-join
+    # shingle arrays through the bands·n explode and the candidate join
     # would multiply the corpus text through the shuffle; the verify
     # arrays join back AFTER candidate dedup, once per side.
     banded = _scratch_persist(
@@ -436,6 +404,51 @@ def minhash_lsh_pairs(
             "doc_id", F.posexplode_outer(band_hashes).alias("band", "bh")
         ),
     )
+    return docs, banded
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    bands: int = 12,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Approximate near-dup pairs via native MinHash LSH (the 100 TB path).
+
+    All-codegen banding — no MLlib, no Python, no UDFs:
+
+    1. signature: shingles hash once to longs (``h0 = md5_60(sh)``),
+       then ``minhash_i = array_min(transform(h0, h → md5_60(i:h)))``
+       for i < bands·rows_per_band — one pass over the hashed array per
+       permutation, inside whole-stage codegen, and the per-permutation
+       re-hash touches short decimal strings instead of shingle text;
+    2. banding: each band's ``rows_per_band`` minhashes concatenated to
+       a band KEY, posexplode to (band, key) — n·bands rows, the only
+       exploded relation. The key is the slice VALUES, not a hash of
+       them, so band collisions are exactly "slices equal" — the
+       property a DuckDB oracle can recompute (and no false-positive
+       candidates from band-hash collisions);
+    3. candidates: self-join on (band, key) with id_a < id_b,
+       distinct — candidate count is driven by actual collisions, never
+       O(n²);
+    4. verify: exact Jaccard via ``array_intersect``/``array_union`` on
+       the shingle sets, filter ≥ threshold — so precision is exact and
+       only recall is approximate (missed pairs; P[detect] =
+       1-(1-j^r)^b ≈ 0.995 at j = 0.6 for b=12, r=2).
+
+    The md5-derived hash family (vs xxhash64) is what DuckDB can
+    reproduce, making the WHOLE pipeline — signatures, banding,
+    candidates, verified pairs — driver-oracle-checked rather than
+    rows-only; recall vs the exact d04 operator additionally asserted
+    ≥0.9 in pytest (V5). At 100 TB the shuffle keys are (band, ~2×20
+    decimal chars) — still tiny next to document text — and the verify
+    join ships only candidate shingle arrays, not the corpus; a
+    deployment that doesn't need the cross-engine twin can swap
+    xxhash64 back in for ~3× less hash cost and 8-byte band keys, same
+    plan shape and same candidates up to hash collisions.
+    """
+    docs, banded = _minhash_banded(spark, sf_dir, bands, rows_per_band)
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -934,6 +947,76 @@ def editdist_candidate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row10.unionByName(row11).orderBy("form")
 
 
+def minhash_lsh_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    bands: int = 12,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """d15: incremental snapshot-vs-corpus NEAR-dup detection — the
+    LSH member of the incremental family (d09 = exact digests, d13 =
+    edit distance, this = MinHash/Jaccard). A daily delta is checked
+    for near-duplicates against the accumulated corpus WITHOUT ever
+    re-running the corpus self-join: the corpus side of the band-key
+    relation is the maintained LSH INDEX table (built once by d06's
+    machinery, appended to as snapshots ship), and the delta's band
+    keys probe it asymmetrically.
+
+    Slices follow d09's convention (snapshot = ``doc_id % 10 >= 8``,
+    corpus = the rest). Candidates are (snapshot, corpus) band-key
+    collisions — volume is linear in |delta| × bucket occupancy, never
+    corpus² and never delta×corpus — then exact-Jaccard verified
+    (precision exact, recall the banding's 1-(1-j^r)^b). Output one
+    row per verified pair with the shared floor-rounded jaccard.
+
+    At 100 TB: the banded index is cluster-by-band-key parquet; the
+    delta probe is a shuffle of |delta|·bands short keys plus a
+    candidate-bounded verify — the same delta-sized posture as d13,
+    for the paraphrased-near-dup case exact digests can't catch.
+    """
+    docs, banded = _minhash_banded(spark, sf_dir, bands, rows_per_band)
+    is_snap = F.col("doc_id") % 10 >= 8
+    snap_b = banded.filter(is_snap)
+    corp_b = banded.filter(~is_snap)
+    cand = (
+        snap_b.alias("s")
+        .join(
+            corp_b.alias("c"),
+            (F.col("s.band") == F.col("c.band"))
+            & (F.col("s.bh") == F.col("c.bh")),
+        )
+        .select(
+            F.col("s.doc_id").alias("snap_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+        )
+        .dropDuplicates(["snap_id", "corpus_id"])
+        .join(
+            docs.select(
+                F.col("doc_id").alias("snap_id"),
+                F.col("shs").alias("shs_a"),
+            ),
+            "snap_id",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("corpus_id"),
+                F.col("shs").alias("shs_b"),
+            ),
+            "corpus_id",
+        )
+    )
+    jac = F.size(F.array_intersect("shs_a", "shs_b")) / F.size(
+        F.array_union("shs_a", "shs_b")
+    )
+    return (
+        cand.withColumn("jaccard_est", round_half_up(jac, 2))
+        .filter(jac >= threshold)
+        .select("snap_id", "corpus_id", "jaccard_est")
+        .orderBy("snap_id", "corpus_id")
+    )
+
+
 QUERIES = {
     "d01_exact_dedup_count": exact_dedup_count,
     "d02_exact_dedup_keep_first": exact_dedup_keep_first,
@@ -946,6 +1029,7 @@ QUERIES = {
     "d11_editdist_prefix": qgram_editdist_pairs_prefix,
     "d13_editdist_incremental": editdist_incremental,
     "d14_editdist_metrics": editdist_candidate_metrics,
+    "d15_lsh_incremental": minhash_lsh_incremental,
 }
 
 # d05/d06 were rows-only while their hashes were xxhash64 (no XXH64 in
@@ -1072,6 +1156,56 @@ ORDER BY i.id_a, i.id_b
 # d07 computes the same relation as d04 by a different algorithm
 # (prefix filtering) — same oracle, plus a direct d04≡d07 pytest pin.
 ORACLE_SQL["d07_ngram_jaccard_prefix"] = ORACLE_SQL["d04_ngram_jaccard_pairs"]
+
+# d15: d06's banding twin restricted to snapshot-probes-corpus — the
+# same md5 minhash/band-key arithmetic, asymmetric candidate join
+# (snapshot × corpus instead of the id_a < id_b self-join), exact
+# Jaccard verify with the shared floor-half-up rounding.
+ORACLE_SQL["d15_lsh_incremental"] = """
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), shing AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                 i -> array_to_string(w[i:i+2], ' ')))
+              ELSE [array_to_string(w, ' ')] END AS shs
+  FROM words
+), sh AS (
+  SELECT doc_id, unnest(shs) AS sh FROM shing
+), h0 AS (
+  SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh
+), mh AS (
+  SELECT doc_id, i.i AS perm,
+         min(('0x' || substr(md5(i.i::VARCHAR || ':' || h::VARCHAR), 1, 15))::BIGINT) AS mh
+  FROM h0, (SELECT unnest(range(0, 24)) AS i) i
+  GROUP BY doc_id, i.i
+), bandkey AS (
+  SELECT doc_id, perm // 2 AS band,
+         string_agg(mh::VARCHAR, '_' ORDER BY perm) AS bk
+  FROM mh GROUP BY doc_id, perm // 2
+), cand AS (
+  SELECT DISTINCT s.doc_id AS snap_id, c.doc_id AS corpus_id
+  FROM bandkey s
+  JOIN bandkey c ON s.band = c.band AND s.bk = c.bk
+  WHERE s.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
+), counts AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.snap_id, c.corpus_id, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.snap_id
+  JOIN sh b ON b.doc_id = c.corpus_id AND b.sh = a.sh
+  GROUP BY c.snap_id, c.corpus_id
+)
+SELECT i.snap_id, i.corpus_id,
+       CAST(floor(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE) * 100 + 0.5) AS BIGINT) / 100.0 AS jaccard_est
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.snap_id
+JOIN counts cb ON cb.doc_id = i.corpus_id
+WHERE inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE) >= 0.6
+ORDER BY i.snap_id, i.corpus_id
+"""
 
 
 #: (applicationId, sf_dir) → (persisted d04 pair relation, pair count)

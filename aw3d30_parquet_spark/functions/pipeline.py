@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from aw3d30_parquet_spark.numeric import round_half_up
 from aw3d30_parquet_spark.session import register_views, spread
 
 #: md5 hex prefix thresholds: 'cc'/256 ≈ 0.797, 'e6'/256 ≈ 0.898 —
@@ -578,6 +579,257 @@ def neardup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: p13 hashed-feature space width. The DSIR paper uses 10k buckets on
+#: web-scale corpora; 256 keeps the fixture's per-bucket counts dense
+#: enough that the log-ratios are meaningful. The weight table is
+#: B rows regardless of corpus size — always broadcastable.
+DSIR_BUCKETS = 256
+#: the "target distribution" docs: English here (the "select data that
+#: looks like my curated target" scenario; any predicate works).
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p13: DSIR-style data selection via hashed n-gram importance
+    weights (Xie et al. 2023, arXiv:2302.03169): score every document
+    by how much more likely its features are under a TARGET
+    distribution than under the RAW corpus distribution, and select
+    docs with a positive log-ratio.
+
+    Features are word uni+bigrams (multiset — every occurrence votes)
+    hashed into ``DSIR_BUCKETS`` buckets; both bucket-count vectors get
+    Laplace +1 smoothing, and the per-bucket weight is
+
+        λ_b = ln((t_b + 1)/(T + B)) − ln((r_b + 1)/(R + B))
+
+    (target = ``lang = 'en'`` docs, raw = the whole corpus — the paper
+    fits target counts on an external curated set; the predicate stands
+    in for it here). A document's importance weight is Σ_b n_db·λ_b —
+    its log likelihood ratio under the two hashed-unigram LMs — and
+    ``selected = weight > 0`` (more target-like than raw-like): a fixed
+    decision boundary, NOT a global rank, so there is no global sort or
+    single-partition window anywhere (p09's factored ranking exists
+    when a top-fraction variant is wanted). ``n_feats`` is the exact
+    integer pin; the weight sums ≤B libm-backed addends per doc
+    (floor-rounded, t07's accepted risk class).
+
+    Scale shape: gram hashing is a pure map; bucket counting is a
+    partial-agg groupBy on ≤B distinct keys per side (kilobytes after
+    map-side combine); the λ table is B rows — broadcast by
+    construction; the per-doc weight is one more partial aggregate.
+    The md5 bucket hash (vs xxhash64) is what the DuckDB oracle can
+    recompute — d05/d06's trade, same rationale.
+    """
+    from aw3d30_parquet_spark.functions.dedup import _md5_60
+
+    b = DSIR_BUCKETS
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    bigrams = F.transform(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda w, i: F.concat_ws(
+            " ", w, F.element_at(words, i + 2)
+        ),
+    )
+    grams = F.concat(words, bigrams)
+    doc_grams = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(grams).alias("g"),
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.pmod(_md5_60(F.col("g")), F.lit(b)).alias("bucket"),
+    )
+    doc_buckets = doc_grams.groupBy(
+        "doc_id", "source", "lang", "bucket"
+    ).agg(F.count("*").alias("n_db"))
+    raw = doc_buckets.groupBy("bucket").agg(
+        F.sum("n_db").alias("r_b")
+    )
+    tgt = (
+        doc_buckets.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.sum("n_db").alias("t_b"))
+    )
+    lam_rel = (
+        raw.join(tgt, "bucket", "left")
+        .select("bucket", "r_b", F.coalesce("t_b", F.lit(0)).alias("t_b"))
+    )
+    totals = lam_rel.agg(
+        F.sum("r_b").alias("r_total"), F.sum("t_b").alias("t_total")
+    )
+    lam = (
+        lam_rel.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("t_b") + 1) / (F.col("t_total") + b))
+                - F.log((F.col("r_b") + 1) / (F.col("r_total") + b))
+            ).alias("lam"),
+        )
+    )
+    return (
+        doc_buckets.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id", "source", "lang")
+        .agg(
+            F.sum("n_db").alias("n_feats"),
+            round_half_up(F.sum(F.col("n_db") * F.col("lam")), 4).alias(
+                "weight"
+            ),
+        )
+        .withColumn("selected", (F.col("weight") > 0).cast("int"))
+        .orderBy("doc_id")
+    )
+
+
+#: p14 Bloom filter geometry: 512 words × 63 usable bits (the top bit
+#: stays clear so every word is a non-negative BIGINT both engines
+#: order and shift identically) = 32 256 bits, k = 5 seeded hashes.
+#: Sized for the fixture's eval shingle count (~10 bits/element at
+#: sf0.01); production sizes m from the eval-set cardinality
+#: (m ≈ 1.44·k·n for the target FP rate) — the filter is still only
+#: m/8 bytes, broadcast as ONE row.
+BLOOM_WORDS = 512
+BLOOM_WORD_BITS = 63
+BLOOM_K = 5
+
+
+def bloom_prefilter_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """p14: Bloom-filter SEMI-JOIN REDUCTION for decontamination — the
+    scale pattern for "which train docs leak into the eval set?" when
+    the train side is 100 TB: build a kilobyte Bloom filter over the
+    eval shingles (the SMALL side), broadcast it, and probe every train
+    shingle MAP-SIDE; only Bloom-positive docs ever reach the exact
+    join. p05 answers the eval-side question (which eval docs are
+    contaminated); this answers the train-side one (which train docs to
+    pull) without shuffling the train corpus.
+
+    The registered query is the AUDIT form: it computes the Bloom
+    verdict AND the exact verdict for every train doc and reports, per
+    source, n_train / n_candidates (Bloom hits) / n_confirmed (exact
+    hits) / n_false_pos — so the oracle hash-match certifies both the
+    filter arithmetic and the no-false-negative guarantee (confirmed ⊆
+    candidates is structural: every exact hit sets all its own bits).
+    The production path exact-joins only the candidate slice.
+
+    Plan shape: the filter is built by one explode(k)+bit_or aggregate
+    over the (tiny) eval shingle set, assembled into a single
+    array<long> row, and crossJoin-broadcast; the probe is a pure
+    codegen expression — k seeded re-hashes of the 8-byte shingle hash
+    (d06's "i:h" decimal-string seeding, md5 so DuckDB reproduces every
+    bit), ``element_at`` + ``bit_get`` into the broadcast array, no
+    explode, no join, no shuffle on the train side beyond the final
+    per-doc/per-source aggregates (partial map-side combine). Shingle
+    text never shuffles — both the probe and the exact confirm key on
+    the 60-bit md5 prefix ``h0``.
+    """
+    from aw3d30_parquet_spark.functions.dedup import (
+        _md5_60,
+        _scratch_persist,
+        _shingles,
+    )
+
+    m = BLOOM_WORDS * BLOOM_WORD_BITS
+    sh = _scratch_persist(
+        "p14",
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            (F.col("doc_id") % BENCH_MOD == 0).alias("is_bench"),
+            F.explode(_shingles(F.col("text"))).alias("s"),
+        )
+        .select(
+            "doc_id", "source", "is_bench", _md5_60(F.col("s")).alias("h0")
+        ),
+    )
+    eval_h = sh.filter("is_bench").select("h0").distinct()
+
+    def _pos(i, h0):
+        return F.pmod(
+            _md5_60(
+                F.concat_ws(":", i.cast("string"), h0.cast("string"))
+            ),
+            F.lit(m),
+        )
+
+    pos = eval_h.select(
+        F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("i"),
+        "h0",
+    ).select(_pos(F.col("i"), F.col("h0")).alias("pos"))
+    word_rows = (
+        pos.select(
+            (F.col("pos") / BLOOM_WORD_BITS).cast("int").alias("word"),
+            F.pmod(F.col("pos"), F.lit(BLOOM_WORD_BITS)).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(
+            F.bit_or(
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"
+                )
+            ).alias("bits")
+        )
+    )
+    bm = word_rows.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word", "bits"))
+        ).alias("wb")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(BLOOM_WORDS - 1)),
+            lambda w: F.coalesce(
+                F.element_at(F.col("wb"), w), F.lit(0).cast("long")
+            ),
+        ).alias("bm")
+    )
+
+    def _hit():
+        def chk(acc, i):
+            p = _pos(i, F.col("h0"))
+            word = (p / BLOOM_WORD_BITS).cast("int")
+            bit = F.pmod(p, F.lit(BLOOM_WORD_BITS)).cast("int")
+            return acc & (
+                F.bit_get(F.element_at(F.col("bm"), word + 1), bit) == 1
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(BLOOM_K - 1)), F.lit(True), chk
+        )
+
+    probed = (
+        sh.filter(~F.col("is_bench"))
+        .crossJoin(F.broadcast(bm))
+        .join(
+            F.broadcast(eval_h.withColumn("ex", F.lit(1))), "h0", "left"
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.count_if(_hit()).alias("n_bloom"),
+            F.count("ex").alias("n_exact"),
+        )
+    )
+    return (
+        probed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_train"),
+            F.count_if(F.col("n_bloom") > 0).alias("n_candidates"),
+            F.count_if(F.col("n_exact") > 0).alias("n_confirmed"),
+            (
+                F.count_if(F.col("n_bloom") > 0)
+                - F.count_if(F.col("n_exact") > 0)
+            ).alias("n_false_pos"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "p01_hash_split": hash_split_assign,
     "p02_pack_token_bins": pack_token_bins,
@@ -591,6 +843,8 @@ QUERIES = {
     "p10_mixture_budget": mixture_budget,
     "p11_boilerplate_chunks": boilerplate_chunks,
     "p12_neardup_decontaminate": neardup_decontaminate,
+    "p13_dsir_select": dsir_select,
+    "p14_bloom_prefilter": bloom_prefilter_decontaminate,
 }
 
 ORACLE_SQL = {
@@ -845,3 +1099,115 @@ GROUP BY l.source ORDER BY l.source
 
 
 ORACLE_SQL["p12_neardup_decontaminate"] = _p12_oracle()
+
+# p13: the same hashed-n-gram importance arithmetic — md5-bucketed
+# uni+bigram multisets, Laplace-smoothed count vectors, per-doc
+# Σ n_db·λ_b with the exact-integer n_feats pin (ln is libm-backed,
+# floor-rounded — t07's risk class).
+ORACLE_SQL["p13_dsir_select"] = f"""
+WITH words AS (
+  SELECT doc_id, source, lang,
+         regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, source, lang,
+         list_concat(w, list_transform(range(1, len(w)),
+                     i -> w[i] || ' ' || w[i + 1])) AS gs
+  FROM words
+), g AS (
+  SELECT doc_id, source, lang,
+         ('0x' || substr(md5(unnest(gs)), 1, 15))::BIGINT % {DSIR_BUCKETS}
+           AS bucket
+  FROM grams
+), doc_buckets AS (
+  SELECT doc_id, source, lang, bucket, count(*) AS n_db
+  FROM g GROUP BY doc_id, source, lang, bucket
+), raw AS (
+  SELECT bucket, sum(n_db) AS r_b FROM doc_buckets GROUP BY bucket
+), tgt AS (
+  SELECT bucket, sum(n_db) AS t_b FROM doc_buckets
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket
+), lam_rel AS (
+  SELECT raw.bucket, raw.r_b, coalesce(tgt.t_b, 0) AS t_b
+  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket
+), totals AS (
+  SELECT sum(r_b) AS r_total, sum(t_b) AS t_total FROM lam_rel
+), lam AS (
+  SELECT bucket,
+         ln((t_b + 1) / CAST(t_total + {DSIR_BUCKETS} AS DOUBLE))
+         - ln((r_b + 1) / CAST(r_total + {DSIR_BUCKETS} AS DOUBLE)) AS lam
+  FROM lam_rel CROSS JOIN totals
+), scored AS (
+  SELECT d.doc_id, d.source, d.lang,
+         CAST(sum(d.n_db) AS BIGINT) AS n_feats,
+         CAST(floor(sum(d.n_db * l.lam) * 10000 + 0.5) AS BIGINT)
+           / 10000.0 AS weight
+  FROM doc_buckets d JOIN lam l ON d.bucket = l.bucket
+  GROUP BY d.doc_id, d.source, d.lang
+)
+SELECT doc_id, source, lang, n_feats, weight,
+       CAST(weight > 0 AS INT) AS selected
+FROM scored ORDER BY doc_id
+"""
+
+# p14: the full Bloom arithmetic recomputed from first principles —
+# same 60-bit md5 shingle hashes, same "i:h" seeded positions, same
+# 63-bit word layout and bit_or fold; the probe is re-derived as an
+# explode+join instead of the engine's broadcast-array expression, so
+# a hash match certifies the filter CONTENTS, not the plan.
+ORACLE_SQL["p14_bloom_prefilter"] = f"""
+WITH words AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), shing AS (
+  SELECT doc_id, source, doc_id % {BENCH_MOD} = 0 AS is_bench,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                 i -> array_to_string(w[i:i+2], ' ')))
+              ELSE [array_to_string(w, ' ')] END AS shs
+  FROM words
+), sh AS (
+  SELECT doc_id, source, is_bench,
+         ('0x' || substr(md5(unnest(shs)), 1, 15))::BIGINT AS h0
+  FROM shing
+), eval_h AS (
+  SELECT DISTINCT h0 FROM sh WHERE is_bench
+), pos AS (
+  SELECT ('0x' || substr(md5(i.i::VARCHAR || ':' || h0::VARCHAR), 1, 15))::BIGINT
+           % {BLOOM_WORDS * BLOOM_WORD_BITS} AS pos
+  FROM eval_h, (SELECT unnest(range(0, {BLOOM_K})) AS i) i
+), bmw AS (
+  SELECT pos // {BLOOM_WORD_BITS} AS word,
+         bit_or(1::BIGINT << (pos % {BLOOM_WORD_BITS})::INT) AS bits
+  FROM pos GROUP BY 1
+), probe AS (
+  SELECT s.doc_id, s.source, s.h0, i.i,
+         ('0x' || substr(md5(i.i::VARCHAR || ':' || s.h0::VARCHAR), 1, 15))::BIGINT
+           % {BLOOM_WORDS * BLOOM_WORD_BITS} AS pos
+  FROM sh s, (SELECT unnest(range(0, {BLOOM_K})) AS i) i
+  WHERE NOT s.is_bench
+), checked AS (
+  SELECT p.doc_id, p.source, p.h0,
+         min(CASE WHEN ((coalesce(b.bits, 0) >> (p.pos % {BLOOM_WORD_BITS})::INT) & 1) = 1
+                  THEN 1 ELSE 0 END) AS all_set
+  FROM probe p LEFT JOIN bmw b ON b.word = p.pos // {BLOOM_WORD_BITS}
+  GROUP BY p.doc_id, p.source, p.h0
+), per_sh AS (
+  SELECT c.doc_id, c.source, c.all_set,
+         CASE WHEN e.h0 IS NULL THEN 0 ELSE 1 END AS ex
+  FROM checked c LEFT JOIN eval_h e ON e.h0 = c.h0
+), per_doc AS (
+  SELECT doc_id, source,
+         count(*) AS n_sh,
+         CAST(sum(all_set) AS BIGINT) AS n_bloom,
+         CAST(sum(ex) AS BIGINT) AS n_exact
+  FROM per_sh GROUP BY doc_id, source
+)
+SELECT source,
+       count(*) AS n_train,
+       count(*) FILTER (n_bloom > 0) AS n_candidates,
+       count(*) FILTER (n_exact > 0) AS n_confirmed,
+       count(*) FILTER (n_bloom > 0) - count(*) FILTER (n_exact > 0)
+         AS n_false_pos
+FROM per_doc GROUP BY source ORDER BY source
+"""

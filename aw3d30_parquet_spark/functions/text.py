@@ -319,6 +319,103 @@ def similar_doc_search(
     )
 
 
+#: BM25 constants (Robertson/Sparck Jones defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(
+    spark: SparkSession, sf_dir: str, k: int = SIMILAR_TOP_K
+) -> DataFrame:
+    """t09: BM25 top-k document retrieval — the lexical ranking twin of
+    t08's jaccard search (Robertson et al., Okapi BM25: the standard
+    sparse-retrieval scorer; k1=1.2, b=0.75).
+
+    Query set is t08's bounded slice (``doc_id % 100 = 0``); each query
+    doc's DISTINCT terms form its bag-of-words query (short-query BM25:
+    query-side tf is not weighted). Per (query, candidate) score is
+
+        Σ_t  ln(1 + (N − df + 0.5)/(df + 0.5))
+             · tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/Σdl))
+
+    with ``dl·N/Σdl`` kept as exact-integer products over one double
+    division so the length normalization is bit-identical across
+    engines (an ``avg()`` would expose each engine's summation
+    internals). ``n_terms`` is an exact integer companion pinning the
+    join; ranks compare the floor-rounded score (shared contract) with
+    a c_id tie-break. ln is libm-backed — same accepted last-ulp
+    boundary risk class as t07.
+
+    Scale shape: the (doc, term, tf) relation is the maintained
+    inverted index (persisted here, a table at 100 TB); df and the
+    2-integer corpus stats are term- and 1-row relations (broadcast);
+    the candidate join is ASYMMETRIC — query terms ⋈ postings — so
+    volume is Σ_{t ∈ queries} df_t, linear in the query count, never
+    corpus². The per-query window never sees more than one query's
+    candidates.
+    """
+    from pyspark.sql import Window
+
+    from aw3d30_parquet_spark.functions.dedup import _scratch_persist
+
+    docs = _docs(spark, sf_dir)
+    tf = _scratch_persist(
+        "t09",
+        docs.select(
+            "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf")),
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    dfr = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = tf.filter(F.col("doc_id") % SIMILAR_QUERY_MOD == 0).select(
+        F.col("doc_id").alias("q_id"), "term"
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    wtd = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1
+        * (
+            1.0
+            - BM25_B
+            + BM25_B
+            * (F.col("dl") * F.col("n_docs"))
+            / F.col("sum_dl").cast("double")
+        )
+    )
+    scored = (
+        qterms.join(
+            tf.select(F.col("doc_id").alias("c_id"), "term", "tf"),
+            "term",
+        )
+        .filter(F.col("c_id") != F.col("q_id"))
+        .join(dfr, "term")
+        .join(dl.select(F.col("doc_id").alias("c_id"), "dl"), "c_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("q_id", "c_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            round_half_up(F.sum(idf * wtd), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("c_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "n_terms", "score")
+        .orderBy("q_id", "rank")
+    )
+
+
 QUERIES = {
     "t01_token_stats": token_stats,
     "t02_quality_score": quality_score,
@@ -328,6 +425,7 @@ QUERIES = {
     "t06_tfidf_top_terms": tfidf_top_terms,
     "t07_unigram_surprisal": unigram_surprisal,
     "t08_similar_doc_search": similar_doc_search,
+    "t09_bm25_search": bm25_search,
 }
 
 ORACLE_SQL = {
@@ -482,5 +580,46 @@ WITH words AS (
   FROM scored
 )
 SELECT q_id, rank, c_id, jaccard FROM ranked
+WHERE rank <= {SIMILAR_TOP_K} ORDER BY q_id, rank
+"""
+
+# t09: the same BM25 arithmetic — exact-integer tf/df/dl/N/Σdl feed
+# libm ln + one double division per factor, floor-rounded score,
+# c_id tie-break (n_terms is the exact-integer join pin).
+ORACLE_SQL["t09_bm25_search"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
+), dfr AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT q.doc_id AS q_id, c.doc_id AS c_id,
+         count(*) AS n_terms,
+         CAST(floor(sum(
+           ln(1.0 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+           * (c.tf * ({BM25_K1} + 1)) / (c.tf + {BM25_K1} * (1.0 - {BM25_B}
+              + {BM25_B} * (dl.dl * s.n_docs) / CAST(s.sum_dl AS DOUBLE)))
+         ) * 10000 + 0.5) AS BIGINT) / 10000.0 AS score
+  FROM tf q
+  JOIN tf c ON c.term = q.term AND c.doc_id <> q.doc_id
+  JOIN dfr ON dfr.term = q.term
+  JOIN dl ON dl.doc_id = c.doc_id
+  CROSS JOIN stats s
+  WHERE q.doc_id % {SIMILAR_QUERY_MOD} = 0
+  GROUP BY q.doc_id, c.doc_id
+), ranked AS (
+  SELECT q_id, c_id, n_terms, score,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY score DESC, c_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_id, rank, c_id, n_terms, score FROM ranked
 WHERE rank <= {SIMILAR_TOP_K} ORDER BY q_id, rank
 """

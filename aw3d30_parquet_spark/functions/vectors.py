@@ -587,6 +587,85 @@ def ann_topk_pq(
     )
 
 
+#: v07 clustering width: 2^bits axis-sign buckets. At 100 TB the
+#: cluster count must scale with the corpus (SemDeDup uses ~sqrt(n)
+#: k-means clusters); here bits = log2(k) and the deterministic
+#: axis-sign family stands in for the trained centroids so the WHOLE
+#: operator stays cross-engine reproducible (see docstring).
+SEMDEDUP_SIGN_BITS = 4
+#: within-cluster cosine at/above which the higher-id vector is a
+#: semantic duplicate. Real deployments run ~0.95+ on trained text
+#: embeddings; the synthetic fixture's embeddings are near-isotropic
+#: (max within-cluster cosine ≈ 0.51 at sf0.01), so the registered
+#: threshold is calibrated to exercise the drop path, not to mimic a
+#: production setting.
+SEMDEDUP_TAU = 0.35
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = SEMDEDUP_TAU,
+    bits: int = SEMDEDUP_SIGN_BITS,
+) -> DataFrame:
+    """v07: SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then drop any
+    vector with a same-cluster neighbor of cosine ≥ ``tau`` and a
+    smaller id; output one row per dropped vector with its best keeper.
+
+    Clustering here is the 2^bits axis-sign partition (sign pattern of
+    the first ``bits`` components — axis-aligned LSH hyperplanes):
+    fully deterministic and recomputable by the DuckDB oracle, which
+    is what makes the end-to-end operator hash-checkable. A production
+    deployment swaps in v05's k-means IVF assignment (the memoized
+    build-once index — same downstream plan, trained centroids instead
+    of axis signs); the oracle contract is the only reason for the
+    deterministic family, exactly as d05/d06 use md5 where production
+    would use xxhash64.
+
+    Scale shape: cluster assignment is a map-side expression (no
+    Python, no shuffle); the only shuffle is the self-join on
+    ``cluster_id``, whose cost is Σ n_c² — the SemDeDup point: k grows
+    with the corpus so n_c stays bounded and the quadratic term never
+    sees corpus². The per-dropped-vector window ranks only that
+    vector's own in-cluster matches. Ranking compares the ROUNDED
+    cosine (floor-half-up, shared numeric contract) with an id
+    tie-break, so both engines agree on the keeper.
+    """
+    emb = _emb(spark, sf_dir)
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    cid = sum(
+        (F.element_at(e, i + 1) > 0).cast("int") * (1 << (bits - 1 - i))
+        for i in range(bits)
+    )
+    v = emb.select("vec_id", e.alias("e"), cid.alias("cluster_id"))
+    a, b = v.alias("a"), v.alias("b")
+    cos = round_half_up(cosine(F.col("a.e"), F.col("b.e")), 4)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cluster_id").alias("cluster_id"),
+            F.col("a.vec_id").alias("keeper_id"),
+            F.col("b.vec_id").alias("dropped_id"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= tau)
+    )
+    w = Window.partitionBy("dropped_id").orderBy(
+        F.col("cos").desc(), F.col("keeper_id")
+    )
+    return (
+        pairs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("cluster_id", "dropped_id", "keeper_id", "cos")
+        .orderBy("dropped_id")
+    )
+
+
 QUERIES = {
     "v01_embedding_dims": embedding_dims,
     "v02_ann_topk_bruteforce": ann_topk_bruteforce,
@@ -594,6 +673,7 @@ QUERIES = {
     "v04_embedding_neardup": embedding_neardup_pairs,
     "v05_ann_topk_ivf": ann_topk_ivf,
     "v06_ann_topk_pq": ann_topk_pq,
+    "v07_semantic_dedup": semantic_dedup,
 }
 
 # No-DuckDB-oracle by design: v03/v04 band on xxhash64 (no DuckDB twin),
@@ -644,4 +724,32 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """,
     # v03–v04: approximate (sketch recall) — rows-only by design,
     # verified by recall bounds in pytest (V3/V4).
+    # v07: the axis-sign clustering + rounded-cosine keeper choice are
+    # both exact arithmetic — the full SemDeDup drop set is
+    # hash-checked (same float64 list math as the green v02/u03).
+    "v07_semantic_dedup": f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), b AS (
+  SELECT vec_id, e,
+         CAST(e[1] > 0 AS INT) * 8 + CAST(e[2] > 0 AS INT) * 4
+         + CAST(e[3] > 0 AS INT) * 2 + CAST(e[4] > 0 AS INT) AS cluster_id
+  FROM v
+), pairs AS (
+  SELECT a.cluster_id, a.vec_id AS keeper_id, b.vec_id AS dropped_id,
+         CAST(floor(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e)))
+               * 10000 + 0.5) AS BIGINT) / 10000.0 AS cos
+  FROM b a JOIN b b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+), hits AS (
+  SELECT cluster_id, dropped_id, keeper_id, cos,
+         row_number() OVER (PARTITION BY dropped_id
+                            ORDER BY cos DESC, keeper_id) AS r
+  FROM pairs WHERE cos >= {SEMDEDUP_TAU}
+)
+SELECT cluster_id, dropped_id, keeper_id, cos
+FROM hits WHERE r = 1 ORDER BY dropped_id
+""",
 }

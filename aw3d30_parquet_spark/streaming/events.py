@@ -341,6 +341,29 @@ def windowed_leaderboard_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def running_totals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s09: driver-contract entry — batch twin of
+    :func:`running_user_totals`, the ``applyInPandasWithState`` custom
+    stateful operator (S7). The stream's FINAL state (per-user event
+    count + value total after every micro-batch) must equal this plain
+    batch aggregate; the S7 replay test pins stream ≡ batch on the
+    same feed, and this entry puts the batch side under the driver's
+    oracle. ``value_cents`` is summed as exact integer cents (s05's
+    merge-order-proof form) so the hash is partition-order-stable."""
+    register_views(spark, sf_dir)
+    return (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100).cast("bigint")
+            ).alias("value_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "s01_session_windows": session_windows_batch,
     "s02_sliding_windows": sliding_windows_batch,
@@ -349,8 +372,17 @@ QUERIES = {
     "s05_stream_static_enrich": stream_static_enrich_batch,
     "s06_interval_join_outer": interval_join_outer_batch,
     "s07_windowed_leaderboard": windowed_leaderboard_batch,
+    "s09_running_totals": running_totals_batch,
 }
 ORACLE_SQL = {
+    # s09: the batch twin of the applyInPandasWithState running-totals
+    # op (the S7 replay test pins stream final state ≡ this aggregate)
+    "s09_running_totals": """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events GROUP BY user_id ORDER BY user_id
+""",
     "s03_interval_join": """
 SELECT p.event_id AS purchase_id, c.event_id AS click_id
 FROM events p JOIN events c

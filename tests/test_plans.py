@@ -376,3 +376,44 @@ def test_q74_lateral_decorrelates_no_cartesian(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_p14_bloom_probe_is_broadcast_codegen(spark):
+    """p14: the train-side Bloom probe must be map-side — the bitmap
+    and eval-hash relations arrive by broadcast (no SortMergeJoin /
+    ShuffledHashJoin anywhere: the only shuffles are the final
+    aggregates) and the k seeded probes are pure codegen (no Python)."""
+    from aw3d30_parquet_spark.functions.pipeline import (
+        bloom_prefilter_decontaminate,
+    )
+
+    df = bloom_prefilter_decontaminate(spark, SF)
+    plan = formatted_plan(df)
+    assert not has_node(df, "SortMergeJoin")
+    assert not has_node(df, "ShuffledHashJoin")
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_v07_semdedup_join_keys_on_cluster_id(spark):
+    """v07: the only joins are the cluster-id self-join (hash join on
+    cluster_id, never a cartesian product) and no Python eval stage."""
+    from aw3d30_parquet_spark.functions.vectors import semantic_dedup
+
+    df = semantic_dedup(spark, SF)
+    plan = formatted_plan(df)
+    assert not has_node(df, "CartesianProduct")
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_t09_bm25_stats_broadcast_no_cartesian(spark):
+    """t09: the 1-row corpus stats must broadcast (BroadcastNestedLoop
+    on a 1-row side is the declared bounded shape); the candidate join
+    itself must be a hash join, not a cartesian product."""
+    from aw3d30_parquet_spark.functions.text import bm25_search
+
+    df = bm25_search(spark, SF)
+    assert not has_node(df, "CartesianProduct")
+    plan = formatted_plan(df)
+    assert "ArrowEvalPython" not in plan

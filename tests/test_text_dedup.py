@@ -348,3 +348,105 @@ def test_d14_metrics_internally_consistent(spark):
     assert d10.n_true_pairs == len(
         qgram_editdist_pairs(spark, SF_SMOKE).toPandas()
     )
+
+
+def test_t09_bm25_matches_python(spark, docs_pdf):
+    """t09 vs an independent pure-python BM25 (dict-and-loop, no SQL):
+    same distinct-term queries, same k1/b, ranks compared on the
+    floor-rounded score with c_id tie-break."""
+    import math
+    from collections import Counter
+
+    from aw3d30_parquet_spark.functions.text import (
+        BM25_B,
+        BM25_K1,
+        SIMILAR_QUERY_MOD,
+        SIMILAR_TOP_K,
+        bm25_search,
+    )
+
+    tf = {}
+    for _, rec in docs_pdf.iterrows():
+        toks = re.split(r"\s+", rec["text"].strip())
+        tf[int(rec["doc_id"])] = Counter(toks)
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    n_docs = len(tf)
+    sum_dl = sum(dl.values())
+    df = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    want = {}
+    for q in tf:
+        if q % SIMILAR_QUERY_MOD:
+            continue
+        scores = {}
+        for c, ctf in tf.items():
+            if c == q:
+                continue
+            s, n_terms = 0.0, 0
+            for t in tf[q]:
+                if t not in ctf:
+                    continue
+                n_terms += 1
+                idf = math.log(
+                    1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5)
+                )
+                s += (
+                    idf
+                    * ctf[t]
+                    * (BM25_K1 + 1)
+                    / (
+                        ctf[t]
+                        + BM25_K1
+                        * (1 - BM25_B + BM25_B * dl[c] * n_docs / sum_dl)
+                    )
+                )
+            if n_terms:
+                scores[c] = (
+                    math.floor(s * 10000 + 0.5) / 10000,
+                    n_terms,
+                )
+        ranked = sorted(
+            scores.items(), key=lambda kv: (-kv[1][0], kv[0])
+        )[:SIMILAR_TOP_K]
+        for rank, (c, (s, n_terms)) in enumerate(ranked, 1):
+            want[(q, rank)] = (c, n_terms, s)
+    rows = bm25_search(spark, SF_SMOKE).collect()
+    got = {
+        (r.q_id, r.rank): (r.c_id, r.n_terms, r.score) for r in rows
+    }
+    assert set(got) == set(want)
+    for key, (c, n_terms, s) in want.items():
+        gc, gn, gs = got[key]
+        assert (gc, gn) == (c, n_terms), (key, got[key], want[key])
+        assert abs(gs - s) < 1e-9, (key, gs, s)
+    assert len(got) > 0
+
+
+def test_d15_incremental_lsh_vs_exact_split_pairs(spark):
+    """d15: every reported (snapshot, corpus) pair must be exact-true
+    (precision 1.0 — the verify step is exact Jaccard), and recall of
+    comfortably-above-threshold cross-split pairs must clear the same
+    0.9 bar as the d06 self-join (same banding, same guarantee)."""
+    from aw3d30_parquet_spark.functions.dedup import (
+        minhash_lsh_incremental,
+    )
+
+    exact_cross = set()
+    for r in ngram_jaccard_pairs(spark, SF_SMOKE).collect():
+        a_snap, b_snap = r.id_a % 10 >= 8, r.id_b % 10 >= 8
+        if a_snap == b_snap:
+            continue
+        snap, corp = (r.id_a, r.id_b) if a_snap else (r.id_b, r.id_a)
+        exact_cross.add((snap, corp, r.jaccard))
+    got = {
+        (r.snap_id, r.corpus_id)
+        for r in minhash_lsh_incremental(spark, SF_SMOKE).collect()
+    }
+    truth_ids = {(s, c) for s, c, _ in exact_cross}
+    # precision: nothing outside the exact cross-split relation
+    assert got <= truth_ids, sorted(got - truth_ids)[:5]
+    comfortable = {(s, c) for s, c, j in exact_cross if j >= 0.7}
+    assert comfortable, "fixture should contain cross-split near-dups"
+    recall = len(comfortable & got) / len(comfortable)
+    assert recall >= 0.9, f"d15 recall {recall:.2f} < 0.9"

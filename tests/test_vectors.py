@@ -163,3 +163,46 @@ def test_v4_neardup_finds_injected_duplicates(spark, emb_np):
     for ia, ib in got:
         cos = float(unit[by_id[ia]] @ unit[by_id[ib]])
         assert cos >= 0.999 - 1e-9, (ia, ib, cos)
+
+
+def test_v7_semantic_dedup_matches_numpy(spark, emb_np):
+    """V7: the SemDeDup drop set equals a numpy recomputation — same
+    axis-sign clustering, same rounded-cosine keeper rule."""
+    from aw3d30_parquet_spark.functions.vectors import (
+        SEMDEDUP_SIGN_BITS,
+        SEMDEDUP_TAU,
+        semantic_dedup,
+    )
+
+    ids, mat = emb_np
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    signs = (mat[:, :SEMDEDUP_SIGN_BITS] > 0).astype(int)
+    weights = 2 ** np.arange(SEMDEDUP_SIGN_BITS - 1, -1, -1)
+    cids = signs @ weights
+    want = {}
+    for j in range(len(ids)):
+        best = None
+        for i in range(len(ids)):
+            if ids[i] >= ids[j] or cids[i] != cids[j]:
+                continue
+            cos = np.floor(float(unit[i] @ unit[j]) * 10000 + 0.5) / 10000
+            if cos < SEMDEDUP_TAU:
+                continue
+            key = (-cos, int(ids[i]))
+            if best is None or key < best:
+                best = key
+        if best is not None:
+            want[int(ids[j])] = (int(cids[j]), best[1], -best[0])
+    rows = semantic_dedup(spark, SF_SMOKE).collect()
+    got = {
+        r.dropped_id: (r.cluster_id, r.keeper_id, r.cos) for r in rows
+    }
+    assert set(got) == set(want), (
+        sorted(set(got) ^ set(want))[:5]
+    )
+    for d, (cid, kid, cos) in want.items():
+        gcid, gkid, gcos = got[d]
+        assert (gcid, gkid) == (cid, kid), (d, got[d], want[d])
+        assert abs(gcos - cos) < 1e-9, (d, gcos, cos)
+    # non-vacuous on the fixture: the drop path must actually fire
+    assert len(got) > 0
