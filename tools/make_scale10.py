@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Build the 10x scaling-probe corpus described in SCALING.md.
+
+Replicates the sf0.1 FACT tables 10x into the output dir (default
+``/tmp/scale10``) with key offsets so every FK join stays valid, and
+copies the DIMENSION tables unchanged — the realistic scale shape:
+facts grow, dims don't.
+
+- ``customer``/``orders``/``lineitem`` replicas shift their key chain
+  together (``o_custkey`` with ``c_custkey``, ``l_orderkey`` with
+  ``o_orderkey``); ``l_partkey``/``l_suppkey`` keep pointing at the
+  fixed dims.
+- ``events`` replicas get distinct users (offset ``user_id``).
+- ``documents`` replicas append a one-token replica tag to ``text`` —
+  deliberately making every replica a ~0.95-Jaccard near-dup of its
+  original: the ADVERSARIAL case for the dedup family (hot shingles,
+  hot LSH buckets, quadratically more true pairs).
+- ``embeddings`` replicas keep identical vectors under offset ids —
+  10-member exact-duplicate clusters, the adversarial case for
+  embedding near-dup / SemDeDup.
+
+Usage: ``python tools/make_scale10.py [out_dir] [replicas]`` then
+``SPARK_GRAFT_SF_DIR=/tmp/scale10 SPARK_GRAFT_BENCH_REPEATS=1
+SPARK_GRAFT_BENCH_ONLY=... python bench.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import duckdb
+
+SRC = os.environ.get("SCALE_SRC_DIR", "/root/testdata/sf0.1")
+
+# key stride per replica — round numbers above every sf0.1 max key
+STRIDES = {
+    "customer": ("c_custkey", 100_000),
+    "orders": ("o_orderkey", 1_000_000),
+    "events": ("event_id", 1_000_000),
+    "documents": ("doc_id", 100_000),
+    "embeddings": ("vec_id", 100_000),
+}
+DIMS = ("region", "nation", "supplier", "part")
+
+
+def build(out_dir: str = "/tmp/scale10", replicas: int = 10) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    for t in DIMS:
+        shutil.copyfile(
+            os.path.join(SRC, f"{t}.parquet"),
+            os.path.join(out_dir, f"{t}.parquet"),
+        )
+
+    def rep(table: str, select: str) -> None:
+        """UNION ALL of `select` for i in 0..replicas-1 -> parquet."""
+        parts = [select.format(i=i) for i in range(replicas)]
+        sql = " UNION ALL ".join(parts)
+        con.execute(
+            f"COPY ({sql}) TO '{out_dir}/{table}.parquet' (FORMAT PARQUET)"
+        )
+
+    src = lambda t: f"read_parquet('{SRC}/{t}.parquet')"  # noqa: E731
+
+    rep(
+        "customer",
+        f"SELECT c_custkey + {{i}}*{STRIDES['customer'][1]} AS c_custkey,"
+        " c_name, c_nationkey, c_acctbal, c_mktsegment FROM "
+        + src("customer"),
+    )
+    rep(
+        "orders",
+        f"SELECT o_orderkey + {{i}}*{STRIDES['orders'][1]} AS o_orderkey,"
+        f" o_custkey + {{i}}*{STRIDES['customer'][1]} AS o_custkey,"
+        " o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM "
+        + src("orders"),
+    )
+    rep(
+        "lineitem",
+        f"SELECT l_orderkey + {{i}}*{STRIDES['orders'][1]} AS l_orderkey,"
+        " l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,"
+        " l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate FROM "
+        + src("lineitem"),
+    )
+    rep(
+        "events",
+        f"SELECT event_id + {{i}}*{STRIDES['events'][1]} AS event_id, ts,"
+        f" user_id + {{i}}*{STRIDES['events'][1]} AS user_id,"
+        " event_type, value, props FROM " + src("events"),
+    )
+    rep(
+        "documents",
+        f"SELECT doc_id + {{i}}*{STRIDES['documents'][1]} AS doc_id,"
+        " CASE WHEN {i} = 0 THEN text"
+        " ELSE text || ' replica{i}' END AS text,"
+        " lang, source, n_chars FROM " + src("documents"),
+    )
+    rep(
+        "embeddings",
+        f"SELECT vec_id + {{i}}*{STRIDES['embeddings'][1]} AS vec_id,"
+        " embedding, label FROM " + src("embeddings"),
+    )
+    for t in list(STRIDES) + list(DIMS):
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{out_dir}/{t}.parquet')"
+        ).fetchone()[0]
+        print(f"{t}: {n} rows")
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    build(out, n)
