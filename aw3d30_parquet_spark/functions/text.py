@@ -322,6 +322,22 @@ def similar_doc_search(
 #: BM25 constants (Robertson/Sparck Jones defaults).
 BM25_K1 = 1.2
 BM25_B = 0.75
+#: Fixed query budget: only doc_ids below this cap are eligible as
+#: queries, so the query count stops scaling with the corpus (real
+#: retrieval QPS is independent of corpus size). At sf0.01/sf0.1 the
+#: cap is above every doc_id — no behavior change; the 10× probe is
+#: where it bites (500 → 50 queries, SCALING.md).
+BM25_QUERY_CAP = 5000
+#: Query-term pruning: keep each query's m globally-RAREST terms
+#: (order by (df, term) — deterministic, oracle-reproducible). The
+#: standard sparse-retrieval candidate bound: per-query candidate
+#: volume is Σ of the m smallest dfs, so Zipf-tail terms drive the
+#: join and corpus-wide hot terms never enter it. On this fixture's
+#: 31-term vocabulary every doc has ≤31 distinct terms, so m=32 prunes
+#: nothing and scores are unchanged — the guard exists for realistic
+#: vocabularies where it is the difference between Σ tail-dfs and
+#: Σ all-dfs per query.
+BM25_QUERY_TERMS = 32
 
 
 def bm25_search(
@@ -331,9 +347,14 @@ def bm25_search(
     t08's jaccard search (Robertson et al., Okapi BM25: the standard
     sparse-retrieval scorer; k1=1.2, b=0.75).
 
-    Query set is t08's bounded slice (``doc_id % 100 = 0``); each query
-    doc's DISTINCT terms form its bag-of-words query (short-query BM25:
-    query-side tf is not weighted). Per (query, candidate) score is
+    Query set is t08's bounded slice (``doc_id % 100 = 0``) under a
+    FIXED budget (``doc_id < BM25_QUERY_CAP`` — query volume must not
+    scale with the corpus; the 10× probe initially grew 39× because
+    queries AND postings both scaled, SCALING.md); each query doc's
+    DISTINCT terms — pruned to its ``BM25_QUERY_TERMS`` globally
+    rarest, the sparse-retrieval candidate bound — form its
+    bag-of-words query (short-query BM25: query-side tf is not
+    weighted). Per (query, candidate) score is
 
         Σ_t  ln(1 + (N − df + 0.5)/(df + 0.5))
              · tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/Σdl))
@@ -349,9 +370,11 @@ def bm25_search(
     Scale shape: the (doc, term, tf) relation is the maintained
     inverted index (persisted here, a table at 100 TB); df and the
     2-integer corpus stats are term- and 1-row relations (broadcast);
-    the candidate join is ASYMMETRIC — query terms ⋈ postings — so
-    volume is Σ_{t ∈ queries} df_t, linear in the query count, never
-    corpus². The per-query window never sees more than one query's
+    the candidate join is ASYMMETRIC — pruned query terms ⋈ postings —
+    so volume is bounded by |queries| · Σ(m rarest dfs): the query
+    budget fixes the first factor and the rarest-term prune keeps the
+    second on the Zipf tail (corpus-wide hot terms never enter the
+    join). The per-query window never sees more than one query's
     candidates.
     """
     from pyspark.sql import Window
@@ -372,8 +395,24 @@ def bm25_search(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     dfr = tf.groupBy("term").agg(F.count("*").alias("df"))
-    qterms = tf.filter(F.col("doc_id") % SIMILAR_QUERY_MOD == 0).select(
-        F.col("doc_id").alias("q_id"), "term"
+    # query set: sampled AND capped (fixed query budget — query volume
+    # must not scale with the corpus), then pruned to each query's
+    # BM25_QUERY_TERMS rarest terms. The prune ranks the tiny
+    # query-side relation only (|queries|·terms rows) — never the
+    # postings.
+    wq = Window.partitionBy("q_id").orderBy("df", "term")
+    qterms = (
+        tf.filter(
+            (F.col("doc_id") % SIMILAR_QUERY_MOD == 0)
+            & (F.col("doc_id") < BM25_QUERY_CAP)
+        )
+        .select(F.col("doc_id").alias("q_id"), "term")
+        .join(dfr, "term")
+        .withColumn("qr", F.row_number().over(wq))
+        .filter(F.col("qr") <= BM25_QUERY_TERMS)
+        # keep df: the idf factor rides the broadcast instead of a
+        # second vocabulary-keyed join against the candidate stream
+        .select("q_id", "term", "df")
     )
     idf = F.log(
         1.0
@@ -390,13 +429,19 @@ def bm25_search(
             / F.col("sum_dl").cast("double")
         )
     )
+    # the query relation is bounded by construction (|queries|·m rows)
+    # — broadcast it explicitly: the candidate join must be map-side
+    # over the postings scan, never a shuffle on the term column
+    # (vocabulary-sized key space ⇒ pathological reduce-side skew; the
+    # rank window above it also defeats AQE's size estimate, so the
+    # hint is load-bearing, not advisory)
     scored = (
-        qterms.join(
+        F.broadcast(qterms)
+        .join(
             tf.select(F.col("doc_id").alias("c_id"), "term", "tf"),
             "term",
         )
         .filter(F.col("c_id") != F.col("q_id"))
-        .join(dfr, "term")
         .join(dl.select(F.col("doc_id").alias("c_id"), "dl"), "c_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("q_id", "c_id")
@@ -598,21 +643,32 @@ WITH toks AS (
   SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
 ), dfr AS (
   SELECT term, count(*) AS df FROM tf GROUP BY term
+), qterms AS (
+  -- fixed query budget + rarest-m query-term pruning (same
+  -- deterministic (df, term) ordering as the Spark side)
+  SELECT q_id, term FROM (
+    SELECT q.doc_id AS q_id, q.term,
+           row_number() OVER (
+             PARTITION BY q.doc_id ORDER BY dfr.df, q.term
+           ) AS qr
+    FROM tf q JOIN dfr ON dfr.term = q.term
+    WHERE q.doc_id % {SIMILAR_QUERY_MOD} = 0
+      AND q.doc_id < {BM25_QUERY_CAP}
+  ) WHERE qr <= {BM25_QUERY_TERMS}
 ), scored AS (
-  SELECT q.doc_id AS q_id, c.doc_id AS c_id,
+  SELECT q.q_id, c.doc_id AS c_id,
          count(*) AS n_terms,
          CAST(floor(sum(
            ln(1.0 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
            * (c.tf * ({BM25_K1} + 1)) / (c.tf + {BM25_K1} * (1.0 - {BM25_B}
               + {BM25_B} * (dl.dl * s.n_docs) / CAST(s.sum_dl AS DOUBLE)))
          ) * 10000 + 0.5) AS BIGINT) / 10000.0 AS score
-  FROM tf q
-  JOIN tf c ON c.term = q.term AND c.doc_id <> q.doc_id
+  FROM qterms q
+  JOIN tf c ON c.term = q.term AND c.doc_id <> q.q_id
   JOIN dfr ON dfr.term = q.term
   JOIN dl ON dl.doc_id = c.doc_id
   CROSS JOIN stats s
-  WHERE q.doc_id % {SIMILAR_QUERY_MOD} = 0
-  GROUP BY q.doc_id, c.doc_id
+  GROUP BY q.q_id, c.doc_id
 ), ranked AS (
   SELECT q_id, c_id, n_terms, score,
          CAST(row_number() OVER (

@@ -592,7 +592,37 @@ def ann_topk_pq(
 #: k-means clusters); here bits = log2(k) and the deterministic
 #: axis-sign family stands in for the trained centroids so the WHOLE
 #: operator stays cross-engine reproducible (see docstring).
+#: ``SEMDEDUP_SIGN_BITS`` is the FLOOR — :func:`semdedup_bits` scales
+#: bits with the corpus so the within-cluster quadratic term
+#: (Σ n_c² ≈ n·target) stays linear in n: the 10× probe initially grew
+#: 33× on fixed 16 clusters (SCALING.md), the SemDeDup failure mode
+#: the paper's k ∝ n rule exists to prevent.
 SEMDEDUP_SIGN_BITS = 4
+#: target mean cluster occupancy; bits = ceil(log2(n / target)).
+SEMDEDUP_TARGET_CLUSTER = 128
+#: cap: embeddings are 64-dim, and past 2^16 clusters the axis-sign
+#: family runs out of useful sign diversity on this fixture.
+SEMDEDUP_MAX_BITS = 16
+
+
+def semdedup_bits(n: int) -> int:
+    """Corpus-size-adaptive cluster bits: smallest ``bits`` with mean
+    occupancy ≤ ``SEMDEDUP_TARGET_CLUSTER``, clamped to
+    [SIGN_BITS, MAX_BITS]. The DuckDB oracle computes the identical
+    ``greatest(4, least(16, ceil(log2(count(*)/128.0))))`` — exact
+    powers of two hit exact log2 in both engines, so the two sides
+    can never disagree on the cluster width."""
+    import math
+
+    if n <= 0:
+        return SEMDEDUP_SIGN_BITS
+    return max(
+        SEMDEDUP_SIGN_BITS,
+        min(
+            SEMDEDUP_MAX_BITS,
+            math.ceil(math.log2(n / SEMDEDUP_TARGET_CLUSTER)),
+        ),
+    )
 #: within-cluster cosine at/above which the higher-id vector is a
 #: semantic duplicate. Real deployments run ~0.95+ on trained text
 #: embeddings; the synthetic fixture's embeddings are near-isotropic
@@ -606,7 +636,7 @@ def semantic_dedup(
     spark: SparkSession,
     sf_dir: str,
     tau: float = SEMDEDUP_TAU,
-    bits: int = SEMDEDUP_SIGN_BITS,
+    bits: int | None = None,
 ) -> DataFrame:
     """v07: SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then drop any
@@ -633,6 +663,12 @@ def semantic_dedup(
     tie-break, so both engines agree on the keeper.
     """
     emb = _emb(spark, sf_dir)
+    if bits is None:
+        # corpus-size-adaptive cluster width (k ∝ n — the SemDeDup
+        # contract). The count is a parquet-footer metadata read, not
+        # a data scan; resolving it driver-side keeps the cluster-id
+        # expression a static codegen literal.
+        bits = semdedup_bits(emb.count())
     e = F.transform("embedding", lambda x: x.cast("double"))
     cid = sum(
         (F.element_at(e, i + 1) > 0).cast("int") * (1 << (bits - 1 - i))
@@ -731,11 +767,23 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
+), bb AS (
+  -- corpus-size-adaptive cluster bits: the same
+  -- clamp(ceil(log2(n/target))) as semdedup_bits(); exact powers of
+  -- two hit exact log2 in both engines
+  SELECT greatest({SEMDEDUP_SIGN_BITS}, least({SEMDEDUP_MAX_BITS},
+         CAST(ceil(log2(count(*) / {SEMDEDUP_TARGET_CLUSTER}.0)) AS INT)))
+         AS bits
+  FROM embeddings
 ), b AS (
+  -- MSB-first fold over the first `bits` sign bits — identical to the
+  -- Spark side's Σ (e[i]>0)·2^(bits-1-i)
   SELECT vec_id, e,
-         CAST(e[1] > 0 AS INT) * 8 + CAST(e[2] > 0 AS INT) * 4
-         + CAST(e[3] > 0 AS INT) * 2 + CAST(e[4] > 0 AS INT) AS cluster_id
-  FROM v
+         list_reduce(
+           list_transform(range(1, bb.bits + 1),
+                          j -> CAST(e[j] > 0 AS BIGINT)),
+           (acc, x) -> acc * 2 + x) AS cluster_id
+  FROM v CROSS JOIN bb
 ), pairs AS (
   SELECT a.cluster_id, a.vec_id AS keeper_id, b.vec_id AS dropped_id,
          CAST(floor(list_dot_product(a.e, b.e)

@@ -169,15 +169,16 @@ def test_v7_semantic_dedup_matches_numpy(spark, emb_np):
     """V7: the SemDeDup drop set equals a numpy recomputation — same
     axis-sign clustering, same rounded-cosine keeper rule."""
     from aw3d30_parquet_spark.functions.vectors import (
-        SEMDEDUP_SIGN_BITS,
         SEMDEDUP_TAU,
         semantic_dedup,
+        semdedup_bits,
     )
 
     ids, mat = emb_np
+    bits = semdedup_bits(len(ids))
     unit = mat / np.linalg.norm(mat, axis=1)[:, None]
-    signs = (mat[:, :SEMDEDUP_SIGN_BITS] > 0).astype(int)
-    weights = 2 ** np.arange(SEMDEDUP_SIGN_BITS - 1, -1, -1)
+    signs = (mat[:, :bits] > 0).astype(int)
+    weights = 2 ** np.arange(bits - 1, -1, -1)
     cids = signs @ weights
     want = {}
     for j in range(len(ids)):
