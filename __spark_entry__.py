@@ -107,11 +107,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     combined: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     combined.update(RELATIONAL_QUERIES)
 
-    from aw3d30_parquet_spark.operators import bucketing, skew, zorder
+    from aw3d30_parquet_spark.operators import bucketing, graph, skew, zorder
 
     combined.update(zorder.QUERIES)
     combined.update(skew.QUERIES)
     combined.update(bucketing.QUERIES)
+    combined.update(graph.QUERIES)
 
     from aw3d30_parquet_spark.functions import EXTENDED_QUERIES
 
@@ -176,11 +177,12 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(ORACLE_SQL)
 
-    from aw3d30_parquet_spark.operators import bucketing, skew, zorder
+    from aw3d30_parquet_spark.operators import bucketing, graph, skew, zorder
 
     out.update(zorder.ORACLE_SQL)
     out.update(skew.ORACLE_SQL)
     out.update(bucketing.ORACLE_SQL)
+    out.update(graph.ORACLE_SQL)
 
     from aw3d30_parquet_spark.functions import EXTENDED_ORACLE_SQL
 

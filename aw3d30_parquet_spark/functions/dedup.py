@@ -1017,6 +1017,104 @@ def minhash_lsh_incremental(
     )
 
 
+#: d16 substring-span windows: width/stride in CHARACTERS. Lee et al.
+#: 2022 (arXiv:2107.06499) dedup at 50-token granularity via suffix
+#: arrays; the distributed re-expression is fixed-width overlapping
+#: windows — a stride-S window inventory detects every duplicated run
+#: of length ≥ W + S − 1 (any such run contains a full aligned window
+#: on both sides), with start/end resolution S.
+SPAN_WIDTH = 40
+SPAN_STRIDE = 20
+
+
+def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d16: exact duplicated-SUBSTRING detection — the span-level
+    member of the exact-dedup family (d01 = whole document, d04 = set
+    similarity, this = repeated passages INSIDE otherwise-distinct
+    documents, the boilerplate/licence-header/quoted-chain-email case
+    that document-level dedup cannot see; Lee et al. 2022 show these
+    repeated spans measurably hurt trained models).
+
+    Plan: slide a width-``SPAN_WIDTH`` stride-``SPAN_STRIDE`` window
+    over each document (``sequence`` + ``substring`` — pure codegen,
+    no Python); a window is DUPLICATED when its md5 digest occurs in
+    ≥2 distinct documents. Each document's duplicated windows are then
+    merged into maximal spans (gaps-and-islands over the window
+    offsets: a window starts a new span iff it begins past the
+    previous covered end + 1) and the output is one row per document
+    carrying ``n_dup_windows``, ``n_spans`` and ``dup_chars`` (total
+    characters covered by merged spans).
+
+    Scale shape: the window inventory is len/S rows per doc with a
+    16-byte digest key — the ONLY corpus-sized shuffle is the
+    digest groupBy (same posture as d01, ~n·len/S keys); the dup-key
+    set joins back digest-keyed (never text), and the span merge is a
+    per-document window over that doc's own duplicated offsets. At
+    100 TB the digest inventory is the maintained artifact (a
+    bucketed table keyed by digest) and a new shard probes it — the
+    same incremental form as d09/d13/d15.
+    """
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    w, s = SPAN_WIDTH, SPAN_STRIDE
+    grams = _scratch_persist(
+        "d16",
+        docs.filter(F.col("n") >= w)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n") - (w - 1), F.lit(s))
+            ).alias("p"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.md5(F.expr(f"substring(text, p, {w})")).alias("h"),
+        ),
+    )
+    dup_keys = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup_windows = grams.join(dup_keys, "h").select("doc_id", "p")
+    prev_end = F.max(F.col("p") + (w - 1)).over(
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup_windows.withColumn(
+        "new_span",
+        F.when(
+            prev_end.isNull() | (F.col("p") > prev_end + 1), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_span").over(
+            Window.partitionBy("doc_id")
+            .orderBy("p")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.count("*").alias("n_windows"),
+        (F.max("p") + (w - 1) - F.min("p") + 1).alias("span_len"),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.sum("n_windows").alias("n_dup_windows"),
+            F.count("*").alias("n_spans"),
+            F.sum("span_len").alias("dup_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "d01_exact_dedup_count": exact_dedup_count,
     "d02_exact_dedup_keep_first": exact_dedup_keep_first,
@@ -1030,6 +1128,7 @@ QUERIES = {
     "d13_editdist_incremental": editdist_incremental,
     "d14_editdist_metrics": editdist_candidate_metrics,
     "d15_lsh_incremental": minhash_lsh_incremental,
+    "d16_substring_spans": substring_span_dedup,
 }
 
 # d05/d06 were rows-only while their hashes were xxhash64 (no XXH64 in
@@ -1205,6 +1304,51 @@ JOIN counts ca ON ca.doc_id = i.snap_id
 JOIN counts cb ON cb.doc_id = i.corpus_id
 WHERE inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE) >= 0.6
 ORDER BY i.snap_id, i.corpus_id
+"""
+
+# d16: the oracle recomputes the window inventory (generate_series ≙
+# sequence), the ≥2-distinct-docs digest set, and the identical
+# gaps-and-islands span merge.
+ORACLE_SQL["d16_substring_spans"] = f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(generate_series(1, length(text) - {SPAN_WIDTH - 1},
+                                {SPAN_STRIDE})) AS p,
+         text
+  FROM documents WHERE length(text) >= {SPAN_WIDTH}
+), g AS (
+  SELECT doc_id, p, md5(substr(text, p, {SPAN_WIDTH})) AS h FROM w
+), dup AS (
+  SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), dw AS (
+  SELECT g.doc_id, g.p FROM g JOIN dup ON dup.h = g.h
+), flagged AS (
+  SELECT doc_id, p,
+         CASE WHEN max(p + {SPAN_WIDTH - 1}) OVER (
+                PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) IS NULL
+              OR p > max(p + {SPAN_WIDTH - 1}) OVER (
+                PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) + 1
+         THEN 1 ELSE 0 END AS new_span
+  FROM dw
+), islands AS (
+  SELECT doc_id, p,
+         sum(new_span) OVER (
+           PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS island
+  FROM flagged
+), spans AS (
+  SELECT doc_id, island, count(*) AS n_windows,
+         max(p) + {SPAN_WIDTH - 1} - min(p) + 1 AS span_len
+  FROM islands GROUP BY doc_id, island
+)
+SELECT doc_id, CAST(sum(n_windows) AS BIGINT) AS n_dup_windows,
+       count(*) AS n_spans, CAST(sum(span_len) AS BIGINT) AS dup_chars
+FROM spans GROUP BY doc_id ORDER BY doc_id
 """
 
 

@@ -1,0 +1,175 @@
+"""Iterative graph analytics as DataFrame loops: fixed-iteration
+PageRank over the supplier↔customer shipping graph.
+
+The engine's only iterative-algorithm surface so far was d08's label
+propagation (bounded by cluster diameter); PageRank is the canonical
+UNBOUNDED-iteration fixpoint, here run for a FIXED iteration count so
+the result is a deterministic, oracle-checkable relation. The pattern
+is the Pregel-on-DataFrames loop every Spark graph library uses under
+the hood: ``ranks`` is a small (|nodes|-row) relation re-joined to the
+static ``edges`` relation once per iteration, with a persist per step
+to cut lineage (at scale: checkpoint every ~5 iterations).
+
+Determinism contract — SCALED-INTEGER arithmetic: double-precision
+PageRank is NOT order-independent (float addition does not associate,
+and Spark's partial-aggregation order is nondeterministic), so rank
+mass is carried as BIGINT units of 10^-12 (``rank_e12``) and every
+step is integer math: contributions are ``rank div out_degree``
+(exact integral division, Spark ``div`` ≙ DuckDB ``//``), the damping
+factor 0.85 is the exact rational 17/20, and the teleport term is
+``(3·10^12 div 20) div N``. BIGINT sums are exact and
+order-independent, so Spark and DuckDB can never disagree — the same
+reason d04 carries jaccard as exact-integer intersections and s09
+carries cents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aw3d30_parquet_spark.session import register_views
+
+#: rank mass scale: 1.0 ≡ 10^12 (micro-micro units — 12 decimal
+#: digits of rank resolution, far below any ranking-relevant gap).
+PR_SCALE = 10**12
+#: fixed iteration count (unrolled identically in the DuckDB oracle).
+PR_ITERS = 3
+#: damping 0.85 as the exact rational 17/20.
+PR_DAMP_NUM, PR_DAMP_DEN = 17, 20
+#: supplier node ids are offset into their own key space (max custkey
+#: at the 10× probe is ~915k; a 100 TB deployment sizes this to its
+#: key domain or uses a (type, id) struct key).
+PR_SUPP_OFFSET = 10_000_000
+#: output: top-k nodes by final rank (bounded driver-visible slice;
+#: the full rank relation is the operator's real product at scale).
+PR_TOP_K = 50
+
+
+def pagerank_supplier_customer(
+    spark: SparkSession, sf_dir: str, iters: int = PR_ITERS
+) -> DataFrame:
+    """l01: ``iters`` exact-arithmetic PageRank steps over the
+    undirected supplier↔customer graph (an edge per DISTINCT
+    (l_suppkey, o_custkey) shipping relationship).
+
+    Undirected ⇒ both directions materialized ⇒ every node has
+    out-degree ≥ 1, so there is no dangling-mass term. Per step::
+
+        rank'(v) = (0.15·S) div N  +  (17 · Σ_{u→v} rank(u) div deg(u)) div 20
+
+    all in BIGINT units of 1e-12 (see module docstring). Output is the
+    top ``PR_TOP_K`` nodes by final rank (rank desc, node id asc).
+
+    Scale shape: ``edges`` is derived once (the only text-free
+    fact-fact join — lineitem⋈orders on orderkey, then distinct) and
+    persisted; each iteration is one shuffle of the |nodes|-row rank
+    relation keyed by node id plus a broadcast-sized teleport scalar.
+    Edge partitioning is reused across iterations (the persist holds
+    the post-shuffle layout); at 1000 executors the same loop runs
+    with ``edges`` bucketed by src so the per-iteration join is
+    co-located and only ranks move.
+    """
+    register_views(spark, sf_dir)
+    li = spark.table("lineitem").select("l_orderkey", "l_suppkey")
+    orders = spark.table("orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("l_suppkey") + PR_SUPP_OFFSET).alias("s"),
+            F.col("o_custkey").alias("c"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        )
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    n_nodes = deg.count()  # |nodes| — a scalar, also sizes the teleport
+    teleport = (3 * PR_SCALE // PR_DAMP_DEN) // n_nodes
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        F.lit(PR_SCALE // n_nodes).cast("long").alias("r"),
+    ).persist()
+    edge_deg = edges.join(deg, "src").persist()
+    for _ in range(iters):
+        contrib = (
+            edge_deg.join(ranks, edge_deg.src == ranks.node)
+            .select(
+                F.col("dst"),
+                F.expr("r div deg").alias("share"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        new_ranks = contrib.select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(teleport)
+                + F.expr(f"({PR_DAMP_NUM} * contrib) div {PR_DAMP_DEN}")
+            ).alias("r"),
+        ).persist()
+        # materialize before dropping the parent from memory: each
+        # iteration must read ONE fixed input, not a lineage re-run
+        new_ranks.count()
+        ranks.unpersist()
+        ranks = new_ranks
+    return (
+        ranks.select("node", F.col("r").alias("rank_e12"))
+        .orderBy(F.col("rank_e12").desc(), "node")
+        .limit(PR_TOP_K)
+    )
+
+
+QUERIES = {"l01_pagerank_fixed": pagerank_supplier_customer}
+
+# The oracle unrolls the same three exact-integer steps as CTEs —
+# DuckDB's `//` is the same integral division as Spark's `div`, and
+# BIGINT sums are order-independent in both engines, so the hash
+# match certifies every intermediate rank vector, not just the top-k.
+_PR_STEP = """
+, it{i} AS (
+  SELECT e.dst AS node,
+         (SELECT tele FROM consts)
+         + ({dnum} * sum(r.r // e.deg)) // {dden} AS r
+  FROM edge_deg e JOIN it{prev} r ON r.node = e.src
+  GROUP BY e.dst
+)"""
+
+_PR_SQL = (
+    f"""
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey + {PR_SUPP_OFFSET} AS s, o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT s AS src, c AS dst FROM pairs
+  UNION ALL
+  SELECT c AS src, s AS dst FROM pairs
+), deg AS (
+  SELECT src, count(*) AS deg FROM edges GROUP BY src
+), consts AS (
+  SELECT count(*) AS n,
+         (3 * {PR_SCALE} // {PR_DAMP_DEN}) // count(*) AS tele
+  FROM deg
+), edge_deg AS (
+  SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON d.src = e.src
+), it0 AS (
+  SELECT src AS node, {PR_SCALE} // (SELECT n FROM consts) AS r FROM deg
+)"""
+    + "".join(
+        _PR_STEP.format(
+            i=i, prev=i - 1, dnum=PR_DAMP_NUM, dden=PR_DAMP_DEN
+        )
+        for i in range(1, PR_ITERS + 1)
+    )
+    + f"""
+SELECT node, CAST(r AS BIGINT) AS rank_e12 FROM it{PR_ITERS}
+ORDER BY rank_e12 DESC, node LIMIT {PR_TOP_K}
+"""
+)
+
+ORACLE_SQL = {"l01_pagerank_fixed": _PR_SQL}

@@ -360,6 +360,8 @@ def test_t09_bm25_matches_python(spark, docs_pdf):
     from aw3d30_parquet_spark.functions.text import (
         BM25_B,
         BM25_K1,
+        BM25_QUERY_CAP,
+        BM25_QUERY_TERMS,
         SIMILAR_QUERY_MOD,
         SIMILAR_TOP_K,
         bm25_search,
@@ -377,14 +379,19 @@ def test_t09_bm25_matches_python(spark, docs_pdf):
         df.update(c.keys())
     want = {}
     for q in tf:
-        if q % SIMILAR_QUERY_MOD:
+        if q % SIMILAR_QUERY_MOD or q >= BM25_QUERY_CAP:
             continue
+        # rarest-m query-term pruning, same (df, term) ordering as the
+        # operator (no-op on this fixture's <=31-term vocabulary)
+        q_terms = set(
+            sorted(tf[q], key=lambda t: (df[t], t))[:BM25_QUERY_TERMS]
+        )
         scores = {}
         for c, ctf in tf.items():
             if c == q:
                 continue
             s, n_terms = 0.0, 0
-            for t in tf[q]:
+            for t in q_terms:
                 if t not in ctf:
                     continue
                 n_terms += 1
@@ -450,3 +457,54 @@ def test_d15_incremental_lsh_vs_exact_split_pairs(spark):
     assert comfortable, "fixture should contain cross-split near-dups"
     recall = len(comfortable & got) / len(comfortable)
     assert recall >= 0.9, f"d15 recall {recall:.2f} < 0.9"
+
+
+def test_d16_substring_spans_matches_python(spark, docs_pdf):
+    """d16 vs an independent pure-python recomputation: same window
+    inventory, same >=2-distinct-docs duplicate rule, same
+    gaps-and-islands span merge."""
+    from collections import defaultdict
+
+    from aw3d30_parquet_spark.functions.dedup import (
+        SPAN_STRIDE,
+        SPAN_WIDTH,
+        substring_span_dedup,
+    )
+
+    occ = defaultdict(set)
+    wins = {}
+    for _, rec in docs_pdf.iterrows():
+        d, t = int(rec["doc_id"]), rec["text"]
+        ps = []
+        p = 0
+        while p + SPAN_WIDTH <= len(t):
+            g = t[p : p + SPAN_WIDTH]
+            occ[g].add(d)
+            ps.append((p, g))
+            p += SPAN_STRIDE
+        wins[d] = ps
+    want = {}
+    for d, ps in wins.items():
+        dup = [p for p, g in ps if len(occ[g]) >= 2]
+        if not dup:
+            continue
+        spans = []
+        prev_end = None
+        for p in dup:
+            if prev_end is None or p > prev_end + 1:
+                spans.append([p, p + SPAN_WIDTH - 1])
+            else:
+                spans[-1][1] = max(spans[-1][1], p + SPAN_WIDTH - 1)
+            prev_end = spans[-1][1]
+        want[d] = (
+            len(dup),
+            len(spans),
+            sum(e - s + 1 for s, e in spans),
+        )
+    rows = substring_span_dedup(spark, SF_SMOKE).collect()
+    got = {
+        r.doc_id: (r.n_dup_windows, r.n_spans, r.dup_chars) for r in rows
+    }
+    assert got == want, sorted(set(got) ^ set(want))[:5]
+    # non-vacuous: the fixture must actually contain repeated passages
+    assert len(got) > 0
