@@ -702,6 +702,57 @@ def semantic_dedup(
     )
 
 
+#: v08 radius: rounded-cosine threshold for range search (fixture max
+#: pairwise cosine ≈ 0.51, so 0.3 returns a non-vacuous neighbor set).
+RANGE_SEARCH_TAU = 0.3
+
+
+def cosine_range_search(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = RANGE_SEARCH_TAU,
+    n_queries: int = DEFAULT_N_QUERIES,
+) -> DataFrame:
+    """v08: cosine RANGE search — the radius-query sibling of v02's
+    top-k (similarity search's second primitive: "everything within
+    distance r", the form dedup thresholds, recommendation floors and
+    recall evaluation all consume). Same broadcast-queries ⋈ corpus
+    scan shape as v02, but the per-query result is unbounded-by-k and
+    gated on the ROUNDED cosine — which makes the threshold itself
+    part of the determinism contract (a raw-float gate could admit a
+    pair in one engine and reject it in the other at the boundary).
+
+    Per-query hit counts ride along (``n_hits``) so the driver hash
+    also pins the result-set SIZE per query, not just its members.
+
+    Scale shape: identical to v02 — broadcast the bounded query set,
+    single streaming corpus scan, no shuffle before the final
+    per-query aggregation; an IVF-accelerated variant would reuse
+    v05's index with a per-cell cosine bound (skipping cells whose
+    centroid bound is below τ).
+    """
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    cos = round_half_up(cosine(F.col("q_emb"), F.col("c_emb")), 4)
+    hits = (
+        F.broadcast(queries)
+        .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= tau)
+    )
+    n_hits = Window.partitionBy("query_id")
+    return (
+        hits.withColumn("n_hits", F.count("*").over(n_hits))
+        .select("query_id", "n_hits", "neighbor_id", "cos")
+        .orderBy("query_id", "neighbor_id")
+    )
+
+
 QUERIES = {
     "v01_embedding_dims": embedding_dims,
     "v02_ann_topk_bruteforce": ann_topk_bruteforce,
@@ -710,6 +761,7 @@ QUERIES = {
     "v05_ann_topk_ivf": ann_topk_ivf,
     "v06_ann_topk_pq": ann_topk_pq,
     "v07_semantic_dedup": semantic_dedup,
+    "v08_cosine_range_search": cosine_range_search,
 }
 
 # No-DuckDB-oracle by design: v03/v04 band on xxhash64 (no DuckDB twin),
@@ -799,5 +851,29 @@ WITH v AS (
 )
 SELECT cluster_id, dropped_id, keeper_id, cos
 FROM hits WHERE r = 1 ORDER BY dropped_id
+""",
+    # v08: same float64 list math as v02; the threshold gates the
+    # ROUNDED cosine on both sides, and n_hits pins result-set sizes.
+    "v08_cosine_range_search": f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 20
+), scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         CAST(floor(list_dot_product(v.e, q.qe)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(q.qe, q.qe)))
+               * 10000 + 0.5) AS BIGINT) / 10000.0 AS cos
+  FROM q JOIN v ON v.vec_id <> q.query_id
+), hits AS (
+  SELECT query_id, neighbor_id, cos FROM scored
+  WHERE cos >= {RANGE_SEARCH_TAU}
+)
+SELECT query_id,
+       count(*) OVER (PARTITION BY query_id) AS n_hits,
+       neighbor_id, cos
+FROM hits ORDER BY query_id, neighbor_id
 """,
 }

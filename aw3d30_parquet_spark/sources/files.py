@@ -124,7 +124,85 @@ def csv_json_roundtrip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"f01_csv_json_roundtrip": csv_json_roundtrip_join}
+SUPPLIER_SCHEMA = (
+    "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE"
+)
+#: brands whose partitions the f02 read-back actually scans — the
+#: pruning predicate (see docstring).
+F02_BRANDS = ("Brand#7", "Brand#11", "Brand#22")
+
+
+def orc_roundtrip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f02: ORC source/sink roundtrip — the columnar sibling of f01's
+    text formats (Spark's built-in ORC reader/writer; the format the
+    Hive-era lakehouse still runs on).
+
+    supplier travels through a plain ORC export; part through an ORC
+    export PARTITIONED BY p_brand with the read-back filtered to
+    ``F02_BRANDS`` — so the query certifies Spark's partitioned-write
+    → partition-PRUNED-read path on ORC (the directory layout, not the
+    reader, is what skips the other 22 brands; `.explain` shows
+    ``PartitionFilters``). Both read-backs use explicit schemas
+    (inference is a second scan — never on at scale). The join plan
+    is the f01 shape: broadcast dims against the untouched Parquet
+    fact scan, so the oracle (original Parquet tables) hash-matching
+    certifies the whole write→read roundtrip lossless.
+
+    Note the partition column type round-trip: ``p_brand`` comes back
+    from the DIRECTORY NAMES (partition discovery), exercising the
+    string-typed partition-value path.
+    """
+    register_views(spark, sf_dir)
+    out = _export_dir(spark, sf_dir)
+    (
+        spark.table("supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .write.mode("overwrite")
+        .orc(os.path.join(out, "supplier_orc"))
+    )
+    (
+        spark.table("part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .write.mode("overwrite")
+        .partitionBy("p_brand")
+        .orc(os.path.join(out, "part_orc"))
+    )
+    supplier = spark.read.schema(SUPPLIER_SCHEMA).orc(
+        os.path.join(out, "supplier_orc")
+    )
+    part = (
+        spark.read.schema("p_partkey BIGINT, p_retailprice DOUBLE, p_brand STRING")
+        .orc(os.path.join(out, "part_orc"))
+        .filter(F.col("p_brand").isin(*F02_BRANDS))
+    )
+    li = spark.table("lineitem")
+    return (
+        li.join(
+            F.broadcast(part), li.l_partkey == part.p_partkey
+        )
+        .join(
+            F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.count_distinct("s_suppkey").alias("n_supp"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 100
+                ).cast("long")
+            ).alias("revenue_cents"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+QUERIES = {
+    "f01_csv_json_roundtrip": csv_json_roundtrip_join,
+    "f02_orc_roundtrip": orc_roundtrip_join,
+}
 
 ORACLE_SQL = {
     "f01_csv_json_roundtrip": """
@@ -137,5 +215,17 @@ FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name ORDER BY r.r_name
-"""
+""",
+    "f02_orc_roundtrip": f"""
+SELECT p.p_brand,
+       count(*) AS n_items,
+       count(DISTINCT s.s_suppkey) AS n_supp,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE p.p_brand IN {F02_BRANDS!r}
+GROUP BY p.p_brand ORDER BY p.p_brand
+""",
 }

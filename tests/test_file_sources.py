@@ -82,3 +82,51 @@ def test_f01_reads_actually_come_from_csv_and_json(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "csv" in plan.lower()
     assert "json" in plan.lower()
+
+
+def test_f02_orc_roundtrip_matches_parquet(spark):
+    """f02's ORC-sourced join must equal the same join from the
+    original Parquet views (roundtrip-lossless), and the part
+    read-back must show PRUNED partitions: only the F02_BRANDS
+    directories are scanned."""
+    from pyspark.sql import functions as F
+
+    from aw3d30_parquet_spark.sources.files import (
+        F02_BRANDS,
+        orc_roundtrip_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    via_orc = orc_roundtrip_join(spark, sf)
+    register_views(spark, sf)
+    li = spark.table("lineitem")
+    part = spark.table("part").filter(
+        F.col("p_brand").isin(*F02_BRANDS)
+    )
+    direct = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(
+            spark.table("supplier"),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.count_distinct("s_suppkey").alias("n_supp"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 100
+                ).cast("long")
+            ).alias("revenue_cents"),
+        )
+        .orderBy("p_brand")
+    )
+    assert [r.asDict() for r in via_orc.collect()] == [
+        r.asDict() for r in direct.collect()
+    ]
+    plan = via_orc._jdf.queryExecution().executedPlan().toString()
+    assert "orc" in plan.lower()
+    # partition pruning: the pushed partition filter must be visible
+    assert "p_brand" in plan

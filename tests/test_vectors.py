@@ -207,3 +207,40 @@ def test_v7_semantic_dedup_matches_numpy(spark, emb_np):
         assert abs(gcos - cos) < 1e-9, (d, gcos, cos)
     # non-vacuous on the fixture: the drop path must actually fire
     assert len(got) > 0
+
+
+def test_v8_range_search_matches_numpy(spark, emb_np):
+    """V8: the radius result set equals a numpy recomputation — same
+    rounded-cosine gate, same per-query hit counts."""
+    from aw3d30_parquet_spark.functions.vectors import (
+        DEFAULT_N_QUERIES,
+        RANGE_SEARCH_TAU,
+        cosine_range_search,
+    )
+
+    ids, mat = emb_np
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    want = {}
+    counts = {}
+    for qi in range(len(ids)):
+        if ids[qi] >= DEFAULT_N_QUERIES:
+            continue
+        hits = []
+        for ci in range(len(ids)):
+            if ci == qi:
+                continue
+            cos = np.floor(float(unit[qi] @ unit[ci]) * 10000 + 0.5) / 10000
+            if cos >= RANGE_SEARCH_TAU:
+                hits.append((int(ids[ci]), cos))
+        for nid, cos in hits:
+            want[(int(ids[qi]), nid)] = cos
+        if hits:
+            counts[int(ids[qi])] = len(hits)
+    rows = cosine_range_search(spark, SF_SMOKE).collect()
+    got = {(r.query_id, r.neighbor_id): r.cos for r in rows}
+    got_counts = {r.query_id: r.n_hits for r in rows}
+    assert set(got) == set(want)
+    for k, cos in want.items():
+        assert abs(got[k] - cos) < 1e-9, (k, got[k], cos)
+    assert got_counts == counts
+    assert len(got) > 0
