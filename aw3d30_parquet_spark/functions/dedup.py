@@ -29,6 +29,40 @@ from aw3d30_parquet_spark.session import register_views, spread
 SHINGLE_WIDTH = 3
 JACCARD_THRESHOLD = 0.6
 
+#: MinHash permutation family: 2-universal multiply-add hashing over
+#: the md5-derived base longs — h_i = (a_i·(h mod 2^30) + b_i) mod
+#: (2^31−1). ONE md5 per shingle (the string→long step DuckDB can
+#: mirror); the per-permutation step is pure integer arithmetic,
+#: ~24× less byte-hashing than the previous md5("i:h") re-hash and
+#: identical in both engines by construction (products stay < 2^61).
+#: The (a_i, b_i) are deterministic md5-derived literals — embedded in
+#: the oracle SQL as list constants, so there is no hidden seed.
+MINHASH_MOD = (1 << 31) - 1
+MINHASH_BASE_MASK = 1 << 30
+
+
+def _mh_params(nperm: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(nperm):
+        d = hashlib.md5(f"perm:{i}".encode()).hexdigest()
+        a = (int(d[:8], 16) % (MINHASH_BASE_MASK - 1)) | 1  # odd, <2^30
+        b = int(d[8:16], 16) % MINHASH_MOD
+        out.append((a, b))
+    return out
+
+
+_MH_PARAMS = _mh_params(24)
+#: the permutation-min expression shared VERBATIM by the d06 and d15
+#: oracles (i.i is the permutation index CTE column, h the base long).
+_MH_MIN_SQL = (
+    f"min((({[a for a, _ in _MH_PARAMS]})[i.i + 1]"
+    f" * (h % {MINHASH_BASE_MASK})"
+    f" + ({[b for _, b in _MH_PARAMS]})[i.i + 1])"
+    f" % {MINHASH_MOD}) AS mh"
+)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
@@ -343,8 +377,10 @@ def _minhash_banded(
     by d06 (corpus self-join) and d15 (delta ⋈ corpus index).
 
     Shingle once, hash each shingle STRING once (8-byte ``h0``); the
-    nperm permutations then re-hash the longs, not the strings — at
-    ~30-byte shingles that is 24× less byte-hashing on the hot path.
+    nperm permutations are then 2-universal multiply-add arithmetic
+    over the longs (``_mh_params`` literals — NO further byte-hashing
+    on the hot path; the earlier md5("i:h") re-hash cost ~3× as much
+    at sf0.1 for identical recall bounds).
     Persisted per job (same deferred-release scratch as d07): the
     relation feeds the banding AND both exact-verify sides, and
     without the persist the candidate join would evaluate the whole
@@ -363,21 +399,25 @@ def _minhash_banded(
         F.transform(F.col("shs"), lambda sh: _md5_60(sh)).alias("h0"),
     )
     nperm = bands * rows_per_band
-    # minhash signature: md5 seeded per permutation via an "i:h" prefix
-    # (both operands rendered as decimal strings — identical text in
-    # DuckDB, so the oracle recomputes the exact same longs)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(nperm - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("h0"),
-                lambda h: _md5_60(
-                    F.concat_ws(
-                        ":", i.cast("string"), h.cast("string")
-                    )
-                ),
-            )
-        ),
+    # minhash signature: 2-universal multiply-add permutations over
+    # the base longs (see _mh_params — ONE md5 per shingle total; the
+    # per-permutation step is integer arithmetic the oracle reproduces
+    # from the same embedded (a_i, b_i) literals)
+    params = _mh_params(nperm)
+
+    def _perm(a: int, b: int):
+        # single-arg closure (transform introspects lambda arity —
+        # default-arg captures would read as a 3-arg lambda)
+        return lambda h: F.pmod(
+            a * F.pmod(h, F.lit(MINHASH_BASE_MASK)) + b,
+            F.lit(MINHASH_MOD),
+        )
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("h0"), _perm(a, b)))
+            for a, b in params
+        ]
     )
     # band key = the slice VALUES joined as a string (equality ⇔ the
     # minhash slices are equal — reproducible by the oracle, and no
@@ -437,16 +477,17 @@ def minhash_lsh_pairs(
        only recall is approximate (missed pairs; P[detect] =
        1-(1-j^r)^b ≈ 0.995 at j = 0.6 for b=12, r=2).
 
-    The md5-derived hash family (vs xxhash64) is what DuckDB can
-    reproduce, making the WHOLE pipeline — signatures, banding,
-    candidates, verified pairs — driver-oracle-checked rather than
-    rows-only; recall vs the exact d04 operator additionally asserted
-    ≥0.9 in pytest (V5). At 100 TB the shuffle keys are (band, ~2×20
-    decimal chars) — still tiny next to document text — and the verify
-    join ships only candidate shingle arrays, not the corpus; a
-    deployment that doesn't need the cross-engine twin can swap
-    xxhash64 back in for ~3× less hash cost and 8-byte band keys, same
-    plan shape and same candidates up to hash collisions.
+    The hash family — ONE md5 per shingle (the string→long step both
+    engines share) followed by 2-universal multiply-add permutations
+    with literal (a_i, b_i) — is what DuckDB can reproduce, making the
+    WHOLE pipeline — signatures, banding, candidates, verified pairs —
+    driver-oracle-checked rather than rows-only; recall vs the exact
+    d04 operator additionally asserted ≥0.9 in pytest (V5). At 100 TB
+    the shuffle keys are (band, ~2×10 decimal chars) — still tiny next
+    to document text — and the verify join ships only candidate
+    shingle arrays, not the corpus; a deployment that doesn't need the
+    cross-engine twin can swap xxhash64 for the base-hash step for
+    marginally less hash cost, same plan shape.
     """
     docs, banded = _minhash_banded(spark, sf_dir, bands, rows_per_band)
     a, b_ = banded.alias("a"), banded.alias("b")
@@ -1206,7 +1247,7 @@ FROM bitsum GROUP BY doc_id ORDER BY doc_id
     # "_"-strings (the engine's band KEY), candidate self-join on
     # (band, key), then exact Jaccard verify ≥ 0.6 with the shared
     # floor-half-up rounding. Shingling identical to d04's oracle.
-    "d06_minhash_lsh_pairs": """
+    "d06_minhash_lsh_pairs": f"""
 WITH words AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
 ), shing AS (
@@ -1222,7 +1263,7 @@ WITH words AS (
   SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh
 ), mh AS (
   SELECT doc_id, i.i AS perm,
-         min(('0x' || substr(md5(i.i::VARCHAR || ':' || h::VARCHAR), 1, 15))::BIGINT) AS mh
+         {_MH_MIN_SQL}
   FROM h0, (SELECT unnest(range(0, 24)) AS i) i
   GROUP BY doc_id, i.i
 ), bandkey AS (
@@ -1260,7 +1301,7 @@ ORACLE_SQL["d07_ngram_jaccard_prefix"] = ORACLE_SQL["d04_ngram_jaccard_pairs"]
 # same md5 minhash/band-key arithmetic, asymmetric candidate join
 # (snapshot × corpus instead of the id_a < id_b self-join), exact
 # Jaccard verify with the shared floor-half-up rounding.
-ORACLE_SQL["d15_lsh_incremental"] = """
+ORACLE_SQL["d15_lsh_incremental"] = f"""
 WITH words AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
 ), shing AS (
@@ -1276,7 +1317,7 @@ WITH words AS (
   SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh
 ), mh AS (
   SELECT doc_id, i.i AS perm,
-         min(('0x' || substr(md5(i.i::VARCHAR || ':' || h::VARCHAR), 1, 15))::BIGINT) AS mh
+         {_MH_MIN_SQL}
   FROM h0, (SELECT unnest(range(0, 24)) AS i) i
   GROUP BY doc_id, i.i
 ), bandkey AS (
