@@ -753,6 +753,103 @@ def cosine_range_search(
     )
 
 
+#: v09 k-means: cluster count, Lloyd iterations, component scale.
+KMEANS_K = 8
+KMEANS_ITERS = 2
+KMEANS_SCALE = 10**6
+#: fixture embedding dimensionality (pinned by v01's oracle).
+EMB_DIM = 64
+
+
+def kmeans_fixed(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """v09: fixed-iteration Lloyd k-means over the embeddings — the
+    ML-iterative sibling of l01's PageRank loop (and the trained
+    version of the clustering v07 stands in for with axis signs; v05's
+    IVF uses MLlib's k-means, which is seed-deterministic but not
+    cross-engine-reproducible — THIS operator is, which is what makes
+    it driver-hash-checkable end to end).
+
+    Determinism contract (l01's recipe applied to ML): components are
+    scaled to BIGINT millionths once at input (``floor(x·10⁶+0.5)``),
+    then EVERYTHING is exact integer arithmetic — squared-L2 distances
+    are BIGINT sums (order-independent), assignment ranks (dist, cid)
+    with the id tie-break, and the centroid update is the floor-mean
+    ``sum div count`` (Spark ``div`` ≙ DuckDB ``//``, both truncate
+    toward zero — verified). No float exists anywhere in the pipeline,
+    so the engines cannot diverge. Init = the first ``k`` vectors by
+    id (the deterministic stand-in for k-means‖ seeding).
+
+    Unrolled spec: a1 = assign(c0), c1 = update(a1), a2 = assign(c1),
+    output = per-cluster (n_members, inertia) of a2.
+
+    Scale shape: assignment is vectors ⋈ broadcast(k-row centroid
+    relation) — map-side, no shuffle; the update is a (k·dim)-key
+    partial aggregate (map-side combine reduces to k·64 rows) plus a
+    k-row array re-assembly. Per-iteration cost is one scan — the
+    MLlib k-means plan, re-expressed with an exact-arithmetic
+    contract.
+    """
+    emb = _emb(spark, sf_dir)
+    xi = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * KMEANS_SCALE + 0.5).cast(
+            "long"
+        ),
+    )
+    vec = emb.select("vec_id", xi.alias("xi"))
+    cent = vec.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("xi").alias("ci")
+    )
+    dist = F.aggregate(
+        F.zip_with("xi", "ci", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    assign = None
+    for it in range(iters):
+        assign = (
+            vec.crossJoin(F.broadcast(cent))
+            .withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "xi", "cid", "dist")
+        )
+        if it < iters - 1:
+            cent = (
+                assign.select(
+                    "cid", F.posexplode("xi").alias("j", "val")
+                )
+                .groupBy("cid", "j")
+                .agg(F.expr("sum(val) div count(1)").alias("cval"))
+                .groupBy("cid")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("j", "cval"))
+                    ).alias("pairs")
+                )
+                .select(
+                    "cid",
+                    F.transform("pairs", lambda p: p["cval"]).alias(
+                        "ci"
+                    ),
+                )
+            )
+    return (
+        assign.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("dist").alias("inertia"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 QUERIES = {
     "v01_embedding_dims": embedding_dims,
     "v02_ann_topk_bruteforce": ann_topk_bruteforce,
@@ -762,6 +859,7 @@ QUERIES = {
     "v06_ann_topk_pq": ann_topk_pq,
     "v07_semantic_dedup": semantic_dedup,
     "v08_cosine_range_search": cosine_range_search,
+    "v09_kmeans_fixed": kmeans_fixed,
 }
 
 # No-DuckDB-oracle by design: v03/v04 band on xxhash64 (no DuckDB twin),
@@ -877,3 +975,57 @@ SELECT query_id,
 FROM hits ORDER BY query_id, neighbor_id
 """,
 }
+
+# v09: the same unrolled exact-integer Lloyd steps in DuckDB — scaled
+# BIGINT components, integer distances, floor-mean update ( // ≙ div,
+# both truncate toward zero), (dist, cid) assignment tie-break.
+_KM_ASSIGN = """
+, d{i} AS (
+  SELECT v.vec_id, v.xi, c.cid,
+         list_sum(list_transform(range(1, {dim1}),
+                  j -> (v.xi[j] - c.ci[j]) * (v.xi[j] - c.ci[j]))) AS dist
+  FROM v CROSS JOIN c{prev} c
+), a{i} AS (
+  SELECT vec_id, xi, cid, dist FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d{i}
+  ) WHERE rn = 1
+)"""
+
+_KM_UPDATE = """
+, cl{i} AS (
+  SELECT a{i}.cid, t.j,
+         CAST(sum(a{i}.xi[t.j]) // count(*) AS BIGINT) AS cval
+  FROM a{i} CROSS JOIN (SELECT unnest(range(1, {dim1})) AS j) t
+  GROUP BY a{i}.cid, t.j
+), c{i} AS (
+  SELECT cid, list(cval ORDER BY j) AS ci FROM cl{i} GROUP BY cid
+)"""
+
+ORACLE_SQL["v09_kmeans_fixed"] = (
+    f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE} + 0.5)
+                AS BIGINT)) AS xi
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, xi AS ci FROM v WHERE vec_id < {KMEANS_K}
+)"""
+    + "".join(
+        _KM_ASSIGN.format(i=i, prev=i - 1, dim1=EMB_DIM + 1)
+        + (
+            _KM_UPDATE.format(i=i, dim1=EMB_DIM + 1)
+            if i < KMEANS_ITERS
+            else ""
+        )
+        for i in range(1, KMEANS_ITERS + 1)
+    )
+    + f"""
+SELECT cid AS cluster_id, count(*) AS n_members,
+       CAST(sum(dist) AS BIGINT) AS inertia
+FROM a{KMEANS_ITERS} GROUP BY cid ORDER BY cid
+"""
+)

@@ -244,3 +244,56 @@ def test_v8_range_search_matches_numpy(spark, emb_np):
         assert abs(got[k] - cos) < 1e-9, (k, got[k], cos)
     assert got_counts == counts
     assert len(got) > 0
+
+
+def test_v9_kmeans_matches_python(spark, emb_np):
+    """V9: the fixed-iteration exact-integer Lloyd output equals a
+    pure-python recomputation (same scaled components, floor-mean
+    update, (dist, cid) tie-break)."""
+    from aw3d30_parquet_spark.functions.vectors import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        KMEANS_SCALE,
+        kmeans_fixed,
+    )
+
+    ids, mat = emb_np
+    xi = {
+        int(ids[i]): [
+            int(np.floor(float(v) * KMEANS_SCALE + 0.5)) for v in mat[i]
+        ]
+        for i in range(len(ids))
+    }
+    cent = {v: list(xi[v]) for v in sorted(xi) if v < KMEANS_K}
+
+    def assign(cent):
+        out = {}
+        for v, x in xi.items():
+            best = None
+            for cid in sorted(cent):
+                d = sum((a - b) * (a - b) for a, b in zip(x, cent[cid]))
+                if best is None or (d, cid) < best[:2]:
+                    best = (d, cid)
+            out[v] = best
+        return out
+
+    a = assign(cent)
+    for _ in range(KMEANS_ITERS - 1):
+        new = {}
+        for cid in {c for _, c in a.values()}:
+            members = [xi[v] for v, (_, c) in a.items() if c == cid]
+            ncomp = []
+            for j in range(len(members[0])):
+                s = sum(m[j] for m in members)
+                q = abs(s) // len(members)
+                ncomp.append(q if s >= 0 else -q)  # truncate toward 0
+            new[cid] = ncomp
+        a = assign(new)
+    want = {}
+    for v, (d, cid) in a.items():
+        n, inert = want.get(cid, (0, 0))
+        want[cid] = (n + 1, inert + d)
+    rows = kmeans_fixed(spark, SF_SMOKE).collect()
+    got = {r.cluster_id: (r.n_members, r.inertia) for r in rows}
+    assert got == want
+    assert sum(n for n, _ in got.values()) == len(ids)
