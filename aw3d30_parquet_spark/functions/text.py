@@ -461,6 +461,88 @@ def bm25_search(
     )
 
 
+#: t10 phrase length (consecutive tokens that must match in order).
+PHRASE_LEN = 3
+
+
+def phrase_search(
+    spark: SparkSession, sf_dir: str, plen: int = PHRASE_LEN
+) -> DataFrame:
+    """t10: exact PHRASE search over a POSITIONAL inverted index — the
+    third retrieval primitive next to t08 (set overlap) and t09 (BM25
+    bag-of-words): "these words, in this order, consecutively", which
+    no positionless index can answer.
+
+    The index is the (doc_id, term, pos) relation (``posexplode`` over
+    the tokenizer — at 100 TB this is the maintained positional
+    postings table, bucketed by term). Each query doc (t09's capped
+    1% slice) contributes its FIRST ``plen`` tokens as the phrase;
+    matching is the classic positional-join chain: postings for word₁
+    anchor candidate (doc, pos) pairs, each subsequent word k joins on
+    ``(doc, term = wordₖ, pos = anchor + k − 1)`` — selectivity
+    multiplies at every step, so candidates collapse after the second
+    join even when word₁ is corpus-hot. Output one row per (query,
+    matching doc) with the occurrence count.
+
+    Scale shape: the phrase relation is |queries| rows — broadcast;
+    every positional join keys on (doc_id, term, pos) — maximal-
+    cardinality keys, no hot-key skew by construction; nothing ever
+    materializes more than (phrase-anchor candidates) rows.
+    """
+    docs = _docs(spark, sf_dir)
+    from aw3d30_parquet_spark.functions.dedup import _scratch_persist
+
+    postings = _scratch_persist(
+        "t10",
+        docs.select(
+            "doc_id",
+            F.posexplode(_tokens(F.col("text"))).alias("pos", "term"),
+        ),
+    )
+    toks = _tokens(F.col("text"))
+    phrases = (
+        docs.filter(
+            (F.col("doc_id") % SIMILAR_QUERY_MOD == 0)
+            & (F.col("doc_id") < BM25_QUERY_CAP)
+            & (F.size(toks) >= plen)
+        )
+        .select(
+            F.col("doc_id").alias("q_id"),
+            *[
+                F.element_at(toks, i + 1).alias(f"w{i}")
+                for i in range(plen)
+            ],
+        )
+    )
+    chain = (
+        F.broadcast(phrases)
+        .join(
+            postings.select(
+                F.col("doc_id").alias("c_id"),
+                F.col("term").alias("t0"),
+                F.col("pos").alias("anchor"),
+            ),
+            F.col("t0") == F.col("w0"),
+        )
+        .filter(F.col("c_id") != F.col("q_id"))
+    )
+    for i in range(1, plen):
+        nxt = postings.select(
+            F.col("doc_id").alias("c_id"),
+            F.col("term").alias(f"t{i}"),
+            (F.col("pos") - i).alias("anchor"),
+        )
+        chain = chain.join(
+            nxt,
+            ["c_id", "anchor"],
+        ).filter(F.col(f"t{i}") == F.col(f"w{i}"))
+    return (
+        chain.groupBy("q_id", "c_id")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy("q_id", "c_id")
+    )
+
+
 QUERIES = {
     "t01_token_stats": token_stats,
     "t02_quality_score": quality_score,
@@ -471,6 +553,7 @@ QUERIES = {
     "t07_unigram_surprisal": unigram_surprisal,
     "t08_similar_doc_search": similar_doc_search,
     "t09_bm25_search": bm25_search,
+    "t10_phrase_search": phrase_search,
 }
 
 ORACLE_SQL = {
@@ -678,4 +761,34 @@ WITH toks AS (
 )
 SELECT q_id, rank, c_id, n_terms, score FROM ranked
 WHERE rank <= {SIMILAR_TOP_K} ORDER BY q_id, rank
+"""
+
+# t10: the oracle rebuilds the positional postings (parallel unnests
+# zip term and position) and runs the identical positional-join chain.
+_T10_JOINS = "\n".join(
+    f"JOIN post p{i} ON p{i}.doc_id = p0.doc_id"
+    f" AND p{i}.pos = p0.pos + {i} AND p{i}.term = ph.w{i}"
+    for i in range(1, PHRASE_LEN)
+)
+ORACLE_SQL["t10_phrase_search"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), post AS (
+  SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, unnest(w) AS term
+  FROM toks
+), ph AS (
+  SELECT doc_id AS q_id,
+         {", ".join(f"w[{i + 1}] AS w{i}" for i in range(PHRASE_LEN))}
+  FROM toks
+  WHERE doc_id % {SIMILAR_QUERY_MOD} = 0 AND doc_id < {BM25_QUERY_CAP}
+    AND len(w) >= {PHRASE_LEN}
+)
+SELECT ph.q_id, p0.doc_id AS c_id, count(*) AS n_occurrences
+FROM ph
+JOIN post p0 ON p0.term = ph.w0
+{_T10_JOINS}
+WHERE p0.doc_id <> ph.q_id
+GROUP BY ph.q_id, p0.doc_id
+ORDER BY q_id, c_id
 """

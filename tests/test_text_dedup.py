@@ -508,3 +508,40 @@ def test_d16_substring_spans_matches_python(spark, docs_pdf):
     assert got == want, sorted(set(got) ^ set(want))[:5]
     # non-vacuous: the fixture must actually contain repeated passages
     assert len(got) > 0
+
+
+def test_t10_phrase_search_matches_python(spark, docs_pdf):
+    """t10 vs a pure-python scan: same first-PHRASE_LEN-tokens query
+    phrases, same consecutive-match counting."""
+    from aw3d30_parquet_spark.functions.text import (
+        BM25_QUERY_CAP,
+        PHRASE_LEN,
+        SIMILAR_QUERY_MOD,
+        phrase_search,
+    )
+
+    toks = {
+        int(r["doc_id"]): re.split(r"\s+", r["text"].strip())
+        for _, r in docs_pdf.iterrows()
+    }
+    want = {}
+    for q, w in toks.items():
+        if q % SIMILAR_QUERY_MOD or q >= BM25_QUERY_CAP:
+            continue
+        if len(w) < PHRASE_LEN:
+            continue
+        phrase = w[:PHRASE_LEN]
+        for c, cw in toks.items():
+            if c == q:
+                continue
+            n = sum(
+                1
+                for i in range(len(cw) - PHRASE_LEN + 1)
+                if cw[i : i + PHRASE_LEN] == phrase
+            )
+            if n:
+                want[(q, c)] = n
+    rows = phrase_search(spark, SF_SMOKE).collect()
+    got = {(r.q_id, r.c_id): r.n_occurrences for r in rows}
+    assert got == want, sorted(set(got) ^ set(want))[:5]
+    assert len(got) > 0
