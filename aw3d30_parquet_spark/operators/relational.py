@@ -2070,6 +2070,106 @@ def q73_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: a09 bottom-k (KMV) sketch size.
+KMV_K = 32
+
+
+def a09_kmv_bottomk_rollup(
+    spark: SparkSession, sf_dir: str, k: int = KMV_K
+) -> DataFrame:
+    """a09: mergeable BOTTOM-K (KMV) distinct-count sketch rollup —
+    the sketch-family member that is EXACTLY cross-engine
+    reproducible: the sketch content is the k smallest md5 digests of
+    the member set, a deterministic relation, so unlike a01–a06/a08
+    (engine-specific registers, rows-only) the full sketch state AND
+    its estimates are driver-hash-checked.
+
+    Weekly sketches = per-week bottom-k over distinct user digests;
+    the ALL row is built FROM THE WEEKLY SKETCH ROWS (distinct →
+    re-rank → bottom-k), exercising the KMV merge property inside the
+    plan itself: the k smallest global digests are each within their
+    own week's bottom-k, so merging materialized weekly sketches
+    loses nothing — the same never-rescan-raw-events contract as
+    a03's HLL union, but exact. The estimator is the standard KMV
+    ``(k−1)·2^60 / v_k`` when the sketch is full (v_k uniform in
+    [0, 2^60) under the digest map) and the exact count when
+    undersampled; ``exact_distinct`` rides along so the driver row
+    also records the estimator's true error.
+
+    Scale shape: the only corpus-sized shuffle is the (week, digest)
+    distinct (16-byte keys); sketches are ≤k rows per scope — the
+    merge input is kilobytes regardless of corpus size.
+    """
+    from aw3d30_parquet_spark.functions.dedup import _md5_60
+
+    ev = _t(spark, sf_dir, "events")
+    dig = (
+        ev.select(
+            F.date_trunc("week", "ts")
+            .cast("date")
+            .cast("string")
+            .alias("scope"),
+            _md5_60(F.col("user_id").cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    wk = Window.partitionBy("scope").orderBy("h")
+    weekly = (
+        dig.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("scope", "h")
+    )
+    # merge: global bottom-k FROM the weekly sketches, never raw data.
+    # The unpartitioned window is safe HERE only because its input is
+    # the sketch union — ≤ k·n_weeks rows by construction (kilobytes
+    # at any corpus size), the same bounded-relation exception as
+    # a07's ≤K-row collect; raw digests never flow through it.
+    allsk = (
+        weekly.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rn") <= k)
+        .select(F.lit("ALL").alias("scope"), "h")
+    )
+    sk = weekly.unionByName(allsk)
+    exact = (
+        dig.groupBy("scope")
+        .agg(F.count("*").alias("exact_distinct"))
+        .unionByName(
+            dig.select("h")
+            .distinct()
+            .agg(
+                F.lit("ALL").alias("scope"),
+                F.count("*").alias("exact_distinct"),
+            )
+        )
+    )
+    est = F.when(F.col("n_sketch") < k, F.col("n_sketch")).otherwise(
+        F.floor(
+            F.lit(float(k - 1))
+            * 1152921504606846976.0  # 2^60, exactly representable
+            / F.col("kth_digest").cast("double")
+            + 0.5
+        ).cast("long")
+    )
+    return (
+        sk.groupBy("scope")
+        .agg(
+            F.count("*").alias("n_sketch"),
+            F.max("h").alias("kth_digest"),
+        )
+        .join(exact, "scope")
+        .select(
+            "scope",
+            "n_sketch",
+            "kth_digest",
+            est.cast("long").alias("est_distinct"),
+            "exact_distinct",
+        )
+        .orderBy("scope")
+    )
+
+
 RELATIONAL_QUERIES = {
     "q01_scan_project": q01_scan_project,
     "a01_approx_count_distinct": a01_approx_count_distinct,
@@ -2080,6 +2180,7 @@ RELATIONAL_QUERIES = {
     "a06_theta_audience_rollup": a06_theta_audience_rollup,
     "a07_heavy_hitters": a07_heavy_hitters,
     "a08_cms_freq_rollup": a08_cms_freq_rollup,
+    "a09_kmv_bottomk_rollup": a09_kmv_bottomk_rollup,
     "q02_filter_conjunction": q02_filter_conjunction,
     "q03_filter_disjunction": q03_filter_disjunction,
     "q04_regex_extract": q04_regex_extract,

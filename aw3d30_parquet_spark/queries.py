@@ -807,4 +807,46 @@ GROUP BY tok, n
 HAVING count(*) * 200 >= n
 ORDER BY cnt DESC, tok
 """,
+    # a09: the KMV sketch content (k smallest md5 digests) is a
+    # deterministic relation — full sketch state + estimates are
+    # hash-checked, the one sketch-family member that can be. The ALL
+    # row merges the WEEKLY sketches (bottom-k of their union), the
+    # lossless-merge property the operator certifies in-plan. 2^60 is
+    # an exact double; the estimator is one division on identical
+    # operands.
+    "a09_kmv_bottomk_rollup": """
+WITH dig AS (
+  SELECT DISTINCT CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS scope,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+), weekly AS (
+  SELECT scope, h FROM (
+    SELECT scope, h,
+           row_number() OVER (PARTITION BY scope ORDER BY h) AS rn
+    FROM dig
+  ) WHERE rn <= 32
+), allsk AS (
+  SELECT 'ALL' AS scope, h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM weekly)
+  ) WHERE rn <= 32
+), sk AS (
+  SELECT * FROM weekly UNION ALL SELECT * FROM allsk
+), exact AS (
+  SELECT scope, count(*) AS exact_distinct FROM dig GROUP BY scope
+  UNION ALL
+  SELECT 'ALL', count(DISTINCT h) FROM dig
+), agg AS (
+  SELECT scope, count(*) AS n_sketch, max(h) AS kth_digest
+  FROM sk GROUP BY scope
+)
+SELECT a.scope, a.n_sketch, a.kth_digest,
+       CASE WHEN a.n_sketch < 32 THEN a.n_sketch
+            ELSE CAST(floor(31.0 * 1152921504606846976.0
+                 / CAST(a.kth_digest AS DOUBLE) + 0.5) AS BIGINT)
+       END AS est_distinct,
+       e.exact_distinct
+FROM agg a JOIN exact e ON e.scope = a.scope
+ORDER BY a.scope
+""",
 }

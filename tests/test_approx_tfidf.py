@@ -285,3 +285,70 @@ def test_t5g_cms_freq_rollup_sandwich(spark):
     # with W=1024 ≫ weekly active users, most probes collide with
     # nothing — the sketch should usually be exact, not merely bounded
     assert hit_exact >= len(rows) // 2
+
+
+def test_t5h_kmv_bottomk_python_twin_and_merge(spark):
+    """a09: sketch content equals a hashlib recomputation; the ALL row
+    equals the bottom-k merge of the weekly sketches (lossless-merge
+    property); the full-sketch estimator lands within the KMV error
+    envelope of the exact count."""
+    import hashlib
+
+    import pandas as pd
+
+    from aw3d30_parquet_spark.operators.relational import (
+        KMV_K,
+        a09_kmv_bottomk_rollup,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ev = pd.read_parquet(f"{sf}/events.parquet")[["ts", "user_id"]]
+    ev["scope"] = (
+        ev["ts"]
+        .dt.to_period("W")
+        .dt.start_time.dt.date.astype(str)
+    )
+
+    def dig(u):
+        return int(hashlib.md5(str(int(u)).encode()).hexdigest()[:15], 16)
+
+    weekly = {}
+    for scope, grp in ev.groupby("scope"):
+        hs = sorted({dig(u) for u in grp["user_id"]})
+        weekly[scope] = hs
+    want = {}
+    for scope, hs in weekly.items():
+        sk = hs[:KMV_K]
+        kth = sk[-1]
+        est = (
+            len(sk)
+            if len(sk) < KMV_K
+            else int((KMV_K - 1) * float(2**60) / float(kth) + 0.5)
+        )
+        want[scope] = (len(sk), kth, est, len(hs))
+    merged = sorted(set().union(*[set(h[:KMV_K]) for h in weekly.values()]))[
+        :KMV_K
+    ]
+    all_exact = len(set().union(*[set(h) for h in weekly.values()]))
+    kth = merged[-1]
+    est = (
+        len(merged)
+        if len(merged) < KMV_K
+        else int((KMV_K - 1) * float(2**60) / float(kth) + 0.5)
+    )
+    want["ALL"] = (len(merged), kth, est, all_exact)
+
+    rows = a09_kmv_bottomk_rollup(spark, sf).collect()
+    got = {
+        r.scope: (r.n_sketch, r.kth_digest, r.est_distinct, r.exact_distinct)
+        for r in rows
+    }
+    assert got == want, {
+        k: (got.get(k), want.get(k)) for k in set(got) ^ set(want) or list(want)[:2]
+    }
+    # estimator quality: full sketches within ~4 sigma (sigma ≈ 1/sqrt(k))
+    for scope, (n, _, est, exact) in got.items():
+        if n == KMV_K:
+            assert abs(est - exact) <= max(4 * exact / (KMV_K ** 0.5), 2), (
+                scope, est, exact,
+            )
