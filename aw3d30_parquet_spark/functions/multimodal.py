@@ -638,12 +638,108 @@ FROM per_doc GROUP BY sr ORDER BY sample_rate
 """
 
 
+def m06_frame_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m06: FRAME-level dedup audit — the multimodal member of the
+    dedup family (d01 dedups documents by digest; this dedups FRAMES
+    by digest, the rewatch-loop / repeated-intro / shared-b-roll case
+    a video training pipeline must catch before frame features are
+    paid for).
+
+    Plan: fabricate → sample every 2nd frame (m03's UDTF) → md5 each
+    frame's BYTES (the operator treats frames as opaque binary — no
+    generator knowledge) → per video: sampled vs DISTINCT frame
+    counts (within-video duplicates, the rewatch-loop signal) +
+    ``n_videos_sharing`` = how many OTHER videos contain at least one
+    identical frame (the shared-b-roll signal, via a digest-keyed
+    distinct self-join — d04's inverted-index posture: candidates are
+    actual hash collisions, never videos²).
+
+    The oracle never sees the bytes: it re-derives frame identity
+    arithmetically from the generator law (equal bytes ⇔ equal
+    (width, start mod 256) — the m03/m04 oracle pattern), so the hash
+    match certifies the decode+hash+join pipeline against first
+    principles. On the fixture every video whose width is 16 steps
+    its sampled frames by 2·16·16 = 512 ≡ 0 (mod 256) bytes — all
+    identical — so the within-video audit is non-vacuous at every sf;
+    cross-video sharing needs ids 768 apart and lights up from sf0.1.
+    """
+    frames = sample_frames(
+        media_table(spark, sf_dir, kind="video"), every_k=2
+    )
+    fh = frames.select("media_id", F.md5("frame").alias("h"))
+    per_video = fh.groupBy("media_id").agg(
+        F.count("*").alias("n_sampled"),
+        F.count_distinct("h").alias("n_distinct"),
+    )
+    dist = fh.distinct()
+    a, b = dist.alias("a"), dist.alias("b")
+    sharing = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.media_id") != F.col("b.media_id")),
+        )
+        .groupBy(F.col("a.media_id").alias("media_id"))
+        .agg(
+            F.count_distinct(F.col("b.media_id")).alias(
+                "n_videos_sharing"
+            )
+        )
+    )
+    return (
+        per_video.join(sharing, "media_id", "left")
+        .select(
+            "media_id",
+            "n_sampled",
+            "n_distinct",
+            F.coalesce("n_videos_sharing", F.lit(0)).alias(
+                "n_videos_sharing"
+            ),
+        )
+        .orderBy("media_id")
+    )
+
+
+_M06_ORACLE = """
+WITH params AS (
+  SELECT doc_id,
+         16 + (doc_id % 4) * 8 AS w,
+         4 + doc_id % 6        AS nf,
+         doc_id % 256          AS s
+  FROM documents WHERE doc_id % 3 = 2
+), frames AS (
+  -- every-2nd-frame start byte: frame k begins at (s + k*w*16) mod 256
+  SELECT doc_id, w, (s + k.k * w * 16) % 256 AS start
+  FROM params
+  CROSS JOIN (SELECT unnest(range(0, 9)) AS k) k
+  WHERE k.k < nf AND k.k % 2 = 0
+), per_video AS (
+  SELECT doc_id, count(*) AS n_sampled,
+         count(DISTINCT (w, start)) AS n_distinct
+  FROM frames GROUP BY doc_id
+), dist AS (
+  SELECT DISTINCT doc_id, w, start FROM frames
+), sharing AS (
+  SELECT a.doc_id, count(DISTINCT b.doc_id) AS n_videos_sharing
+  FROM dist a
+  JOIN dist b ON a.w = b.w AND a.start = b.start
+            AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id
+)
+SELECT p.doc_id AS media_id, p.n_sampled, p.n_distinct,
+       COALESCE(s.n_videos_sharing, 0) AS n_videos_sharing
+FROM per_video p LEFT JOIN sharing s ON s.doc_id = p.doc_id
+ORDER BY media_id
+"""
+
+
 QUERIES = {
     "m01_media_metadata": m01_media_metadata,
     "m02_image_resize_stats": m02_image_resize_stats,
     "m03_frame_sample_stats": m03_frame_sample_stats,
     "m04_audio_energy_stats": m04_audio_energy_stats,
     "m05_audio_decimate_stats": m05_audio_decimate_stats,
+    "m06_frame_dedup_audit": m06_frame_dedup_audit,
 }
 ORACLE_SQL = {
     "m01_media_metadata": _M01_ORACLE,
@@ -651,4 +747,5 @@ ORACLE_SQL = {
     "m03_frame_sample_stats": _M03_ORACLE,
     "m04_audio_energy_stats": _M04_ORACLE,
     "m05_audio_decimate_stats": _M05_ORACLE,
+    "m06_frame_dedup_audit": _M06_ORACLE,
 }

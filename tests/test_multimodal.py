@@ -119,3 +119,44 @@ def test_m01_oracle(spark, duck_t2):
     df = mm.m01_media_metadata(spark, "/root/testdata/sf0.01")
     ok, h1, h2 = compare(df, duck_t2, mm.ORACLE_SQL["m01_media_metadata"])
     assert ok, (h1, h2)
+
+
+def test_m06_frame_dedup_audit_matches_python(spark):
+    """m06 vs a pure-python recomputation through the REAL byte path:
+    fabricate payloads, decode, sample every 2nd frame, hash bytes —
+    no generator arithmetic (that's the oracle's angle; this one
+    certifies the binary pipeline end to end)."""
+    import hashlib
+
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    doc_ids = pd.read_parquet(f"{sf}/documents.parquet")["doc_id"]
+    want = {}
+    frames_by_vid = {}
+    for d in doc_ids:
+        d = int(d)
+        if d % 3 != 2:
+            continue
+        kind, meta, arr = mm.decode_payload(mm._fabricate_payload(d))
+        assert kind == "video"
+        hs = [
+            hashlib.md5(arr[k].tobytes()).hexdigest()
+            for k in range(0, meta["n_frames"], 2)
+        ]
+        frames_by_vid[d] = set(hs)
+        want[d] = [len(hs), len(set(hs)), 0]
+    for a in want:
+        want[a][2] = sum(
+            1
+            for b in want
+            if b != a and frames_by_vid[a] & frames_by_vid[b]
+        )
+    rows = mm.m06_frame_dedup_audit(spark, sf).collect()
+    got = {
+        r.media_id: [r.n_sampled, r.n_distinct, r.n_videos_sharing]
+        for r in rows
+    }
+    assert got == want
+    # non-vacuous: the fixture must contain within-video duplicates
+    assert any(n > d for n, d, _ in got.values())
