@@ -830,6 +830,99 @@ def bloom_prefilter_decontaminate(
     )
 
 
+#: p15 repeat-factor resolution (millionths) — fractional epochs are
+#: resolved per document by a digest draw at this granularity.
+REPEAT_RESOLUTION = 10**6
+
+
+def repeat_factor_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p15: repeat-factor (epoch) data mixing — the UPSAMPLING
+    complement to p10's budget truncation: p10 decides what to keep
+    under a token budget; this decides how many EPOCHS of each source
+    the training run sees (the Llama-recipe "sampling proportions"
+    knob: wiki 3 epochs, web <1, etc.), emitting the replicated
+    dataset itself.
+
+    Exact-integer spec (oracle-stable): target weights derive from the
+    source name (``srcK`` → weight K+1 — a stand-in for a quality
+    table; at scale this is a joined dimension); the repeat factor in
+    millionths is ``r = weight·N·10⁶ div (W·n_s)`` (N total docs, W
+    total weight, n_s source size). Each doc emits ``r div 10⁶``
+    guaranteed copies plus one more iff its digest draw
+    ``md5₆₀(doc_id) mod 10⁶ < r mod 10⁶`` — deterministic fractional
+    epochs with exactly the right expectation, no RNG, no global
+    sort. The emitted relation (doc_id, epoch) is the real product;
+    the driver row audits per source: n_docs, r_milli, n_emitted
+    (counted FROM the exploded relation, certifying the generation).
+
+    Scale shape: the (source → weight, n_s, N, W) relation is
+    |sources| rows — broadcast; replication is a map-side
+    explode(sequence) with no shuffle; the audit is one partial agg.
+    """
+    from aw3d30_parquet_spark.functions.dedup import _md5_60
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    res = REPEAT_RESOLUTION
+    stats = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    weight = (
+        F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("long") + 1
+    )
+    totals = stats.select(
+        F.sum("n_s").alias("n_total"),
+        F.sum(weight).alias("w_total"),
+    )
+    rates = (
+        stats.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_s",
+            # pure long arithmetic: products fit well under 2^63
+            (weight * F.col("n_total") * F.lit(res)).alias("_num"),
+            F.col("w_total"),
+        )
+        .select(
+            "source",
+            "n_s",
+            F.expr("_num div (w_total * n_s)").alias("r_milli"),
+        )
+    )
+    emitted = (
+        docs.join(F.broadcast(rates), "source")
+        .withColumn(
+            "copies",
+            F.expr(f"r_milli div {res}")
+            + (
+                F.pmod(
+                    _md5_60(F.col("doc_id").cast("string")), F.lit(res)
+                )
+                < F.pmod(F.col("r_milli"), F.lit(res))
+            ).cast("long"),
+        )
+        .withColumn(
+            "epoch",
+            F.explode(
+                F.when(
+                    F.col("copies") >= 1,
+                    F.sequence(F.lit(1), F.col("copies")),
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
+    )
+    audit = emitted.groupBy("source").agg(
+        F.count("*").alias("n_emitted")
+    )
+    return (
+        rates.join(audit, "source", "left")
+        .select(
+            "source",
+            "n_s",
+            "r_milli",
+            F.coalesce("n_emitted", F.lit(0)).alias("n_emitted"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "p01_hash_split": hash_split_assign,
     "p02_pack_token_bins": pack_token_bins,
@@ -845,6 +938,7 @@ QUERIES = {
     "p12_neardup_decontaminate": neardup_decontaminate,
     "p13_dsir_select": dsir_select,
     "p14_bloom_prefilter": bloom_prefilter_decontaminate,
+    "p15_repeat_factor_mixture": repeat_factor_mixture,
 }
 
 ORACLE_SQL = {
@@ -1210,4 +1304,38 @@ SELECT source,
        count(*) FILTER (n_bloom > 0) - count(*) FILTER (n_exact > 0)
          AS n_false_pos
 FROM per_doc GROUP BY source ORDER BY source
+"""
+
+# p15: the oracle recomputes the integer repeat rates and the per-doc
+# digest draw; emitted counts are the sum of copies (the semantic spec
+# — the Spark side must reach the same number THROUGH the explode).
+ORACLE_SQL["p15_repeat_factor_mixture"] = f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents
+), stats AS (
+  SELECT source, count(*) AS n_s,
+         CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT) + 1 AS weight
+  FROM docs GROUP BY source
+), totals AS (
+  SELECT sum(n_s) AS n_total, sum(weight) AS w_total FROM stats
+), rates AS (
+  SELECT source, n_s,
+         (weight * n_total * {REPEAT_RESOLUTION})
+           // (w_total * n_s) AS r_milli
+  FROM stats, totals
+), copies AS (
+  SELECT d.source, r.r_milli, r.n_s,
+         r.r_milli // {REPEAT_RESOLUTION}
+         + CASE WHEN d.h % {REPEAT_RESOLUTION}
+                     < r.r_milli % {REPEAT_RESOLUTION}
+                THEN 1 ELSE 0 END AS copies
+  FROM docs d JOIN rates r ON r.source = d.source
+)
+SELECT source,
+       CAST(min(n_s) AS BIGINT) AS n_s,
+       CAST(min(r_milli) AS BIGINT) AS r_milli,
+       CAST(sum(copies) AS BIGINT) AS n_emitted
+FROM copies GROUP BY source ORDER BY source
 """
