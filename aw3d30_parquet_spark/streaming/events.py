@@ -364,6 +364,64 @@ def running_totals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chained_window_rollup(
+    events: DataFrame,
+    hourly: str = "1 hour",
+    daily: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """S10: CHAINED windowed aggregations — hourly partials roll up
+    into daily totals inside one query, the Spark ≥3.4 multiple-
+    stateful-operators capability (`window_time` re-exposes the first
+    aggregation's window as an event-time column the second can window
+    over). In stream mode both levels maintain state incrementally and
+    append-emit as the watermark closes each day; in batch mode the
+    identical expression tree evaluates directly (the twin the driver
+    hash-checks).
+
+    ``n_hours`` (distinct non-empty hours per day) is what makes the
+    two-level structure observable — a single-level daily aggregate
+    cannot produce it. Money as exact-integer cents (s09's contract).
+
+    At scale: the first level's state is one row per open hourly
+    window; the second's one row per open day — both bounded by the
+    watermark, never by the stream's length.
+    """
+    hourly_agg = (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", hourly))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+    )
+    return (
+        hourly_agg.groupBy(F.window(F.window_time("window"), daily))
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum("cnt").alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+        .select(
+            F.col("window.start").cast("date").alias("day"),
+            "n_hours",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def chained_rollup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s10: driver-contract entry — batch twin of
+    :func:`chained_window_rollup` (the replay test pins the streamed
+    append output to this aggregate on the closed windows)."""
+    register_views(spark, sf_dir)
+    return chained_window_rollup(spark.table("events")).orderBy("day")
+
+
 QUERIES = {
     "s01_session_windows": session_windows_batch,
     "s02_sliding_windows": sliding_windows_batch,
@@ -373,8 +431,24 @@ QUERIES = {
     "s06_interval_join_outer": interval_join_outer_batch,
     "s07_windowed_leaderboard": windowed_leaderboard_batch,
     "s09_running_totals": running_totals_batch,
+    "s10_chained_window_rollup": chained_rollup_batch,
 }
 ORACLE_SQL = {
+    # s10: two-level rollup recomputed relationally — the hourly CTE is
+    # the first stateful operator's closed-window output, the outer
+    # aggregate the second's
+    "s10_chained_window_rollup": """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS cnt,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1
+)
+SELECT CAST(date_trunc('day', h) AS DATE) AS day,
+       count(*) AS n_hours,
+       CAST(sum(cnt) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM hourly GROUP BY 1 ORDER BY day
+""",
     # s09: the batch twin of the applyInPandasWithState running-totals
     # op (the S7 replay test pins stream final state ≡ this aggregate)
     "s09_running_totals": """

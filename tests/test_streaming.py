@@ -330,3 +330,20 @@ def test_s5_stream_static_join(spark, stage_dir, batch_events):
     want = stream_static_join(batch_events, customer).toPandas()
     assert len(got) == len(want) > 0
     assert canonical_hash(got) == canonical_hash(want)
+
+
+def test_s10_chained_rollup_stream_matches_batch(spark, stage_dir, batch_events):
+    """S10: chained hourly→daily windowed aggregation (two stateful
+    operators, append mode) — every daily row the stream closes must
+    equal the batch twin's row for that day, and the replay must close
+    at least one day."""
+    from aw3d30_parquet_spark.streaming.events import chained_window_rollup
+
+    res = chained_window_rollup(read_event_stream(spark, stage_dir, SF))
+    run_to_memory(res, "s10_tbl", output_mode="append")
+    got = spark.sql("SELECT * FROM s10_tbl").toPandas()
+    want_all = chained_window_rollup(batch_events).toPandas()
+    emitted = set(got["day"])
+    want = want_all[want_all["day"].isin(emitted)]
+    assert len(got) > 0, "replay should close at least one daily window"
+    assert canonical_hash(got) == canonical_hash(want)
