@@ -2070,6 +2070,54 @@ def q73_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q75_rolling_distinct_users(
+    spark: SparkSession, sf_dir: str, days: int = 7
+) -> DataFrame:
+    """q75: rolling 7-day distinct users per day (the WAU curve next
+    to DAU) — COUNT(DISTINCT) OVER a sliding frame, which Spark has no
+    native window form for (distinct aggregates are unsupported in
+    window specs). The scalable re-expression: each (day, user)
+    activity row CONTRIBUTES to the ``days`` target days it is visible
+    from — a map-side explode(sequence) — then one distinct + count
+    per target day. No range join, no per-row set state, no
+    collect_set window whose arrays would grow with the user count;
+    the shuffle carries (target_day, user_id) pairs, dedup happens
+    partial-first like any distinct.
+
+    ``dau`` rides along (distinct users that exact day, 0 for days
+    active only via the trailing window) so the output exposes the
+    DAU/WAU pair engagement dashboards actually plot.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    span = daily.agg(F.max("day").alias("max_day"))
+    contrib = (
+        daily.withColumn(
+            "k", F.explode(F.sequence(F.lit(0), F.lit(days - 1)))
+        )
+        .select(
+            F.date_add("day", F.col("k")).alias("day"), "user_id"
+        )
+        .crossJoin(F.broadcast(span))
+        .filter(F.col("day") <= F.col("max_day"))
+        .select("day", "user_id")
+        .distinct()
+    )
+    wau = contrib.groupBy("day").agg(F.count("*").alias("wau"))
+    dau = daily.groupBy("day").agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    return (
+        wau.join(dau, "day", "left")
+        .select(
+            "day", F.coalesce("dau", F.lit(0)).alias("dau"), "wau"
+        )
+        .orderBy("day")
+    )
+
+
 #: a09 bottom-k (KMV) sketch size.
 KMV_K = 32
 
@@ -2253,6 +2301,7 @@ RELATIONAL_QUERIES = {
     "q71_snapshot_diff": q71_snapshot_diff,
     "q73_variant_json": q73_variant_json,
     "q74_lateral_topk": q74_lateral_topk,
+    "q75_rolling_distinct_users": q75_rolling_distinct_users,
 }
 
 # Queries registered WITHOUT a DuckDB oracle, by design (sketch/approx

@@ -807,6 +807,28 @@ GROUP BY tok, n
 HAVING count(*) * 200 >= n
 ORDER BY cnt DESC, tok
 """,
+    # q75: same contribution-explode derivation in DuckDB (a
+    # COUNT(DISTINCT) OVER RANGE is also directly expressible there,
+    # but the twin mirrors the operator's day-arithmetic exactly)
+    "q75_rolling_distinct_users": """
+WITH daily AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+), span AS (
+  SELECT max(day) AS max_day FROM daily
+), contrib AS (
+  SELECT DISTINCT day + CAST(k.k AS INTEGER) AS day, user_id
+  FROM daily CROSS JOIN (SELECT unnest(range(0, 7)) AS k) k, span
+  WHERE day + CAST(k.k AS INTEGER) <= span.max_day
+), wau AS (
+  SELECT day, count(*) AS wau FROM contrib GROUP BY day
+), dau AS (
+  SELECT day, count(DISTINCT user_id) AS dau FROM daily GROUP BY day
+)
+SELECT w.day, COALESCE(d.dau, 0) AS dau, w.wau
+FROM wau w LEFT JOIN dau d ON d.day = w.day
+ORDER BY w.day
+""",
     # a09: the KMV sketch content (k smallest md5 digests) is a
     # deterministic relation — full sketch state + estimates are
     # hash-checked, the one sketch-family member that can be. The ALL
