@@ -663,10 +663,17 @@ def m06_frame_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical — so the within-video audit is non-vacuous at every sf;
     cross-video sharing needs ids 768 apart and lights up from sf0.1.
     """
+    from aw3d30_parquet_spark.functions.dedup import _scratch_persist
+
     frames = sample_frames(
         media_table(spark, sf_dir, kind="video"), every_k=2
     )
-    fh = frames.select("media_id", F.md5("frame").alias("h"))
+    # two consumers with different partitionings (per-video agg + the
+    # digest self-join): persist the hashed relation or the Python
+    # fabricate→decode→md5 kernel — m06's dominant cost — runs twice
+    fh = _scratch_persist(
+        "m06", frames.select("media_id", F.md5("frame").alias("h"))
+    )
     per_video = fh.groupBy("media_id").agg(
         F.count("*").alias("n_sampled"),
         F.count_distinct("h").alias("n_distinct"),

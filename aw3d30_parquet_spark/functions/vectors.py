@@ -839,7 +839,19 @@ def kmeans_fixed(
                         "ci"
                     ),
                 )
+                .persist()
             )
+            # materialize the k-row centroid table per iteration
+            # (DEPLOY.md row 13): without this the next assignment's
+            # plan embeds the whole previous-iteration subtree, and
+            # lineage grows with the iteration count. Released at the
+            # next v09 call via the scratch registry.
+            cent.count()
+            from aw3d30_parquet_spark.functions.dedup import (
+                _scratch_persist,
+            )
+
+            _scratch_persist("v09_cent", cent)
     return (
         assign.groupBy(F.col("cid").alias("cluster_id"))
         .agg(

@@ -81,21 +81,30 @@ def pagerank_supplier_customer(
         )
         .distinct()
     )
-    edges = (
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-        .unionByName(
+    # deferred-release scratch (the d-family pattern): each persisted
+    # relation is registered under an op key so the NEXT l01 call
+    # releases it — nothing leaks across bench repeats/test reruns
+    from aw3d30_parquet_spark.functions.dedup import _scratch_persist
+
+    edges = _scratch_persist(
+        "l01_edges",
+        pairs.select(
+            F.col("s").alias("src"), F.col("c").alias("dst")
+        ).unionByName(
             pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        )
-        .persist()
+        ),
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     n_nodes = deg.count()  # |nodes| — a scalar, also sizes the teleport
     teleport = (3 * PR_SCALE // PR_DAMP_DEN) // n_nodes
-    ranks = deg.select(
-        F.col("src").alias("node"),
-        F.lit(PR_SCALE // n_nodes).cast("long").alias("r"),
-    ).persist()
-    edge_deg = edges.join(deg, "src").persist()
+    ranks = _scratch_persist(
+        "l01_ranks",
+        deg.select(
+            F.col("src").alias("node"),
+            F.lit(PR_SCALE // n_nodes).cast("long").alias("r"),
+        ),
+    )
+    edge_deg = _scratch_persist("l01_edge_deg", edges.join(deg, "src"))
     for _ in range(iters):
         contrib = (
             edge_deg.join(ranks, edge_deg.src == ranks.node)
@@ -113,11 +122,12 @@ def pagerank_supplier_customer(
                 + F.expr(f"({PR_DAMP_NUM} * contrib) div {PR_DAMP_DEN}")
             ).alias("r"),
         ).persist()
-        # materialize before dropping the parent from memory: each
-        # iteration must read ONE fixed input, not a lineage re-run
+        # materialize WHILE the parent ranks is still cached (each
+        # iteration must read one fixed input, not a lineage re-run),
+        # THEN hand to the scratch registry — which releases the old
+        # ranks, now safely no longer needed
         new_ranks.count()
-        ranks.unpersist()
-        ranks = new_ranks
+        ranks = _scratch_persist("l01_ranks", new_ranks)
     return (
         ranks.select("node", F.col("r").alias("rank_e12"))
         .orderBy(F.col("rank_e12").desc(), "node")

@@ -2088,10 +2088,18 @@ def q75_rolling_distinct_users(
     active only via the trailing window) so the output exposes the
     DAU/WAU pair engagement dashboards actually plot.
     """
+    from aw3d30_parquet_spark.functions.dedup import _scratch_persist
+
     ev = _t(spark, sf_dir, "events")
-    daily = ev.select(
-        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
-    ).distinct()
+    # three consumers (span, contribution explode, dau): persist the
+    # daily activity relation or the events scan + distinct runs thrice
+    daily = _scratch_persist(
+        "q75",
+        ev.select(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "user_id",
+        ).distinct(),
+    )
     span = daily.agg(F.max("day").alias("max_day"))
     contrib = (
         daily.withColumn(
@@ -2144,9 +2152,11 @@ def a09_kmv_bottomk_rollup(
     undersampled; ``exact_distinct`` rides along so the driver row
     also records the estimator's true error.
 
-    Scale shape: the only corpus-sized shuffle is the (week, digest)
-    distinct (16-byte keys); sketches are ≤k rows per scope — the
-    merge input is kilobytes regardless of corpus size.
+    Scale shape: two corpus-sized but BALANCED shuffles — the
+    (week, digest) distinct and the (week, salt)-keyed phase-1 rank
+    (16 salt buckets per week, so no single task ever sorts a whole
+    week's digest set); everything after phase 1 is ≤16k rows per
+    scope and the merge input is kilobytes regardless of corpus size.
     """
     from aw3d30_parquet_spark.functions.dedup import _md5_60
 
@@ -2161,9 +2171,25 @@ def a09_kmv_bottomk_rollup(
         )
         .distinct()
     )
+    # two-phase bottom-k: a single per-scope rank window would sort a
+    # whole week's digest set on ONE task (scope is a handful of keys
+    # — the hot-key shape k01 exists to kill). Phase 1 takes the local
+    # bottom-k per (scope, salt) over 16 balanced salt buckets; phase
+    # 2 re-ranks the ≤16k survivors per scope — provably the same
+    # global bottom-k (any of the k smallest per scope is within its
+    # own bucket's bottom-k), with the corpus-sized sort spread across
+    # salts and the per-scope sort bounded at 16k rows.
+    n_salts = 16
+    w_local = Window.partitionBy("scope", "salt").orderBy("h")
+    local = (
+        dig.withColumn("salt", F.pmod("h", F.lit(n_salts)))
+        .withColumn("rn", F.row_number().over(w_local))
+        .filter(F.col("rn") <= k)
+        .select("scope", "h")
+    )
     wk = Window.partitionBy("scope").orderBy("h")
     weekly = (
-        dig.withColumn("rn", F.row_number().over(wk))
+        local.withColumn("rn", F.row_number().over(wk))
         .filter(F.col("rn") <= k)
         .select("scope", "h")
     )

@@ -128,5 +128,11 @@ def test_f02_orc_roundtrip_matches_parquet(spark):
     ]
     plan = via_orc._jdf.queryExecution().executedPlan().toString()
     assert "orc" in plan.lower()
-    # partition pruning: the pushed partition filter must be visible
-    assert "p_brand" in plan
+    # partition pruning: the brand predicate must appear in the scan's
+    # PartitionFilters entry specifically — 'p_brand' alone would match
+    # the projection/groupBy nodes even with pruning regressed
+    pf_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert pf_lines, "ORC scan should carry a PartitionFilters entry"
+    assert any("p_brand" in ln for ln in pf_lines), pf_lines
