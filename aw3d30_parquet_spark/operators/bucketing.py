@@ -233,3 +233,104 @@ FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """,
 }
+
+
+#: (applicationId, sf_dir) → month-partitioned lineitem path already
+#: written this session (b01's build-once pattern for the DPP fact).
+_DPP_WRITTEN: dict[tuple[str, str], str] = {}
+
+
+def dpp_partitioned_fact(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per session) lineitem partitioned by ship month —
+    the layout DYNAMIC PARTITION PRUNING needs: pruning happens at the
+    directory level, so the partition column IS the prune key."""
+    from pyspark.sql import functions as F
+
+    from aw3d30_parquet_spark.session import register_views
+    from aw3d30_parquet_spark.sources.files import _export_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _DPP_WRITTEN:
+        return _DPP_WRITTEN[key]
+    register_views(spark, sf_dir)
+    out = os.path.join(_export_dir(spark, sf_dir), "b02_lineitem_by_month")
+    (
+        spark.table("lineitem")
+        .withColumn(
+            "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+        )
+        .write.mode("overwrite")
+        .partitionBy("ship_month")
+        .parquet(out)
+    )
+    _DPP_WRITTEN[key] = out
+    return out
+
+
+def dpp_month_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b02: DYNAMIC PARTITION PRUNING — the third member of the
+    physical-layout family (k01 salts hot keys, b01 removes the
+    shuffle, this removes the SCAN): the month-partitioned fact is
+    joined to a dimension whose qualifying months are only known at
+    RUNTIME (Q1 urgent-order months), and Catalyst injects the dim's
+    broadcast result as a `dynamicpruning` subquery INTO the fact
+    scan's partition filters — three quarters of the fact's
+    directories are never read. The plan pin
+    (`tests/test_bucketing.py`) asserts the dynamicpruning expression
+    sits on the scan; the oracle certifies the join result itself.
+
+    At 100 TB this is THE mechanism that makes date-partitioned fact
+    tables queryable: a selective dim filter prunes years of
+    partitions without a manual date predicate on the fact.
+    """
+    from pyspark.sql import functions as F
+
+    from aw3d30_parquet_spark.operators.relational import (
+        _cents,
+        _exact_money_sum,
+    )
+    from aw3d30_parquet_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    fact = spark.read.parquet(dpp_partitioned_fact(spark, sf_dir))
+    dim = (
+        spark.table("orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.month("o_orderdate") <= 3)
+        )
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("ship_month")
+        )
+        .distinct()
+    )
+    return (
+        fact.join(dim, "ship_month")
+        .groupBy("ship_month")
+        .agg(
+            F.count("*").alias("n_items"),
+            _exact_money_sum(_cents(F.col("l_extendedprice")), "revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+QUERIES["b02_dpp_month_join"] = dpp_month_join
+
+ORACLE_SQL["b02_dpp_month_join"] = """
+WITH dim AS (
+  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND month(o_orderdate) <= 3
+)
+SELECT l.ship_month, count(*) AS n_items,
+       CAST(floor(
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS DOUBLE)
+         / 100.0 * 100 + 0.5) AS BIGINT) / 100.0 AS revenue
+FROM (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             l_extendedprice
+      FROM lineitem) l
+JOIN dim ON dim.ship_month = l.ship_month
+GROUP BY l.ship_month ORDER BY l.ship_month
+"""

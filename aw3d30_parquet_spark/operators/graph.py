@@ -86,13 +86,26 @@ def pagerank_supplier_customer(
     # releases it — nothing leaks across bench repeats/test reruns
     from aw3d30_parquet_spark.functions.dedup import _scratch_persist
 
+    # the engine must self-configure against the DRIVER's session
+    # (which may carry the 200-partition default): every persisted
+    # relation here is small (≤|edges| rows), and caching it as 200
+    # micro-partitions turns each of the loop's ~8 actions into 200
+    # scheduled tasks — pure overhead that dominated the sf0.01 sim
+    # (40 s → ~8 s with the coalesce). At real scale defaultParallelism
+    # is the cluster width, so this stays right-sized.
+    try:
+        par = max(8, spark.sparkContext.defaultParallelism)
+    except Exception:  # Spark Connect: no sparkContext
+        par = 32
     edges = _scratch_persist(
         "l01_edges",
         pairs.select(
             F.col("s").alias("src"), F.col("c").alias("dst")
-        ).unionByName(
+        )
+        .unionByName(
             pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        ),
+        )
+        .coalesce(par),
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     n_nodes = deg.count()  # |nodes| — a scalar, also sizes the teleport
@@ -102,9 +115,11 @@ def pagerank_supplier_customer(
         deg.select(
             F.col("src").alias("node"),
             F.lit(PR_SCALE // n_nodes).cast("long").alias("r"),
-        ),
+        ).coalesce(par),
     )
-    edge_deg = _scratch_persist("l01_edge_deg", edges.join(deg, "src"))
+    edge_deg = _scratch_persist(
+        "l01_edge_deg", edges.join(deg, "src").coalesce(par)
+    )
     for _ in range(iters):
         contrib = (
             edge_deg.join(ranks, edge_deg.src == ranks.node)
@@ -115,13 +130,19 @@ def pagerank_supplier_customer(
             .groupBy("dst")
             .agg(F.sum("share").alias("contrib"))
         )
-        new_ranks = contrib.select(
-            F.col("dst").alias("node"),
-            (
-                F.lit(teleport)
-                + F.expr(f"({PR_DAMP_NUM} * contrib) div {PR_DAMP_DEN}")
-            ).alias("r"),
-        ).persist()
+        new_ranks = (
+            contrib.select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * contrib) div {PR_DAMP_DEN}"
+                    )
+                ).alias("r"),
+            )
+            .coalesce(par)
+            .persist()
+        )
         # materialize WHILE the parent ranks is still cached (each
         # iteration must read one fixed input, not a lineage re-run),
         # THEN hand to the scratch registry — which releases the old

@@ -67,3 +67,22 @@ def test_b01_driver_query_join_is_shuffle_free(spark):
         assert count_node(plain, "Exchange") == 2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_b02_dpp_subquery_on_fact_scan(spark):
+    """b02: the executed plan must carry a dynamicpruning expression —
+    the runtime dim result injected into the partitioned fact scan's
+    partition filters — and never a cartesian product."""
+    from aw3d30_parquet_spark.operators.bucketing import dpp_month_join
+
+    df = dpp_month_join(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert "CartesianProduct" not in plan
+    # the dynamic filter must sit in the scan's PARTITION filters on
+    # the partition column (plan toString truncates paths, so assert
+    # on the filter line, not the directory name)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any(
+        "ship_month" in ln and "dynamicpruning" in ln for ln in pf
+    ), pf
