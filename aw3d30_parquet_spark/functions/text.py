@@ -382,13 +382,22 @@ def bm25_search(
     from aw3d30_parquet_spark.functions.dedup import _scratch_persist
 
     docs = _docs(spark, sf_dir)
+    # right-size the cached index: under the driver's plain session
+    # (200-partition default) every downstream agg/join over a
+    # 200-micro-partition cache schedules 200 tasks per stage — pure
+    # overhead at index sizes (l01's fix, same rationale)
+    try:
+        par = max(8, spark.sparkContext.defaultParallelism)
+    except Exception:  # Spark Connect: no sparkContext
+        par = 32
     tf = _scratch_persist(
         "t09",
         docs.select(
             "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
         )
         .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf")),
+        .agg(F.count("*").alias("tf"))
+        .coalesce(par),
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(

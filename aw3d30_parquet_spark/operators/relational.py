@@ -2093,12 +2093,18 @@ def q75_rolling_distinct_users(
     ev = _t(spark, sf_dir, "events")
     # three consumers (span, contribution explode, dau): persist the
     # daily activity relation or the events scan + distinct runs thrice
+    try:
+        par = max(8, spark.sparkContext.defaultParallelism)
+    except Exception:  # Spark Connect: no sparkContext
+        par = 32
     daily = _scratch_persist(
         "q75",
         ev.select(
             F.date_trunc("day", "ts").cast("date").alias("day"),
             "user_id",
-        ).distinct(),
+        )
+        .distinct()
+        .coalesce(par),  # cached-index right-sizing (l01's fix)
     )
     span = daily.agg(F.max("day").alias("max_day"))
     contrib = (
