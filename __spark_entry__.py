@@ -83,11 +83,91 @@ def _driver_history() -> dict[str, tuple[int, bool, bool]]:
     return status
 
 
+def _changed_since_record() -> Callable[[str, int, Callable], bool]:
+    """Predicate: has the module implementing a query been COMMITTED
+    (or locally modified) after the round that last recorded the
+    query's driver evidence?
+
+    Guards against stale green: u01–u03 migrated their rounding
+    implementation in round 5 while their driver evidence stayed the
+    r2 capture — nothing caught it because "passed + not oldest" kept
+    them out of the window. Timestamps come from one ``git log
+    --name-only`` pass (last-commit time per file); files dirty in the
+    worktree count as changed NOW. If git is unavailable the predicate
+    degrades to False (pure staleness rotation, the round-5 behavior).
+    """
+    import subprocess
+    import time
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    file_ct: dict[str, float] = {}
+    try:
+        out = subprocess.run(
+            ["git", "log", "--format=%ct", "--name-only"],
+            cwd=here, capture_output=True, text=True, timeout=60,
+        ).stdout
+        ct = 0.0
+        for line in out.splitlines():
+            if line.strip().isdigit():
+                ct = float(line.strip())
+            elif line.strip():
+                # newest-first log: first sighting IS the latest commit
+                file_ct.setdefault(line.strip(), ct)
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=here, capture_output=True, text=True, timeout=60,
+        ).stdout
+        for line in dirty.splitlines():
+            path = line[3:].strip().split(" -> ")[-1]
+            if path:
+                file_ct[path] = time.time()
+    except Exception:
+        return lambda name, rnd, fn: False
+
+    def round_time(rnd: int) -> float:
+        return file_ct.get(f"CORRECTNESS_r{rnd:02d}.json", 0.0) or file_ct.get(
+            f"CORRECTNESS_r{rnd}.json", 0.0
+        )
+
+    def changed(name: str, last_round: int, fn: Callable) -> bool:
+        target = getattr(fn, "__wrapped__", fn)
+        mod = sys.modules.get(getattr(target, "__module__", ""), None)
+        src = getattr(mod, "__file__", None)
+        if not src:
+            return False
+        rel = os.path.relpath(src, here)
+        recorded = round_time(last_round)
+        return bool(recorded) and file_ct.get(rel, 0.0) > recorded
+
+    return changed
+
+
+def _with_eviction(
+    name: str, fn: Callable[[SparkSession, str], DataFrame]
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Dispatch wrapper: entering a query eagerly releases every OTHER
+    query family's single-consumer scratch persists (scratch.py), so a
+    sequential suite run holds one query's working set — not the whole
+    session's history — in the executor storage pool."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from aw3d30_parquet_spark import scratch
+
+        scratch.begin_query(name)
+        return fn(spark, sf_dir)
+
+    run.__name__ = getattr(fn, "__name__", name)
+    run.__module__ = getattr(fn, "__module__", run.__module__)
+    run.__doc__ = fn.__doc__
+    run.__wrapped__ = fn
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Registration order is the driver's check order, and its per-round
-    capture is bounded — so ordering is coverage policy, four tiers:
+    capture is bounded — so ordering is coverage policy, five tiers:
 
     1. previously-FAILED queries (latest driver row not green) — the
        fixes land in the very next CORRECTNESS file;
@@ -97,10 +177,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        instead of aging behind the green tail;
     3. never-checked queries, round-robin interleaved by family
        (d/g/m/p/s/t/u/v + q49+) so any prefix samples every family;
-    4. previously-passed queries, LEAST-RECENTLY-RECORDED first
-       (stable on registration order within a round cohort) — the
-       staleness rotation that re-certifies the whole surface every
-       ~3 rounds instead of re-checking a static prefix forever.
+    4. a 1:1 interleave of two lanes over the previously-passed tail:
+       IMPLEMENTATION-CHANGED queries (the module implementing a
+       passed query was committed/modified after the round of its
+       latest driver record — round-5 lesson: u01–u03 sat on r2
+       evidence across a rounding migration) alternating with
+       LEAST-RECENTLY-RECORDED queries (the staleness rotation that
+       re-certifies the whole surface every ~3 rounds). The interleave
+       keeps a heavy-edit round from flooding the bounded capture
+       window with changed names and starving the oldest evidence —
+       and vice versa.
     """
     from aw3d30_parquet_spark.operators.relational import RELATIONAL_QUERIES
 
@@ -135,6 +221,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         for n in combined
         if n in hist and hist[n][1] and hist[n][2] and n in with_oracle
     ]
+    is_changed = _changed_since_record()
+    changed = [
+        n
+        for n in combined
+        if n in hist
+        and n not in set(refit) | set(upgraded)
+        and is_changed(n, hist[n][0], combined[n])
+    ]
     fresh = [n for n in combined if n not in hist]
     by_family: dict[str, list[str]] = {}
     for n in sorted(fresh):
@@ -147,13 +241,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if lane:
             interleaved.append(lane.pop(0))
         i += 1
-    head = set(refit) | set(upgraded)
+    head = set(refit) | set(upgraded) | set(changed)
     stale_first = sorted(
         (n for n in combined if n in hist and n not in head),
         key=lambda n: hist[n][0],  # stable → registration order in ties
     )
-    ordered = refit + upgraded + interleaved + stale_first
-    return {n: combined[n] for n in ordered}
+    # changed-within-changed: oldest evidence first, so a migrated op
+    # sitting on r2 evidence outranks one recorded last round
+    changed.sort(key=lambda n: hist[n][0])
+    # interleave the changed and stale lanes 1:1 — a round that edits
+    # many modules must not flood the bounded capture window and
+    # starve the oldest-evidence cohort (or vice versa)
+    mixed: list[str] = []
+    ln_c, ln_s = list(changed), list(stale_first)
+    while ln_c or ln_s:
+        if ln_c:
+            mixed.append(ln_c.pop(0))
+        if ln_s:
+            mixed.append(ln_s.pop(0))
+    ordered = refit + upgraded + interleaved + mixed
+    return {n: _with_eviction(n, combined[n]) for n in ordered}
 
 
 def rows_only() -> frozenset[str]:

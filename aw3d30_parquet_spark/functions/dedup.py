@@ -30,15 +30,19 @@ SHINGLE_WIDTH = 3
 JACCARD_THRESHOLD = 0.6
 
 #: MinHash permutation family: 2-universal multiply-add hashing over
-#: the md5-derived base longs — h_i = (a_i·(h mod 2^30) + b_i) mod
-#: (2^31−1). ONE md5 per shingle (the string→long step DuckDB can
-#: mirror); the per-permutation step is pure integer arithmetic,
-#: ~24× less byte-hashing than the previous md5("i:h") re-hash and
-#: identical in both engines by construction (products stay < 2^61).
+#: the md5-derived base longs — h_i = (a_i·(h mod p) + b_i) mod p with
+#: p = 2^31−1 (prime) and a_i ∈ [1, p−1]. ONE md5 per shingle (the
+#: string→long step DuckDB can mirror); the per-permutation step is
+#: pure integer arithmetic, ~24× less byte-hashing than the previous
+#: md5("i:h") re-hash and identical in both engines by construction —
+#: a_i·(h mod p) < 2^62, so int64 never overflows on either side.
+#: (Round-6 fix per ADVICE: the earlier form reduced h mod 2^30,
+#: discarding half the base bits — two shingles colliding in the low
+#: 30 bits collided in ALL permutations. Reducing mod the prime keeps
+#: the full residue and the genuine 2-universal guarantee.)
 #: The (a_i, b_i) are deterministic md5-derived literals — embedded in
 #: the oracle SQL as list constants, so there is no hidden seed.
 MINHASH_MOD = (1 << 31) - 1
-MINHASH_BASE_MASK = 1 << 30
 
 
 def _mh_params(nperm: int) -> list[tuple[int, int]]:
@@ -47,7 +51,7 @@ def _mh_params(nperm: int) -> list[tuple[int, int]]:
     out = []
     for i in range(nperm):
         d = hashlib.md5(f"perm:{i}".encode()).hexdigest()
-        a = (int(d[:8], 16) % (MINHASH_BASE_MASK - 1)) | 1  # odd, <2^30
+        a = int(d[:8], 16) % (MINHASH_MOD - 1) + 1  # in [1, p-1]
         b = int(d[8:16], 16) % MINHASH_MOD
         out.append((a, b))
     return out
@@ -58,7 +62,7 @@ _MH_PARAMS = _mh_params(24)
 #: oracles (i.i is the permutation index CTE column, h the base long).
 _MH_MIN_SQL = (
     f"min((({[a for a, _ in _MH_PARAMS]})[i.i + 1]"
-    f" * (h % {MINHASH_BASE_MASK})"
+    f" * (h % {MINHASH_MOD})"
     f" + ({[b for _, b in _MH_PARAMS]})[i.i + 1])"
     f" % {MINHASH_MOD}) AS mh"
 )
@@ -193,22 +197,19 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Scratch persists from the PREVIOUS d07/d08 invocation, released on
-#: the next call: a persisted interim can't be unpersisted before its
-#: consumer action runs (laziness), but letting every call leak one
-#: cached relation forever would squeeze executor storage in a loop —
-#: deferred release bounds the leak to one generation per operator.
-_SCRATCH: dict[str, list] = {}
-
-
-def _scratch_persist(op: str, df: DataFrame) -> DataFrame:
-    for old in _SCRATCH.get(op, []):
-        try:
-            old.unpersist()
-        except Exception:
-            pass
-    _SCRATCH[op] = [df.persist()]
-    return df
+# Scratch persists live in the session-wide registry (scratch.py): a
+# persisted interim can't be unpersisted before its consumer action
+# runs (laziness), so release is deferred — to the next invocation of
+# the SAME operator (scratch_persist) AND, since round 6, to the start
+# of any OTHER query (scratch.begin_query, called by the contract
+# dispatch) so a long suite session never accumulates the whole
+# suite's scratch history. Re-exported here because every functions/
+# module historically imports the registry from dedup.
+from aw3d30_parquet_spark.scratch import (  # noqa: E402
+    _SCRATCH,
+    scratch_persist as _scratch_persist,
+    scratch_pin as _scratch_pin,
+)
 
 
 def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,14 +403,23 @@ def _minhash_banded(
     # minhash signature: 2-universal multiply-add permutations over
     # the base longs (see _mh_params — ONE md5 per shingle total; the
     # per-permutation step is integer arithmetic the oracle reproduces
-    # from the same embedded (a_i, b_i) literals)
+    # from the same embedded (a_i, b_i) literals). The d06/d15 oracle
+    # SQL embeds exactly len(_MH_PARAMS) literals and a matching
+    # permutation-index range — a bands/rows change that alters nperm
+    # must fail HERE, loudly, not as a downstream hash mismatch.
+    if nperm != len(_MH_PARAMS):
+        raise ValueError(
+            f"bands*rows_per_band = {nperm} but the embedded oracle "
+            f"permutation family has {len(_MH_PARAMS)} members — "
+            "regenerate _MH_PARAMS/_MH_MIN_SQL alongside the change"
+        )
     params = _mh_params(nperm)
 
     def _perm(a: int, b: int):
         # single-arg closure (transform introspects lambda arity —
         # default-arg captures would read as a 3-arg lambda)
         return lambda h: F.pmod(
-            a * F.pmod(h, F.lit(MINHASH_BASE_MASK)) + b,
+            a * F.pmod(h, F.lit(MINHASH_MOD)) + b,
             F.lit(MINHASH_MOD),
         )
 
@@ -702,7 +712,24 @@ def _ed_memo(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         app = spark.sparkContext.applicationId
     except Exception:  # Spark Connect: no sparkContext — the Python
         app = f"connect_{id(spark):x}"  # session object is the session
-    return _ED_MEMO.setdefault((app, sf_dir), {})
+    key = (app, sf_dir)
+    memo = _ED_MEMO.setdefault(key, {})
+
+    def _release(k=key):
+        for df in _ED_MEMO.pop(k, {}).values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+    # shared-memo LRU registration: d10/d11/d13/d14 all touch this
+    # group, keeping it resident across the d-family; a different
+    # corpus dir's group (10x probes) evicts it instead of doubling
+    # the storage pool. Eviction is recompute-safe.
+    from aw3d30_parquet_spark.scratch import memo_touch
+
+    memo_touch(("ed", *key), _release)
+    return memo
 
 
 def _ed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1264,7 +1291,7 @@ WITH words AS (
 ), mh AS (
   SELECT doc_id, i.i AS perm,
          {_MH_MIN_SQL}
-  FROM h0, (SELECT unnest(range(0, 24)) AS i) i
+  FROM h0, (SELECT unnest(range(0, {len(_MH_PARAMS)})) AS i) i
   GROUP BY doc_id, i.i
 ), bandkey AS (
   SELECT doc_id, perm // 2 AS band,
@@ -1318,7 +1345,7 @@ WITH words AS (
 ), mh AS (
   SELECT doc_id, i.i AS perm,
          {_MH_MIN_SQL}
-  FROM h0, (SELECT unnest(range(0, 24)) AS i) i
+  FROM h0, (SELECT unnest(range(0, {len(_MH_PARAMS)})) AS i) i
   GROUP BY doc_id, i.i
 ), bandkey AS (
   SELECT doc_id, perm // 2 AS band,
@@ -1410,6 +1437,18 @@ def _pair_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     if key not in _PAIR_GRAPH:
         df = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b").persist()
         _PAIR_GRAPH[key] = (df, df.count())
+
+    def _release(k=key):
+        entry = _PAIR_GRAPH.pop(k, None)
+        if entry is not None:
+            try:
+                entry[0].unpersist()
+            except Exception:
+                pass
+
+    from aw3d30_parquet_spark.scratch import memo_touch
+
+    memo_touch(("pair_graph", *key), _release)
     return _PAIR_GRAPH[key]
 
 
@@ -1618,14 +1657,10 @@ def _components_label_propagation(
         )
     edges.unpersist()
     # the converged label table must stay persisted until the caller's
-    # action runs; the next call for the SAME operator releases it
+    # action runs; the next call for the SAME operator — or, via
+    # begin_query, the start of any other query — releases it
     # (per-operator keys — a d12 run must not drop d08's pin)
-    for old in _SCRATCH.get(scratch_key, []):
-        try:
-            old.unpersist()
-        except Exception:
-            pass
-    _SCRATCH[scratch_key] = [pinned]
+    _scratch_pin(scratch_key, pinned)
     return labels
 
 

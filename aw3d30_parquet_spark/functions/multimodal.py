@@ -97,6 +97,16 @@ FRAME_SCHEMA = StructType(
 # ---------------------------------------------------------------------------
 
 
+#: video frame-count law: n_frames = VID_FRAMES_BASE + doc_id %
+#: VID_FRAMES_MOD. The m06 oracle's frame-index generator is bounded by
+#: MAX_VID_FRAMES derived from the SAME constants — changing the video
+#: arm here re-sizes the oracle automatically instead of silently
+#: undercounting frames (ADVICE r5).
+VID_FRAMES_BASE = 4
+VID_FRAMES_MOD = 6
+MAX_VID_FRAMES = VID_FRAMES_BASE + VID_FRAMES_MOD - 1
+
+
 def media_params(doc_id: int) -> dict:
     kind = ("image", "audio", "video")[doc_id % 3]
     p: dict = {"kind": kind, "seed": doc_id % 256}
@@ -109,7 +119,11 @@ def media_params(doc_id: int) -> dict:
     elif kind == "audio":
         p.update(sample_rate=8000 + (doc_id % 4) * 4000, n_samples=256 + (doc_id % 10) * 64)
     else:
-        p.update(width=16 + (doc_id % 4) * 8, height=16, n_frames=4 + doc_id % 6)
+        p.update(
+            width=16 + (doc_id % 4) * 8,
+            height=16,
+            n_frames=VID_FRAMES_BASE + doc_id % VID_FRAMES_MOD,
+        )
     return p
 
 
@@ -707,18 +721,18 @@ def m06_frame_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_M06_ORACLE = """
+_M06_ORACLE = f"""
 WITH params AS (
   SELECT doc_id,
          16 + (doc_id % 4) * 8 AS w,
-         4 + doc_id % 6        AS nf,
+         {VID_FRAMES_BASE} + doc_id % {VID_FRAMES_MOD} AS nf,
          doc_id % 256          AS s
   FROM documents WHERE doc_id % 3 = 2
 ), frames AS (
   -- every-2nd-frame start byte: frame k begins at (s + k*w*16) mod 256
   SELECT doc_id, w, (s + k.k * w * 16) % 256 AS start
   FROM params
-  CROSS JOIN (SELECT unnest(range(0, 9)) AS k) k
+  CROSS JOIN (SELECT unnest(range(0, {MAX_VID_FRAMES})) AS k) k
   WHERE k.k < nf AND k.k % 2 = 0
 ), per_video AS (
   SELECT doc_id, count(*) AS n_sampled,

@@ -864,8 +864,17 @@ def repeat_factor_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "source")
     res = REPEAT_RESOLUTION
     stats = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    # digit-less source names default to weight 1 on BOTH engines: the
+    # bare cast yields NULL here ('' -> NULL, silent zero-emission
+    # cascade) but a cast ERROR in DuckDB — a divergent failure mode
+    # on unexpected fixture data (ADVICE r5). coalesce(…, 0) + 1 makes
+    # the fallback explicit and identical.
     weight = (
-        F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("long") + 1
+        F.coalesce(
+            F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("long"),
+            F.lit(0),
+        )
+        + 1
     )
     totals = stats.select(
         F.sum("n_s").alias("n_total"),
@@ -1316,7 +1325,8 @@ WITH docs AS (
   FROM documents
 ), stats AS (
   SELECT source, count(*) AS n_s,
-         CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT) + 1 AS weight
+         CAST(coalesce(nullif(regexp_extract(source, '(\\d+)$', 1), ''),
+                       '0') AS BIGINT) + 1 AS weight
   FROM docs GROUP BY source
 ), totals AS (
   SELECT sum(n_s) AS n_total, sum(weight) AS w_total FROM stats

@@ -130,23 +130,58 @@ def _normalized_features(emb: DataFrame) -> DataFrame:
     )
 
 
-def _simhash_signature(n_bits: int = 256, dim: int = 64, seed: int = 42):
+#: embedding quantization scale for the signature dot products: q_d =
+#: floor(e_d·10⁶ + 0.5). With |e| < 1 and |plane| < 2^19 the per-bit
+#: dot sums stay < 2^45 — far inside float64's exact-integer range
+#: (2^53), so numpy's matmul (any summation order) and DuckDB's
+#: sequential list_dot_product produce the IDENTICAL integer, making
+#: the full 256-bit signature engine-independent. (The earlier
+#: Gaussian-plane form was numpy-RNG-specific — rows-only forever.)
+SIG_QUANT = 1_000_000
+#: signed hyperplane component range: md5-derived ints in [-2^19, 2^19)
+SIG_PLANE_MOD = 1 << 20
+
+
+def _sig_plane(d: int, b: int) -> int:
+    """md5-derived hyperplane component — the same 60-bit md5-prefix →
+    modular-reduce arithmetic DuckDB recomputes in the v03/v04 oracles:
+    ``('0x' || substr(md5(d || ':' || b), 1, 15))::BIGINT % 2^20 - 2^19``."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{d}:{b}".encode()).hexdigest()[:15], 16)
+    return h % SIG_PLANE_MOD - SIG_PLANE_MOD // 2
+
+
+def _simhash_signature(n_bits: int = 256, dim: int = 64):
     """Vectorized pandas UDF: embedding → n_bits-bit hyperplane sign
     signature packed into ``n_bits/64`` BIGINT words. One numpy matmul
     per Arrow batch (index build — at 100 TB this column is
     materialized once next to the embeddings and the per-batch matmul
-    runs embarrassingly parallel, map-side only)."""
+    runs embarrassingly parallel, map-side only).
+
+    Hyperplanes are md5-derived integer vectors (:func:`_sig_plane`)
+    and embeddings are half-up-quantized to integers, so every dot
+    product is EXACT integer arithmetic carried in float64 — the
+    signature is reproducible bit-for-bit by the DuckDB oracle, which
+    is what promoted v03/v04 from rows-only to full hash checks (r6).
+    Sign quality: uniform symmetric components give the same
+    E[Hamming] ∝ angle monotonicity as Gaussian planes (recall floors
+    re-asserted in pytest V3/V4)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     n_words = n_bits // 64
-    planes = np.random.RandomState(seed).standard_normal((dim, n_bits))
+    planes = np.array(
+        [[_sig_plane(d, b) for b in range(n_bits)] for d in range(dim)],
+        dtype=np.float64,
+    )
     weights = 1 << np.arange(64, dtype=np.uint64)
 
     def _sig(col):
         m = np.vstack(col.to_numpy()).astype(np.float64)
-        bits = (m @ planes) > 0  # (n, n_bits)
+        q = np.floor(m * SIG_QUANT + 0.5)  # exact ints in float64
+        bits = (q @ planes) > 0  # (n, n_bits)
         words = bits.reshape(len(m), n_words, 64).astype(np.uint64) @ weights
         return pd.Series(list(words.astype(np.int64)))
 
@@ -224,7 +259,12 @@ def ann_topk_lsh(
         emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
         .join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(queries.select("query_id", "q_emb")), "query_id")
-        .withColumn("cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        # rank on the ROUNDED cosine with id tiebreak (v02's
+        # determinism contract — raw-float rank order is not bit-
+        # stable), floor-half-up so both engines round identically
+        .withColumn(
+            "cos", round_half_up(cosine(F.col("q_emb"), F.col("c_emb")), 4)
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -232,7 +272,7 @@ def ann_topk_lsh(
     return (
         rerank.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos"))
+        .select("query_id", "rank", "neighbor_id", "cos")
         .orderBy("query_id", "rank")
     )
 
@@ -253,7 +293,18 @@ def _ivf_index(
     spark: SparkSession, sf_dir: str, n_clusters: int
 ) -> tuple[DataFrame, DataFrame]:
     key = (spark.sparkContext.applicationId, sf_dir, n_clusters)
+    from aw3d30_parquet_spark.scratch import memo_touch
+
+    def _release(k=key):
+        entry = _IVF_INDEX.pop(k, None)
+        if entry is not None:
+            try:
+                entry[0].unpersist()
+            except Exception:
+                pass
+
     if key in _IVF_INDEX:
+        memo_touch(("ivf", *key), _release)
         return _IVF_INDEX[key]
     from pyspark.ml.clustering import KMeans
 
@@ -289,6 +340,7 @@ def _ivf_index(
     )
     feats.unpersist()
     _IVF_INDEX[key] = (corpus, centroids)
+    memo_touch(("ivf", *key), _release)
     return corpus, centroids
 
 
@@ -463,7 +515,18 @@ def _pq_train(vecs, m: int = PQ_M, k: int = PQ_K, iters: int = 10):
 
 def _pq_index(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir, PQ_M, PQ_K)
+    from aw3d30_parquet_spark.scratch import memo_touch
+
+    def _release(k=key):
+        entry = _PQ_INDEX.pop(k, None)
+        if entry is not None:
+            try:
+                entry[0].unpersist()
+            except Exception:
+                pass
+
     if key in _PQ_INDEX:
+        memo_touch(("pq", *key), _release)
         return _PQ_INDEX[key]
     import numpy as np
     import pandas as pd
@@ -500,6 +563,7 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     ).persist()
     codes.count()  # materialize the build-once artifact
     _PQ_INDEX[key] = (codes, books)
+    memo_touch(("pq", *key), _release)
     return codes, books
 
 
@@ -874,18 +938,41 @@ QUERIES = {
     "v09_kmeans_fixed": kmeans_fixed,
 }
 
-# No-DuckDB-oracle by design: v03/v04 band on xxhash64 (no DuckDB twin),
-# v05/v06 are approximate indexes (IVF probe / PQ codebook) whose
-# output is recall-graded, not exact — tests/test_vectors.py V3-V6 hold
-# the recall floors. Consumed by __spark_entry__.rows_only().
+# No-DuckDB-oracle by design: v05/v06 are approximate indexes (IVF
+# probe via MLlib k-means / PQ codebook via sampled numpy train) whose
+# index content is engine-specific RNG — output is recall-graded, not
+# exact; tests/test_vectors.py V5-V6 hold the recall floors. (v03/v04
+# were promoted to full hash oracles in r6: md5-derived integer
+# hyperplanes + quantized-integer dot products made the signatures
+# engine-independent.) Consumed by __spark_entry__.rows_only().
 ROWS_ONLY = frozenset(
     {
-        "v03_ann_topk_lsh",
-        "v04_embedding_neardup",
         "v05_ann_topk_ivf",
         "v06_ann_topk_pq",
     }
 )
+
+#: shared signature CTE tail for the v03/v04 oracles — (vec_id, bit,
+#: bit_on), the same quantized-integer dot-product sign arithmetic as
+#: :func:`_simhash_signature`, recomputed natively by DuckDB (every
+#: dot is exact integer arithmetic in float64, so summation order is
+#: irrelevant and the engines agree bit-for-bit).
+_SIG_SQL = f"""sigq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           e -> floor(CAST(e AS DOUBLE) * {SIG_QUANT} + 0.5)) AS qv
+  FROM embeddings
+), planes AS (
+  SELECT b AS bit,
+         list_transform(range(0, 64),
+           d -> CAST(('0x' || substr(md5(d::VARCHAR || ':' || b::VARCHAR),
+                      1, 15))::BIGINT % {SIG_PLANE_MOD}
+                - {SIG_PLANE_MOD // 2} AS DOUBLE)) AS pv
+  FROM (SELECT unnest(range(0, 256)) AS b)
+), sig AS (
+  SELECT q.vec_id, p.bit, list_dot_product(q.qv, p.pv) > 0 AS bit_on
+  FROM sigq q CROSS JOIN planes p
+)"""
 
 ORACLE_SQL = {
     "v01_embedding_dims": """
@@ -920,8 +1007,77 @@ WITH v AS (
 SELECT query_id, rank, neighbor_id, cos
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """,
-    # v03–v04: approximate (sketch recall) — rows-only by design,
-    # verified by recall bounds in pytest (V3/V4).
+    # v03: full sketch-filter twin — recompute the 256-bit signature
+    # (shared _SIG_SQL), rank candidates per query by exact Hamming
+    # distance (id tiebreak), rerank the top-100 by exact cosine with
+    # the shared floor-half-up rounding. Hash-checks the WHOLE
+    # approximate pipeline: sketch, candidate cut, rerank, top-k.
+    "v03_ann_topk_lsh": f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), {_SIG_SQL},
+ham AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         sum(CASE WHEN a.bit_on <> b.bit_on THEN 1 ELSE 0 END) AS ham
+  FROM sig a JOIN sig b ON a.bit = b.bit AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < {DEFAULT_N_QUERIES}
+  GROUP BY 1, 2
+), cand AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY ham, neighbor_id) AS r
+        FROM ham)
+  WHERE r <= 100
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(floor(list_dot_product(vq.e, vn.e)
+               / (sqrt(list_dot_product(vq.e, vq.e))
+                  * sqrt(list_dot_product(vn.e, vn.e)))
+               * 10000 + 0.5) AS BIGINT) / 10000.0 AS cos
+  FROM cand c
+  JOIN v vn ON vn.vec_id = c.neighbor_id
+  JOIN v vq ON vq.vec_id = c.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cos
+FROM ranked WHERE rank <= {DEFAULT_K} ORDER BY query_id, rank
+""",
+    # v04: banded-LSH twin — same signature CTE, bands packed exactly
+    # like the engine's shiftright/mask arithmetic (band j = bits
+    # 32j..32j+31, little-endian), candidate equi-join on collisions,
+    # exact-cosine verify at the raw-double threshold (sequential
+    # float64 fold on both sides — the v02-proven pattern).
+    "v04_embedding_neardup": f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), {_SIG_SQL},
+band AS (
+  SELECT vec_id, bit // 32 AS band_id,
+         sum(CASE WHEN bit_on THEN 1::BIGINT << (bit % 32)
+                  ELSE 0 END) AS band_val
+  FROM sig GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM band a
+  JOIN band b ON a.band_id = b.band_id AND a.band_val = b.band_val
+            AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b
+FROM cand c
+JOIN v va ON va.vec_id = c.id_a
+JOIN v vb ON vb.vec_id = c.id_b
+WHERE list_dot_product(va.e, vb.e)
+      / (sqrt(list_dot_product(va.e, va.e))
+         * sqrt(list_dot_product(vb.e, vb.e))) >= 0.999
+ORDER BY id_a, id_b
+""",
     # v07: the axis-sign clustering + rounded-cosine keeper choice are
     # both exact arithmetic — the full SemDeDup drop set is
     # hash-checked (same float64 list math as the green v02/u03).

@@ -249,7 +249,10 @@ def dpp_partitioned_fact(spark: SparkSession, sf_dir: str) -> str:
     from aw3d30_parquet_spark.session import register_views
     from aw3d30_parquet_spark.sources.files import _export_dir
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # _session_tag, not bare applicationId: under Spark Connect there
+    # is no sparkContext and the sibling memo patterns (graph.py,
+    # text.py) already degrade instead of raising (ADVICE r5)
+    key = (_session_tag(spark), sf_dir)
     if key in _DPP_WRITTEN:
         return _DPP_WRITTEN[key]
     register_views(spark, sf_dir)

@@ -1,0 +1,138 @@
+"""Session-wide scratch/memo registry with an eviction policy.
+
+A 170-query suite session used to accumulate every memoized persisted
+artifact (shingle streams, pair graphs, inverted/positional indexes,
+IVF/PQ codebooks) until the executor storage pool thrashed: measured
+p14 median 12.6 s in-suite vs 2.1 s isolated at sf0.1, d07 131 s vs
+24.7 s at 10x. Two tiers fix that:
+
+- **scratch** (single-consumer persisted interims): keyed by the owning
+  query family ("d07", "d07_prefix", "v09_cent", "d08.labels" all
+  belong to families d07/v09/d08 — the key's leading token). A
+  persisted interim cannot be unpersisted before its consumer action
+  runs (laziness), so release is deferred — but only until the NEXT
+  query begins: :func:`begin_query` eagerly frees every other family's
+  scratch, bounding the pool to one query's working set instead of the
+  whole suite's history. (:func:`scratch_persist` additionally frees
+  the previous generation of the SAME key, so per-op loops — k-means
+  iterations, label propagation — stay bounded within one query too.)
+
+- **memo groups** (build-once shared artifacts consumed across queries:
+  the d10/d11/d13/d14 gram relations, the d08/d12 pair graph, IVF/PQ
+  indexes): registered with a release callback and kept under an LRU
+  cap (:data:`MEMO_GROUP_CAP`, env ``SPARK_GRAFT_MEMO_CAP``). Groups
+  are keyed per (kind, session, sf_dir[, params]) so a 10x probe run
+  against a different corpus dir evicts the stale corpus' index rather
+  than keeping both resident.
+
+Eviction is always correctness-safe: ``unpersist()`` on a relation a
+later plan still references silently recomputes it — the policy can
+only cost a rebuild, never wrong rows.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+from collections.abc import Callable, Hashable
+
+from pyspark.sql import DataFrame
+
+#: single-consumer scratch: key -> persisted generations (usually one)
+_SCRATCH: dict[str, list[DataFrame]] = {}
+
+#: shared build-once memos: group key -> release callback, LRU-ordered
+#: (most recently touched last)
+_MEMO_GROUPS: "OrderedDict[Hashable, Callable[[], None]]" = OrderedDict()
+
+#: max resident shared-memo groups. 4 covers one full suite pass at one
+#: sf_dir (ed grams, pair graph, IVF, PQ); a second sf_dir's groups
+#: then evict the first's instead of doubling the storage pool.
+MEMO_GROUP_CAP = int(os.environ.get("SPARK_GRAFT_MEMO_CAP", "4"))
+
+
+def _family(key: str) -> str:
+    """Owning query family of a scratch key: the leading token before
+    any ``.`` or ``_`` separator ("d07_prefix" -> "d07", "d08.labels"
+    -> "d08", "v09_cent" -> "v09")."""
+    return key.split(".", 1)[0].split("_", 1)[0]
+
+
+def release_key(key: str) -> None:
+    """Unpersist and drop every generation registered under ``key``."""
+    for old in _SCRATCH.pop(key, []):
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+
+
+def scratch_persist(key: str, df: DataFrame) -> DataFrame:
+    """Persist ``df`` as the current scratch generation for ``key``,
+    releasing the previous generation (consumed by now — the caller's
+    prior action has run, or the caller is iterating and has
+    materialized the new generation's input)."""
+    release_key(key)
+    _SCRATCH[key] = [df.persist()]
+    return df
+
+
+def scratch_pin(key: str, df: DataFrame) -> DataFrame:
+    """Register an ALREADY-persisted handle under ``key`` (for callers
+    that persist mid-loop and hand over the final pinned generation)."""
+    release_key(key)
+    _SCRATCH[key] = [df]
+    return df
+
+
+def begin_query(name: str) -> None:
+    """Mark the start of query ``name``: eagerly release every OTHER
+    family's single-consumer scratch. Queries run sequentially through
+    the driver/bench dispatch, so foreign scratch has no pending
+    consumer by the time a new query begins."""
+    fam = _family(name)
+    for key in [k for k in _SCRATCH if _family(k) != fam]:
+        release_key(key)
+
+
+def memo_touch(group: Hashable, release: Callable[[], None]) -> None:
+    """Register (or refresh the recency of) a shared memo group.
+
+    ``release`` must free the group's persisted relations AND remove
+    its entries from the owning module's memo dict, so a later consumer
+    rebuilds instead of reading unpersisted ghosts. When registration
+    pushes the resident count past :data:`MEMO_GROUP_CAP`, the
+    least-recently-touched group is evicted.
+    """
+    if group in _MEMO_GROUPS:
+        _MEMO_GROUPS.move_to_end(group)
+        return
+    _MEMO_GROUPS[group] = release
+    while len(_MEMO_GROUPS) > MEMO_GROUP_CAP:
+        _, evict = _MEMO_GROUPS.popitem(last=False)
+        try:
+            evict()
+        except Exception:
+            pass
+
+
+def release_all() -> None:
+    """Free everything: all scratch generations and all memo groups.
+    bench.py calls this before an isolated re-measurement pass so the
+    storage pool starts empty, matching a fresh-session run."""
+    for key in list(_SCRATCH):
+        release_key(key)
+    while _MEMO_GROUPS:
+        _, evict = _MEMO_GROUPS.popitem(last=False)
+        try:
+            evict()
+        except Exception:
+            pass
+
+
+def resident() -> dict[str, list[str]]:
+    """Debug/test view: current scratch keys and memo group reprs."""
+    return {
+        "scratch": sorted(_SCRATCH),
+        "memo_groups": [repr(g) for g in _MEMO_GROUPS],
+    }

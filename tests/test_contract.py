@@ -21,13 +21,15 @@ def test_every_oracle_names_a_registered_query():
     assert len(contract.rows_only()) <= 20
 
 
-def test_rotation_four_tiers_failed_upgraded_fresh_stale():
+def test_rotation_tiers_failed_upgraded_fresh_changed_stale():
     """The driver's per-round CORRECTNESS capture is bounded, so
     registration order decides coverage: latest-FAILED first, then
     oracle-UPGRADED (last row was rows-only but the name now has a SQL
     oracle), then never-checked names — interleaved across families so
     any capture prefix samples the whole surface — then the green tail
-    ordered least-recently-recorded first (staleness rotation)."""
+    as a 1:1 interleave of the IMPLEMENTATION-CHANGED lane and the
+    least-recently-recorded staleness lane (each lane round-monotone
+    within itself)."""
     qs = list(contract.queries())
     hist = contract._driver_history()
     if not hist:
@@ -47,11 +49,52 @@ def test_rotation_four_tiers_failed_upgraded_fresh_stale():
     assert set(qs[f0 : f0 + len(fresh)]) == set(fresh)
     if len(fresh) >= 6:
         assert len({n[0] for n in qs[f0 : f0 + 6]}) >= 3
-    # the green tail is monotone in last-recorded round: a name checked
-    # in r1 must never sit behind one checked in r3
+    # green tail: split into the changed lane (module committed or
+    # dirty after the round of the latest record) and the stale lane —
+    # each lane must be monotone in last-recorded round, and when both
+    # lanes are non-empty they must alternate (one lane never floods
+    # the bounded capture window)
+    combined = contract.queries()
+    is_changed = contract._changed_since_record()
     tail = qs[f0 + len(fresh) :]
-    rounds = [hist[n][0] for n in tail]
-    assert rounds == sorted(rounds)
+    changed = [n for n in tail if is_changed(n, hist[n][0], combined[n])]
+    stale = [n for n in tail if n not in set(changed)]
+    for lane in (changed, stale):
+        rounds = [hist[n][0] for n in lane]
+        assert rounds == sorted(rounds)
+    if changed and stale:
+        # 1:1 interleave: among the first 2*min(len) tail slots, each
+        # adjacent pair holds one name from each lane
+        k = min(len(changed), len(stale))
+        for i in range(0, 2 * k - 1, 2):
+            pair = {tail[i] in set(changed), tail[i + 1] in set(changed)}
+            assert pair == {True, False}
+
+
+def test_rotation_changed_implementation_priority():
+    """Round-5 lesson: u01–u03 migrated their rounding implementation
+    while their driver evidence stayed the r2 capture. The predicate
+    must flag a query whose implementing module was committed after
+    the round of its record — and must NOT flag records from rounds
+    with no CORRECTNESS file (guard) or functions without a module
+    file."""
+    is_changed = contract._changed_since_record()
+    # any callable implemented in udfs.py: the module migrated its
+    # rounding in round 5, so vs an r2 record it reads as changed
+    import inspect
+
+    from aw3d30_parquet_spark.functions import udfs
+
+    fns = [
+        f
+        for _, f in inspect.getmembers(udfs, inspect.isfunction)
+        if f.__module__ == "aw3d30_parquet_spark.functions.udfs"
+    ]
+    if not fns:
+        pytest.skip("no functions in udfs module")
+    assert is_changed("u01_synthetic", 2, fns[0])
+    # round with no CORRECTNESS file on disk -> no record time -> False
+    assert not is_changed("u01_synthetic", 99, fns[0])
 
 
 def test_rotation_express_lane_recovers_oracle_promotions():

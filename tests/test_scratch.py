@@ -1,0 +1,99 @@
+"""Session-wide scratch/memo eviction policy (scratch.py).
+
+Round-6 contract: a suite session holds ONE query's working set in the
+executor storage pool, not the whole session's history — begin_query
+releases every other family's single-consumer scratch, and shared
+build-once memos live under an LRU group cap. Eviction must always be
+recompute-safe (results identical after any release)."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from aw3d30_parquet_spark import scratch
+from tests.conftest import SF_SMOKE
+
+
+def test_family_extraction():
+    assert scratch._family("d07") == "d07"
+    assert scratch._family("d07_prefix") == "d07"
+    assert scratch._family("d08.labels") == "d08"
+    assert scratch._family("v09_cent") == "v09"
+    assert scratch._family("l01_edge_deg") == "l01"
+    assert scratch._family("q75_rolling_distinct_users") == "q75"
+
+
+def test_begin_query_releases_foreign_scratch_only(spark):
+    a = spark.range(10)
+    b = spark.range(20)
+    c = spark.range(30)
+    scratch.scratch_persist("d04", a)
+    scratch.scratch_persist("d07_prefix", b)
+    scratch.scratch_pin("t09", c.persist())
+    scratch.begin_query("d07_ngram_jaccard_prefix")
+    keys = scratch.resident()["scratch"]
+    assert "d07_prefix" in keys
+    assert "d04" not in keys and "t09" not in keys
+    assert not a.storageLevel.useMemory  # actually unpersisted
+    assert not c.storageLevel.useMemory
+    scratch.release_all()
+    assert scratch.resident()["scratch"] == []
+
+
+def test_scratch_persist_releases_previous_generation(spark):
+    g1 = spark.range(5)
+    scratch.scratch_persist("x01", g1)
+    g2 = spark.range(6)
+    scratch.scratch_persist("x01", g2)
+    assert not g1.storageLevel.useMemory
+    assert g2.storageLevel.useMemory
+    scratch.release_all()
+
+
+def test_memo_lru_cap_evicts_oldest(spark):
+    released = []
+    scratch.release_all()
+    old_cap = scratch.MEMO_GROUP_CAP
+    scratch.MEMO_GROUP_CAP = 2
+    try:
+        scratch.memo_touch(("g", 1), lambda: released.append(1))
+        scratch.memo_touch(("g", 2), lambda: released.append(2))
+        scratch.memo_touch(("g", 1), lambda: released.append("dup"))
+        # touching an existing group refreshes recency, no new entry
+        assert released == []
+        scratch.memo_touch(("g", 3), lambda: released.append(3))
+        # cap 2: group 2 is now LRU (1 was re-touched) and evicts
+        assert released == [2]
+        assert [g for g in scratch.resident()["memo_groups"]] == [
+            repr(("g", 1)),
+            repr(("g", 3)),
+        ]
+    finally:
+        scratch.MEMO_GROUP_CAP = old_cap
+        scratch.release_all()
+
+
+def test_eviction_is_recompute_safe(spark):
+    """Releasing a memoized relation mid-flight only costs a rebuild:
+    the d-family result is identical when its shared gram memo is
+    force-released between build and consume."""
+    from aw3d30_parquet_spark.functions.dedup import (
+        editdist_candidate_metrics,
+    )
+
+    before = editdist_candidate_metrics(spark, SF_SMOKE).collect()
+    scratch.release_all()  # drops the _ED_MEMO group via its callback
+    after = editdist_candidate_metrics(spark, SF_SMOKE).collect()
+    assert before == after
+
+
+def test_queries_dispatch_wraps_with_eviction(spark):
+    import __spark_entry__ as contract
+
+    qs = contract.queries()
+    name = next(iter(qs))
+    assert hasattr(qs[name], "__wrapped__")
+    # dispatching query A then query B leaves no A-family scratch
+    scratch.scratch_persist("zz9", spark.range(3))
+    qs[name](spark, SF_SMOKE)  # begin_query releases zz9
+    assert "zz9" not in scratch.resident()["scratch"]
