@@ -113,6 +113,31 @@ def main() -> None:
             "max": round(max(times), 4),
         }
 
+    # SPARK_GRAFT_BENCH_ISOLATED_TOP=N: after the suite pass, re-measure
+    # the N most expensive queries ISOLATED — all scratch/memo artifacts
+    # released and the storage pool cleared before each one — so the
+    # file carries both numbers and in-suite cache contention can be
+    # read off directly instead of re-derived by hand (SCALING.md's
+    # "eviction-inflated vs isolated" adjudication, now mechanical).
+    iso_top = int(os.environ.get("SPARK_GRAFT_BENCH_ISOLATED_TOP", "0"))
+    isolated: dict[str, float] = {}
+    if iso_top:
+        from aw3d30_parquet_spark import scratch
+
+        for name in sorted(
+            per_query, key=lambda n: per_query[n], reverse=True
+        )[:iso_top]:
+            fn = qs[name]
+            scratch.release_all()
+            spark.catalog.clearCache()
+            _materialize(fn(spark, SF_DIR))  # warm-up rebuilds own memos
+            times = []
+            for _ in range(REPEATS):
+                t0 = time.perf_counter()
+                _materialize(fn(spark, SF_DIR))
+                times.append(time.perf_counter() - t0)
+            isolated[name] = round(statistics.median(times), 4)
+
     total = round(sum(per_query.values()), 4)
     families: dict[str, float] = {}
     for name, sec in per_query.items():
@@ -155,9 +180,13 @@ def main() -> None:
         },
         "sf": sf,
     }
+    if isolated:
+        result["isolated_top"] = {k[:3]: v for k, v in isolated.items()}
     if not only:
         result["ingest"] = _bench_ingest(spark)
     result_file = dict(result, spread=spread)
+    if isolated:
+        result_file["isolated_top"] = isolated  # full names on disk
     # Full-fidelity copy on disk (the driver's stdout capture keeps only
     # a bounded tail — round 1 lost the head of a 4.3 KB line).
     with open(

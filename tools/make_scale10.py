@@ -19,9 +19,26 @@ facts grow, dims don't.
   10-member exact-duplicate clusters, the adversarial case for
   embedding near-dup / SemDeDup.
 
-Usage: ``python tools/make_scale10.py [out_dir] [replicas]`` then
+Usage: ``python tools/make_scale10.py [out_dir] [replicas] [mode]`` then
 ``SPARK_GRAFT_SF_DIR=/tmp/scale10 SPARK_GRAFT_BENCH_REPEATS=1
 SPARK_GRAFT_BENCH_ONLY=... python bench.py``.
+
+Modes (third positional arg, default ``full``):
+
+- ``full`` — every fact table replicated (the SCALING.md 10x corpus).
+- ``fixed-delta`` — documents only: replica 0 is complete; replicas
+  i>=1 DROP their snapshot-eligible slice (``doc_id % 10 >= 8``), so
+  the d13/d09/d15 delta stays EXACTLY the sf0.1 delta while the
+  existing-corpus side grows ~(1 + 0.8*(replicas-1))x. This evidences
+  the incremental family's actual production claim — cost linear in
+  the DELTA, sub-linear in the corpus — which the plain replica probe
+  cannot (it scales delta and corpus together, ~replicas^2 join
+  volume). Other tables are copied unchanged (the probes only read
+  documents).
+- ``docs`` — documents replicated, everything else copied unchanged:
+  the cheap way to build the 100x corpus for the retrieval/selection
+  family probes (t08/t09/t10/p13/p14), whose scale claims are
+  query-budget arguments over the documents table alone.
 """
 
 from __future__ import annotations
@@ -45,10 +62,18 @@ STRIDES = {
 DIMS = ("region", "nation", "supplier", "part")
 
 
-def build(out_dir: str = "/tmp/scale10", replicas: int = 10) -> None:
+def build(
+    out_dir: str = "/tmp/scale10", replicas: int = 10, mode: str = "full"
+) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
-    for t in DIMS:
+    copy_unchanged = list(DIMS)
+    if mode in ("fixed-delta", "docs"):
+        # probes in these modes only read documents — ship the other
+        # tables through unchanged so register_views still finds them
+        copy_unchanged += ["customer", "orders", "lineitem", "events",
+                           "embeddings"]
+    for t in copy_unchanged:
         shutil.copyfile(
             os.path.join(SRC, f"{t}.parquet"),
             os.path.join(out_dir, f"{t}.parquet"),
@@ -63,6 +88,35 @@ def build(out_dir: str = "/tmp/scale10", replicas: int = 10) -> None:
         )
 
     src = lambda t: f"read_parquet('{SRC}/{t}.parquet')"  # noqa: E731
+
+    if mode in ("fixed-delta", "docs"):
+        # replica 0 keeps its full slice (THE fixed delta); in
+        # fixed-delta mode every later replica drops its
+        # snapshot-eligible rows so only the corpus side grows
+        tail = " WHERE (doc_id % 10) < 8"
+        parts = []
+        for i in range(replicas):
+            where = tail if (mode == "fixed-delta" and i > 0) else ""
+            parts.append(
+                f"SELECT doc_id + {i}*{STRIDES['documents'][1]} AS doc_id,"
+                + (
+                    " text"
+                    if i == 0
+                    else f" text || ' replica{i}' AS text"
+                )
+                + f", lang, source, n_chars FROM {src('documents')}{where}"
+            )
+        con.execute(
+            f"COPY ({' UNION ALL '.join(parts)}) TO"
+            f" '{out_dir}/documents.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT count(*),"
+            f" count(*) FILTER ((doc_id % 10) >= 8)"
+            f" FROM read_parquet('{out_dir}/documents.parquet')"
+        ).fetchone()
+        print(f"documents: {n[0]} rows, snapshot slice {n[1]}")
+        return
 
     rep(
         "customer",
@@ -112,4 +166,5 @@ def build(out_dir: str = "/tmp/scale10", replicas: int = 10) -> None:
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    build(out, n)
+    mode = sys.argv[3] if len(sys.argv) > 3 else "full"
+    build(out, n, mode)
