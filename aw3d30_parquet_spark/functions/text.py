@@ -241,7 +241,12 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: bounded query slice for t08: 1% of the corpus are "query" docs
+#: bounded query slice for t08: 1% of the corpus are "query" docs,
+#: under the same FIXED budget as t09/t10 (doc_id < BM25_QUERY_CAP) —
+#: retrieval QPS is corpus-independent, so the query volume must not
+#: scale with the corpus (the r6 100x probe caught t08 growing its
+#: query set with the replicas, the exact blowup t09's cap fixed in
+#: r5). A no-op at every driver scale (all sf<=0.1 doc_ids < 5000).
 SIMILAR_QUERY_MOD = 100
 SIMILAR_TOP_K = 5
 
@@ -255,8 +260,9 @@ def similar_doc_search(
     this document" is the curation question; "all pairs above t" is
     the dedup one).
 
-    Query set is a bounded deterministic slice (``doc_id % 100 = 0``,
-    1% of the corpus). Plan shape: the hashed-shingle stream is built
+    Query set is a bounded deterministic slice (``doc_id % 100 = 0``)
+    under the FIXED ``BM25_QUERY_CAP`` budget — query volume must not
+    scale with the corpus. Plan shape: the hashed-shingle stream is built
     ONCE (persisted — both the query slice and the corpus side read
     it), the candidate join is ASYMMETRIC (query shingles ⋈ corpus
     index), so candidate volume is linear in the query count × shingle
@@ -288,7 +294,10 @@ def similar_doc_search(
         )
         .select("doc_id", "n", F.xxhash64("s").alias("h")),
     )
-    q = sh.filter(F.col("doc_id") % SIMILAR_QUERY_MOD == 0)
+    q = sh.filter(
+        (F.col("doc_id") % SIMILAR_QUERY_MOD == 0)
+        & (F.col("doc_id") < BM25_QUERY_CAP)
+    )
     inter = (
         q.alias("q")
         .join(
@@ -701,6 +710,7 @@ WITH words AS (
   SELECT q.doc_id AS q_id, c.doc_id AS c_id, count(*) AS inter
   FROM sh q JOIN sh c ON q.sh = c.sh AND q.doc_id <> c.doc_id
   WHERE q.doc_id % {SIMILAR_QUERY_MOD} = 0
+    AND q.doc_id < {BM25_QUERY_CAP}
   GROUP BY 1, 2
 ), scored AS (
   SELECT q_id, c_id,
