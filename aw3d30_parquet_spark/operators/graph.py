@@ -178,6 +178,12 @@ QUERIES = {"l01_pagerank_fixed": pagerank_supplier_customer}
 # DuckDB's `//` is the same integral division as Spark's `div`, and
 # BIGINT sums are order-independent in both engines, so the hash
 # match certifies every intermediate rank vector, not just the top-k.
+# The multi-consumer CTEs are MATERIALIZED (pairs feeds both UNION
+# branches, edge_deg feeds every iteration): DuckDB inlines CTEs by
+# default, so without the hint the 100x probe recomputed the 60 M-row
+# lineitem⋈orders join once per reference and spilled >74 GB of temp —
+# the exact mirror of the Spark side's persisted edge relation.
+# Semantics and hash are unchanged.
 _PR_STEP = """
 , it{i} AS (
   SELECT e.dst AS node,
@@ -189,20 +195,20 @@ _PR_STEP = """
 
 _PR_SQL = (
     f"""
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
   SELECT DISTINCT l_suppkey + {PR_SUPP_OFFSET} AS s, o_custkey AS c
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ), edges AS (
   SELECT s AS src, c AS dst FROM pairs
   UNION ALL
   SELECT c AS src, s AS dst FROM pairs
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT src, count(*) AS deg FROM edges GROUP BY src
 ), consts AS (
   SELECT count(*) AS n,
          (3 * {PR_SCALE} // {PR_DAMP_DEN}) // count(*) AS tele
   FROM deg
-), edge_deg AS (
+), edge_deg AS MATERIALIZED (
   SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON d.src = e.src
 ), it0 AS (
   SELECT src AS node, {PR_SCALE} // (SELECT n FROM consts) AS r FROM deg

@@ -90,3 +90,23 @@ def test_l01_no_cartesian_and_deterministic(spark):
         pagerank_supplier_customer(spark, SF_SMOKE).toPandas()
     )
     assert h1 == h2
+
+
+def test_l01_no_standalone_count_job(spark):
+    """r6 (VERDICT #6): |nodes| rides a persisted 1-row consts relation
+    broadcast into consumers instead of a standalone ``deg.count()``
+    driver action. Pin: constructing the operator with ZERO iterations
+    fires ZERO Spark jobs — the only construction-time actions left
+    are the per-iteration lineage-cut materializations, so the old
+    standalone count (which fired regardless of the iteration count)
+    cannot silently come back. (Per-iteration job counts themselves
+    are AQE-dependent and not pinnable.)"""
+    from aw3d30_parquet_spark.operators.graph import (
+        pagerank_supplier_customer,
+    )
+
+    st = spark.sparkContext.statusTracker()
+    before = set(st.getJobIdsForGroup())
+    df = pagerank_supplier_customer(spark, SF_SMOKE, iters=0)
+    assert set(st.getJobIdsForGroup()) == before  # lazy end to end
+    assert df.columns == ["node", "rank_e12"]

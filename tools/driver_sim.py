@@ -55,6 +55,16 @@ def main() -> int:
             f"stale={sorted(declared - actual)}"
         )
         return 1
+    # SIM_ONLY="l01,d04" (full names or 3-char codes): check just those
+    # queries against their oracles — cheap targeted re-verification
+    # after touching one operator, instead of a 170-query pass.
+    only = os.environ.get("SIM_ONLY", "").strip()
+    if only:
+        wanted = {w.strip() for w in only.split(",") if w.strip()}
+        qs = {n: f for n, f in qs.items() if n in wanted or n[:3] in wanted}
+        if not qs:
+            print(f"SIM_ONLY matched no queries: {only!r}")
+            return 1
     n_fail = 0
     n_ok = 0
     n_rows_only = 0

@@ -39,6 +39,12 @@ Modes (third positional arg, default ``full``):
   the cheap way to build the 100x corpus for the retrieval/selection
   family probes (t08/t09/t10/p13/p14), whose scale claims are
   query-budget arguments over the documents table alone.
+- ``relational`` — customer/orders/lineitem/events replicated,
+  documents/embeddings copied unchanged: the SCALING.md "100x
+  relational probe" corpus (60 M-row lineitem at replicas=100) for the
+  full driver-sim oracle validation — the text/vector families keep
+  their sf0.1 size so exact pair enumeration stays pair-bounded while
+  the relational surface runs at 100x.
 """
 
 from __future__ import annotations
@@ -73,6 +79,8 @@ def build(
         # tables through unchanged so register_views still finds them
         copy_unchanged += ["customer", "orders", "lineitem", "events",
                            "embeddings"]
+    elif mode == "relational":
+        copy_unchanged += ["documents", "embeddings"]
     for t in copy_unchanged:
         shutil.copyfile(
             os.path.join(SRC, f"{t}.parquet"),
@@ -144,6 +152,13 @@ def build(
         f" user_id + {{i}}*{STRIDES['events'][1]} AS user_id,"
         " event_type, value, props FROM " + src("events"),
     )
+    if mode == "relational":
+        for t in list(STRIDES) + list(DIMS):
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet('{out_dir}/{t}.parquet')"
+            ).fetchone()[0]
+            print(f"{t}: {n} rows")
+        return
     rep(
         "documents",
         f"SELECT doc_id + {{i}}*{STRIDES['documents'][1]} AS doc_id,"
