@@ -13,6 +13,8 @@ rows-only for the driver.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -858,22 +860,55 @@ def kmeans_fixed(
     MLlib k-means plan, re-expressed with an exact-arithmetic
     contract.
     """
-    emb = _emb(spark, sf_dir)
-    xi = F.transform(
+    assign, _ = _kmeans_assign(spark, sf_dir, k, iters)
+    return (
+        assign.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("dist").alias("inertia"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _kmeans_xi():
+    """The v09 quantization: components to BIGINT millionths."""
+    return F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") * KMEANS_SCALE + 0.5).cast(
             "long"
         ),
     )
-    vec = emb.select("vec_id", xi.alias("xi"))
-    cent = vec.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("xi").alias("ci")
-    )
-    dist = F.aggregate(
-        F.zip_with("xi", "ci", lambda a, b: (a - b) * (a - b)),
+
+
+def _kmeans_dist(xi_col: str, ci_col: str):
+    """Exact BIGINT squared-L2 between two scaled-integer arrays."""
+    return F.aggregate(
+        F.zip_with(xi_col, ci_col, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+
+
+def _kmeans_assign(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    scratch_key: str = "v09_cent",
+) -> tuple[DataFrame, DataFrame]:
+    """The v09 Lloyd loop's final state: the ASSIGNMENT relation
+    (vec_id, xi, cid, dist) and the (cid, ci) CENTROID relation it
+    ranked against — factored out so v10's disk-backed IVF index
+    consumes the identical exact-integer arithmetic (same centroids,
+    same (dist, cid) tie-break) that v09's driver hash and DuckDB
+    oracle pin."""
+    emb = _emb(spark, sf_dir)
+    vec = emb.select("vec_id", _kmeans_xi().alias("xi"))
+    cent = vec.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("xi").alias("ci")
+    )
+    dist = _kmeans_dist("xi", "ci")
     w = Window.partitionBy("vec_id").orderBy("dist", "cid")
     assign = None
     for it in range(iters):
@@ -909,20 +944,132 @@ def kmeans_fixed(
             # (DEPLOY.md row 13): without this the next assignment's
             # plan embeds the whole previous-iteration subtree, and
             # lineage grows with the iteration count. Released at the
-            # next v09 call via the scratch registry.
+            # next call for the owning op via the scratch registry.
             cent.count()
             from aw3d30_parquet_spark.functions.dedup import (
                 _scratch_persist,
             )
 
-            _scratch_persist("v09_cent", cent)
+            _scratch_persist(scratch_key, cent)
+    return assign, cent
+
+
+#: v10 IVF-parquet probe width: clusters read per query. 2 of
+#: KMEANS_K=8 ⇒ the probe scan reads ~1/4 of the index directories —
+#: the partition-pruning ratio the plan test pins.
+IVF_N_PROBE = 2
+
+#: (session tag, sf_dir) → (index dir, centroid rows) — b01's
+#: build-once pattern for the DISK index: the parquet tree is the
+#: artifact, the k×64 centroid ints are the bounded driver-side
+#: sidecar (the PQ-codebook class), so reuse carries no lineage.
+_IVF_PARQUET: dict[tuple, tuple[str, list]] = {}
+
+
+def _ivf_parquet_index(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
+    key = (_session_tag(spark), sf_dir)
+
+    def _release(kk=key):
+        _IVF_PARQUET.pop(kk, None)  # dir reaped by _export_dir atexit
+
+    from aw3d30_parquet_spark.scratch import memo_touch
+
+    if key in _IVF_PARQUET:
+        memo_touch(("ivf_parquet", *key), _release)
+        return _IVF_PARQUET[key]
+    from aw3d30_parquet_spark.sources.files import _export_dir
+
+    assign, cent = _kmeans_assign(spark, sf_dir, scratch_key="v10_cent")
+    out = os.path.join(_export_dir(spark, sf_dir), "v10_emb_by_cluster")
+    (
+        _emb(spark, sf_dir)
+        .join(assign.select("vec_id", F.col("cid").alias("cluster_id")), "vec_id")
+        .select("vec_id", "embedding", "cluster_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(out)
+    )
+    # centroid sidecar: k rows of 64 BIGINTs, collected once — the
+    # bounded driver artifact every probe broadcasts (at 100 TB: a
+    # parquet sidecar next to the cluster-partitioned index table)
+    cents = [
+        (int(r["cid"]), [int(x) for x in r["ci"]])
+        for r in cent.collect()
+    ]
+    _IVF_PARQUET[key] = (out, cents)
+    memo_touch(("ivf_parquet", *key), _release)
+    return out, cents
+
+
+def _session_tag(spark: SparkSession) -> str:
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:  # Spark Connect: no sparkContext
+        return f"connect_{id(spark):x}"
+
+
+def ann_topk_ivf_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    n_queries: int = DEFAULT_N_QUERIES,
+    n_probe: int = IVF_N_PROBE,
+) -> DataFrame:
+    """v10: top-k cosine ANN over a DISK-BACKED IVF index — the 100 TB
+    deployment shape v05's docstring promises, materialized: the
+    corpus lives as a cluster-id-PARTITIONED parquet table (built once
+    per session — in production, by an indexing job), each query ranks
+    the k-row centroid sidecar by exact integer L2, and the probe scan
+    reads ONLY the ``n_probe`` matching partition directories —
+    Catalyst injects the broadcast probe relation as a dynamic-
+    partition-pruning subquery into the scan's PartitionFilters (b02's
+    machinery pointed at ANN), so 3/4 of the index bytes are never
+    read at n_probe=2 of 8.
+
+    Unlike v05 (MLlib k-means — seed-stable but engine-specific RNG,
+    rows-only forever), the index here is v09's exact-integer Lloyd
+    clustering, so index membership, probe choice, and the reranked
+    top-k are all reproducible bit-for-bit by the DuckDB oracle: the
+    FULL disk-index pipeline is hash-checked. Ranking compares the
+    ROUNDED cosine with id tie-break (v02's determinism contract);
+    recall vs the exact v02 additionally floor-pinned in pytest.
+    """
+    path, cents = _ivf_parquet_index(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _kmeans_xi().alias("xi"),
+    )
+    cent = spark.createDataFrame(
+        cents, "cid int, ci array<long>"
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist", "cid")
+    probe = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("dist", _kmeans_dist("xi", "ci"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q_emb", F.col("cid").alias("cluster_id"))
+    )
+    fact = spark.read.parquet(path)
+    cand = fact.join(F.broadcast(probe), "cluster_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos4 = round_half_up(cosine(F.col("q_emb"), F.col("embedding")), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
     return (
-        assign.groupBy(F.col("cid").alias("cluster_id"))
-        .agg(
-            F.count("*").alias("n_members"),
-            F.sum("dist").alias("inertia"),
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos4.alias("cos"),
         )
-        .orderBy("cluster_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+        .orderBy("query_id", "rank")
     )
 
 
@@ -936,6 +1083,7 @@ QUERIES = {
     "v07_semantic_dedup": semantic_dedup,
     "v08_cosine_range_search": cosine_range_search,
     "v09_kmeans_fixed": kmeans_fixed,
+    "v10_ann_ivf_parquet": ann_topk_ivf_parquet,
 }
 
 # No-DuckDB-oracle by design: v05/v06 are approximate indexes (IVF
@@ -1195,5 +1343,72 @@ WITH v AS (
 SELECT cid AS cluster_id, count(*) AS n_members,
        CAST(sum(dist) AS BIGINT) AS inertia
 FROM a{KMEANS_ITERS} GROUP BY cid ORDER BY cid
+"""
+)
+
+# v10: the same unrolled Lloyd CTEs give DuckDB the index — a2 is the
+# cluster MEMBERSHIP relation the parquet tree is partitioned by, and
+# c1 is the centroid sidecar each query ranks (integer L2, (dist, cid)
+# tie-break) to pick its n_probe partitions; candidates are the probed
+# clusters' members, reranked by exact cosine with the shared
+# floor-half-up rounding. Hash match ⇒ the DISK index pipeline (build
+# partitioning, probe choice, pruned rerank) agrees bit-for-bit.
+ORACLE_SQL["v10_ann_ivf_parquet"] = (
+    f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE} + 0.5)
+                AS BIGINT)) AS xi
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, xi AS ci FROM v WHERE vec_id < {KMEANS_K}
+)"""
+    + "".join(
+        _KM_ASSIGN.format(i=i, prev=i - 1, dim1=EMB_DIM + 1)
+        + (
+            _KM_UPDATE.format(i=i, dim1=EMB_DIM + 1)
+            if i < KMEANS_ITERS
+            else ""
+        )
+        for i in range(1, KMEANS_ITERS + 1)
+    )
+    + f"""
+, probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, c.cid,
+           list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                    j -> (q.xi[j] - c.ci[j]) * (q.xi[j] - c.ci[j])))
+             AS dist,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                      j -> (q.xi[j] - c.ci[j]) * (q.xi[j] - c.ci[j]))),
+                      c.cid) AS rn
+    FROM v q CROSS JOIN c{KMEANS_ITERS - 1} c
+    WHERE q.vec_id < {DEFAULT_N_QUERIES}
+  ) WHERE rn <= {IVF_N_PROBE}
+), cand AS (
+  SELECT p.query_id, m.vec_id AS neighbor_id
+  FROM probe p
+  JOIN a{KMEANS_ITERS} m ON m.cid = p.cid AND m.vec_id <> p.query_id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(floor(list_dot_product(vq.e, vn.e)
+               / (sqrt(list_dot_product(vq.e, vq.e))
+                  * sqrt(list_dot_product(vn.e, vn.e)))
+               * 10000 + 0.5) AS BIGINT) / 10000.0 AS cos
+  FROM cand c
+  JOIN v vq ON vq.vec_id = c.query_id
+  JOIN v vn ON vn.vec_id = c.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cos
+FROM ranked WHERE rank <= {DEFAULT_K} ORDER BY query_id, rank
 """
 )
