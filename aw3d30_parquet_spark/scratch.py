@@ -41,14 +41,27 @@ from pyspark.sql import DataFrame
 #: single-consumer scratch: key -> persisted generations (usually one)
 _SCRATCH: dict[str, list[DataFrame]] = {}
 
-#: shared build-once memos: group key -> release callback, LRU-ordered
-#: (most recently touched last)
-_MEMO_GROUPS: "OrderedDict[Hashable, Callable[[], None]]" = OrderedDict()
+#: shared build-once memos: group key -> (release callback, last-touch
+#: query ordinal), LRU-ordered (most recently touched last)
+_MEMO_GROUPS: "OrderedDict[Hashable, list]" = OrderedDict()
 
 #: max resident shared-memo groups. 4 covers one full suite pass at one
 #: sf_dir (ed grams, pair graph, IVF, PQ); a second sf_dir's groups
 #: then evict the first's instead of doubling the storage pool.
 MEMO_GROUP_CAP = int(os.environ.get("SPARK_GRAFT_MEMO_CAP", "4"))
+
+#: memo AGE cap, in queries: a group untouched for this many
+#: begin_query calls is evicted even below MEMO_GROUP_CAP. The
+#: consumers of every shared memo are family-clustered (the ed grams
+#: feed d10–d14, the pair graph d08/d12/p12, the indexes their own
+#: v-query's bench reps), so a group idle for 12 dispatches has no
+#: upcoming consumer in any real run order — holding it only taxes
+#: memory-intensive unrelated queries (measured: v04 15.7 s in-suite
+#: vs 4.3 s isolated at 10x with the d-family memos resident).
+MEMO_AGE_CAP = int(os.environ.get("SPARK_GRAFT_MEMO_AGE", "12"))
+
+#: monotone dispatch counter (bumped by begin_query) — the age clock.
+_QUERY_ORDINAL = [0]
 
 
 def _family(key: str) -> str:
@@ -87,12 +100,25 @@ def scratch_pin(key: str, df: DataFrame) -> DataFrame:
 
 def begin_query(name: str) -> None:
     """Mark the start of query ``name``: eagerly release every OTHER
-    family's single-consumer scratch. Queries run sequentially through
-    the driver/bench dispatch, so foreign scratch has no pending
-    consumer by the time a new query begins."""
+    family's single-consumer scratch, and expire shared memo groups
+    idle for more than :data:`MEMO_AGE_CAP` dispatches. Queries run
+    sequentially through the driver/bench dispatch, so foreign scratch
+    has no pending consumer by the time a new query begins."""
     fam = _family(name)
     for key in [k for k in _SCRATCH if _family(k) != fam]:
         release_key(key)
+    _QUERY_ORDINAL[0] += 1
+    now = _QUERY_ORDINAL[0]
+    for group in [
+        g
+        for g, (_, touched) in _MEMO_GROUPS.items()
+        if now - touched > MEMO_AGE_CAP
+    ]:
+        release_fn, _ = _MEMO_GROUPS.pop(group)
+        try:
+            release_fn()
+        except Exception:
+            pass
 
 
 def memo_touch(group: Hashable, release: Callable[[], None]) -> None:
@@ -102,14 +128,16 @@ def memo_touch(group: Hashable, release: Callable[[], None]) -> None:
     its entries from the owning module's memo dict, so a later consumer
     rebuilds instead of reading unpersisted ghosts. When registration
     pushes the resident count past :data:`MEMO_GROUP_CAP`, the
-    least-recently-touched group is evicted.
+    least-recently-touched group is evicted; groups untouched for
+    :data:`MEMO_AGE_CAP` dispatches are expired by :func:`begin_query`.
     """
     if group in _MEMO_GROUPS:
         _MEMO_GROUPS.move_to_end(group)
+        _MEMO_GROUPS[group][1] = _QUERY_ORDINAL[0]
         return
-    _MEMO_GROUPS[group] = release
+    _MEMO_GROUPS[group] = [release, _QUERY_ORDINAL[0]]
     while len(_MEMO_GROUPS) > MEMO_GROUP_CAP:
-        _, evict = _MEMO_GROUPS.popitem(last=False)
+        _, (evict, _) = _MEMO_GROUPS.popitem(last=False)
         try:
             evict()
         except Exception:
@@ -123,7 +151,7 @@ def release_all() -> None:
     for key in list(_SCRATCH):
         release_key(key)
     while _MEMO_GROUPS:
-        _, evict = _MEMO_GROUPS.popitem(last=False)
+        _, (evict, _) = _MEMO_GROUPS.popitem(last=False)
         try:
             evict()
         except Exception:

@@ -97,3 +97,21 @@ def test_queries_dispatch_wraps_with_eviction(spark):
     scratch.scratch_persist("zz9", spark.range(3))
     qs[name](spark, SF_SMOKE)  # begin_query releases zz9
     assert "zz9" not in scratch.resident()["scratch"]
+
+
+def test_memo_age_expiry(spark):
+    """A memo group untouched for MEMO_AGE_CAP dispatches is expired by
+    begin_query; touching it resets the clock."""
+    released = []
+    scratch.release_all()
+    scratch.memo_touch(("age", 1), lambda: released.append(1))
+    for i in range(scratch.MEMO_AGE_CAP):
+        scratch.begin_query(f"x{i:02d}_noop")
+        scratch.memo_touch(("age", 1), lambda: released.append("dup"))
+    assert released == []  # touched every dispatch: never expires
+    for i in range(scratch.MEMO_AGE_CAP):
+        scratch.begin_query(f"y{i:02d}_noop")
+    assert released == []  # exactly at the cap: still resident
+    scratch.begin_query("z00_noop")
+    assert released == [1]  # one past the cap: expired
+    scratch.release_all()
