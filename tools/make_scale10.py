@@ -45,6 +45,10 @@ Modes (third positional arg, default ``full``):
   full driver-sim oracle validation — the text/vector families keep
   their sf0.1 size so exact pair enumeration stays pair-bounded while
   the relational surface runs at 100x.
+- ``emb`` — embeddings replicated (identical vectors under offset ids:
+  100-member exact-duplicate clusters, the adversarial near-dup case),
+  everything else copied unchanged: the ANN-family scale probe
+  (v02/v03/v10) corpus.
 """
 
 from __future__ import annotations
@@ -81,6 +85,9 @@ def build(
                            "embeddings"]
     elif mode == "relational":
         copy_unchanged += ["documents", "embeddings"]
+    elif mode == "emb":
+        copy_unchanged += ["customer", "orders", "lineitem", "events",
+                           "documents"]
     for t in copy_unchanged:
         shutil.copyfile(
             os.path.join(SRC, f"{t}.parquet"),
@@ -96,6 +103,23 @@ def build(
         )
 
     src = lambda t: f"read_parquet('{SRC}/{t}.parquet')"  # noqa: E731
+
+    if mode == "emb":
+        parts = [
+            f"SELECT vec_id + {i}*{STRIDES['embeddings'][1]} AS vec_id,"
+            f" embedding, label FROM {src('embeddings')}"
+            for i in range(replicas)
+        ]
+        con.execute(
+            f"COPY ({' UNION ALL '.join(parts)}) TO"
+            f" '{out_dir}/embeddings.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM"
+            f" read_parquet('{out_dir}/embeddings.parquet')"
+        ).fetchone()[0]
+        print(f"embeddings: {n} rows")
+        return
 
     if mode in ("fixed-delta", "docs"):
         # replica 0 keeps its full slice (THE fixed delta); in
