@@ -102,17 +102,21 @@ def _changed_since_record() -> Callable[[str, int, Callable], bool]:
     here = os.path.dirname(os.path.abspath(__file__))
     file_ct: dict[str, float] = {}
     try:
+        # "@%ct" sentinel: a commit-time line is unambiguous even if a
+        # tracked path were purely numeric (which isdigit() would have
+        # misread as a timestamp, corrupting every file after it)
         out = subprocess.run(
-            ["git", "log", "--format=%ct", "--name-only"],
+            ["git", "log", "--format=@%ct", "--name-only"],
             cwd=here, capture_output=True, text=True, timeout=60,
         ).stdout
         ct = 0.0
         for line in out.splitlines():
-            if line.strip().isdigit():
-                ct = float(line.strip())
-            elif line.strip():
+            stripped = line.strip()
+            if stripped.startswith("@") and stripped[1:].isdigit():
+                ct = float(stripped[1:])
+            elif stripped:
                 # newest-first log: first sighting IS the latest commit
-                file_ct.setdefault(line.strip(), ct)
+                file_ct.setdefault(stripped, ct)
         dirty = subprocess.run(
             ["git", "status", "--porcelain"],
             cwd=here, capture_output=True, text=True, timeout=60,
@@ -177,16 +181,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        instead of aging behind the green tail;
     3. never-checked queries, round-robin interleaved by family
        (d/g/m/p/s/t/u/v + q49+) so any prefix samples every family;
-    4. a 1:1 interleave of two lanes over the previously-passed tail:
+    4. the previously-passed tail as a merge of two lanes keyed by
+       EVIDENCE AGE (round of the latest driver record, oldest first):
        IMPLEMENTATION-CHANGED queries (the module implementing a
        passed query was committed/modified after the round of its
        latest driver record — round-5 lesson: u01–u03 sat on r2
-       evidence across a rounding migration) alternating with
-       LEAST-RECENTLY-RECORDED queries (the staleness rotation that
-       re-certifies the whole surface every ~3 rounds). The interleave
-       keeps a heavy-edit round from flooding the bounded capture
-       window with changed names and starving the oldest evidence —
-       and vice versa.
+       evidence across a rounding migration) win ties against
+       LEAST-RECENTLY-RECORDED queries, because known-invalid evidence
+       outranks merely-old evidence at equal age. Merging by age (not
+       a blind alternation — the round-7 lesson) guarantees the
+       capture window always drains the oldest-evidence cohort first:
+       no name waits behind younger evidence, whichever lane it is in.
     """
     from aw3d30_parquet_spark.operators.relational import RELATIONAL_QUERIES
 
@@ -249,15 +254,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # changed-within-changed: oldest evidence first, so a migrated op
     # sitting on r2 evidence outranks one recorded last round
     changed.sort(key=lambda n: hist[n][0])
-    # interleave the changed and stale lanes 1:1 — a round that edits
-    # many modules must not flood the bounded capture window and
-    # starve the oldest-evidence cohort (or vice versa)
+    # merge the changed and stale lanes by EVIDENCE AGE (round of the
+    # latest driver record, oldest first), changed winning ties —
+    # known-invalid evidence outranks merely-old evidence at equal
+    # age. Round-7 lesson: a blind 1:1 alternation let a heavy-edit
+    # round (core modules committed in r6 marked every r3–r5 name
+    # "changed", 121 entries) hand half the bounded capture window to
+    # the all-r6 stale lane — re-certifying evidence recorded LAST
+    # round while 15 r3-evidence names missed the window. Merging by
+    # age means neither lane can starve the oldest-evidence cohort:
+    # a name only ever waits behind strictly-older (or equal-aged
+    # changed) evidence.
     mixed: list[str] = []
     ln_c, ln_s = list(changed), list(stale_first)
     while ln_c or ln_s:
-        if ln_c:
+        if ln_c and (not ln_s or hist[ln_c[0]][0] <= hist[ln_s[0]][0]):
             mixed.append(ln_c.pop(0))
-        if ln_s:
+        else:
             mixed.append(ln_s.pop(0))
     ordered = refit + upgraded + interleaved + mixed
     return {n: _with_eviction(n, combined[n]) for n in ordered}

@@ -75,8 +75,12 @@ def _session_tag(spark: SparkSession) -> str:
         return f"connect_{id(spark):x}"
 
 
-def _reap_stale_b01(spark: SparkSession, app_tag: str) -> None:
-    """Remove b01_* WAREHOUSE DIRECTORIES left by crashed sessions.
+def _reap_stale_b01(
+    spark: SparkSession, app_tag: str, prefixes: tuple[str, ...] = ("b01_",)
+) -> None:
+    """Remove ``prefixes``-named WAREHOUSE DIRECTORIES left by crashed
+    sessions (b01's bucketed fact tables; graph.py's l02 bucketed edge
+    table reuses this with its own prefix).
 
     This must be a filesystem sweep, not a catalog sweep: under the
     default in-memory catalog a killed JVM takes its catalog entries
@@ -104,7 +108,7 @@ def _reap_stale_b01(spark: SparkSession, app_tag: str) -> None:
         for name in os.listdir(wh):
             full = os.path.join(wh, name)
             if (
-                name.startswith("b01_")
+                name.startswith(prefixes)
                 and app_tag.lower() not in name.lower()
                 and os.path.isdir(full)
                 and now - os.path.getmtime(full) > _REAP_MIN_AGE_S

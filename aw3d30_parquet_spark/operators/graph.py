@@ -172,7 +172,166 @@ def pagerank_supplier_customer(
     )
 
 
-QUERIES = {"l01_pagerank_fixed": pagerank_supplier_customer}
+#: l02 bucket count — matched by the per-iteration Exchange on the
+#: rank side; at 1000 executors this is sized to the cluster width.
+PR_BUCKETS = 8
+
+#: (session tag, sf_dir) → bucketed edge_deg table already written
+#: this session (build-once, like b01's fact tables), plus the owning
+#: session for the atexit drop.
+_EDGE_TABLES: dict[tuple[str, str], str] = {}
+_EDGE_OWNERS: dict[tuple[str, str], SparkSession] = {}
+_EDGE_ATEXIT = [False]
+
+
+def _bucketed_edge_deg(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per session+sf_dir) the undirected shipping-graph
+    edge relation joined with out-degree as a managed parquet table
+    bucketed AND sorted by ``src`` — the static side of every PageRank
+    iteration. The write is the build-once index cost (b01's pattern,
+    including the crashed-session directory reap); every later call
+    reuses the table."""
+    import atexit
+    import re
+
+    from aw3d30_parquet_spark.operators.bucketing import (
+        _drop_quietly,
+        _reap_stale_b01,
+        _session_tag,
+        write_bucketed,
+    )
+
+    app = _session_tag(spark)
+    key = (app, sf_dir)
+    if key in _EDGE_TABLES:
+        return _EDGE_TABLES[key]
+    app_tag = re.sub(r"[^0-9a-zA-Z]+", "_", app)
+    _reap_stale_b01(spark, app_tag, prefixes=("l02_",))
+    slug = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    tbl = f"l02_edge_deg_{app_tag}_{slug}"
+    register_views(spark, sf_dir)
+    li = spark.table("lineitem").select("l_orderkey", "l_suppkey")
+    orders = spark.table("orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("l_suppkey") + PR_SUPP_OFFSET).alias("s"),
+            F.col("o_custkey").alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("s").alias("src"), F.col("c").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    ).persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    write_bucketed(edges.join(deg, "src"), tbl, "src", buckets=PR_BUCKETS)
+    edges.unpersist()
+    if not _EDGE_ATEXIT[0]:
+        _EDGE_ATEXIT[0] = True
+
+        def _drop_all() -> None:
+            for k, t in list(_EDGE_TABLES.items()):
+                owner = _EDGE_OWNERS.get(k)
+                if owner is not None:
+                    _drop_quietly(owner, t)
+
+        atexit.register(_drop_all)
+    _EDGE_TABLES[key] = tbl
+    _EDGE_OWNERS[key] = spark
+    return tbl
+
+
+def _l02_iteration_join(
+    edge_deg: DataFrame, ranks: DataFrame
+) -> DataFrame:
+    """One iteration's edge⋈rank join, the plan-pinned subplan: the
+    edge side reads the bucketed table co-located on ``src`` (zero
+    Exchange — ``tests/test_graph.py`` pins it), so only the |nodes|-row
+    rank relation shuffles per iteration. The ``merge`` hint keeps the
+    plan the SortMergeJoin a 1000-executor run would choose (a
+    |nodes|-row build side outgrows broadcast long before 100 TB);
+    without it the local-scale ranks relation broadcasts and the
+    bucketing is moot."""
+    return edge_deg.join(
+        ranks.hint("merge"), edge_deg.src == ranks.node
+    ).select(F.col("dst"), F.expr("r div deg").alias("share"))
+
+
+def pagerank_bucketed(
+    spark: SparkSession, sf_dir: str, iters: int = PR_ITERS
+) -> DataFrame:
+    """l02: l01's exact-integer PageRank with the co-located-iteration
+    layout its docstring promises for 1000 executors — ``edge_deg``
+    lives as a managed table bucketed by ``src``, so every iteration's
+    edge⋈rank join is Exchange-FREE on the (dominant, |edges|-row) edge
+    side and only the |nodes|-row rank relation moves. Identical BIGINT
+    arithmetic ⇒ identical ranks ⇒ l01's DuckDB oracle verifies it
+    hash-for-hash. l01 stays the default at driver scale (the bucketed
+    write only pays for itself when amortized over a session or a
+    larger iteration count); DEPLOY.md carries the deploy row."""
+    from aw3d30_parquet_spark.functions.dedup import _scratch_persist
+
+    tbl = _bucketed_edge_deg(spark, sf_dir)
+    edge_deg = spark.table(tbl)
+    try:
+        par = max(8, spark.sparkContext.defaultParallelism)
+    except Exception:  # Spark Connect: no sparkContext
+        par = 32
+    # deg/consts/ranks0 re-derive from the bucketed table: groupBy(src)
+    # rides the bucket layout (no Exchange) and every row of a src
+    # group carries the same deg, so max(deg) IS the out-degree
+    deg = edge_deg.groupBy("src").agg(F.max("deg").alias("deg"))
+    consts = _scratch_persist(
+        "l02_consts",
+        deg.agg(F.count("*").alias("n")).select(
+            "n",
+            F.expr(f"{(3 * PR_SCALE) // PR_DAMP_DEN} div n").alias("tele"),
+        ),
+    )
+    ranks = _scratch_persist(
+        "l02_ranks",
+        deg.crossJoin(F.broadcast(consts))
+        .select(
+            F.col("src").alias("node"),
+            F.expr(f"{PR_SCALE} div n").cast("long").alias("r"),
+        )
+        .coalesce(par),
+    )
+    for _ in range(iters):
+        contrib = (
+            _l02_iteration_join(edge_deg, ranks)
+            .groupBy("dst")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        new_ranks = (
+            contrib.crossJoin(F.broadcast(consts))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.col("tele")
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * contrib) div {PR_DAMP_DEN}"
+                    )
+                ).alias("r"),
+            )
+            .coalesce(par)
+            .persist()
+        )
+        new_ranks.count()
+        ranks = _scratch_persist("l02_ranks", new_ranks)
+    return (
+        ranks.select("node", F.col("r").alias("rank_e12"))
+        .orderBy(F.col("rank_e12").desc(), "node")
+        .limit(PR_TOP_K)
+    )
+
+
+QUERIES = {
+    "l01_pagerank_fixed": pagerank_supplier_customer,
+    "l02_pagerank_bucketed": pagerank_bucketed,
+}
 
 # The oracle unrolls the same three exact-integer steps as CTEs —
 # DuckDB's `//` is the same integral division as Spark's `div`, and
@@ -225,4 +384,9 @@ ORDER BY rank_e12 DESC, node LIMIT {PR_TOP_K}
 """
 )
 
-ORACLE_SQL = {"l01_pagerank_fixed": _PR_SQL}
+ORACLE_SQL = {
+    "l01_pagerank_fixed": _PR_SQL,
+    # identical exact-integer arithmetic, different physical layout —
+    # the SAME oracle certifies the bucketed form hash-for-hash
+    "l02_pagerank_bucketed": _PR_SQL,
+}

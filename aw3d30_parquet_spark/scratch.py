@@ -25,6 +25,27 @@ p14 median 12.6 s in-suite vs 2.1 s isolated at sf0.1, d07 131 s vs
   against a different corpus dir evicts the stale corpus' index rather
   than keeping both resident.
 
+On top of the count caps, resident CACHE BYTES are policed against a
+budget derived from the executors' storage memory (the storage-status
+API: ``getRDDStorageInfo`` for usage, ``getExecutorMemoryStatus`` for
+capacity). When total cached bytes exceed
+``SPARK_GRAFT_MEMO_BYTES_FRACTION`` (default 0.5) of executor storage
+capacity — or the absolute ``SPARK_GRAFT_MEMO_BYTES`` override —
+least-recently-touched memo groups are evicted until usage fits. This
+makes the policy portable: on a smaller box the byte budget binds
+before the hand-tuned count cap of 4 does; under Spark Connect (no
+SparkContext, no storage-status API) the count/age caps remain the
+fallback policy.
+
+SEQUENTIAL-DISPATCH CONTRACT: :func:`begin_query` assumes the previous
+query's consumer action has already run — the driver, bench.py and
+driver_sim all dispatch queries sequentially (construct → materialize
+→ next). A caller that constructs several query DataFrames before
+materializing any silently loses the persisted interims and pays full
+(correctness-safe) recomputation. :func:`eviction_stats` exposes
+per-class eviction counters so such a regression is visible in bench
+output instead of only as inflated wall-clock.
+
 Eviction is always correctness-safe: ``unpersist()`` on a relation a
 later plan still references silently recomputes it — the policy can
 only cost a rebuild, never wrong rows.
@@ -60,8 +81,95 @@ MEMO_GROUP_CAP = int(os.environ.get("SPARK_GRAFT_MEMO_CAP", "4"))
 #: vs 4.3 s isolated at 10x with the d-family memos resident).
 MEMO_AGE_CAP = int(os.environ.get("SPARK_GRAFT_MEMO_AGE", "12"))
 
+#: byte budget for resident cached relations, as a fraction of the
+#: executors' total storage capacity. 0.5 leaves headroom for the
+#: active query's own scratch + shuffle-adjacent unified-memory
+#: borrowing; at the default local[32]/16g config the count caps bind
+#: long before this does (bench numbers unchanged), while on a
+#: smaller-memory box the byte budget takes over from the hand-tuned 4.
+MEMO_BYTES_FRACTION = float(
+    os.environ.get("SPARK_GRAFT_MEMO_BYTES_FRACTION", "0.5")
+)
+
+#: per-class eviction counters (see eviction_stats) — "scratch" counts
+#: foreign-family scratch releases at begin_query, the memo_* classes
+#: count shared-group evictions by policy trigger. A suite run whose
+#: "scratch" count far exceeds its dispatch count signals the
+#: sequential-dispatch contract is being violated (interims released
+#: before their consumer action ran).
+_EVICTIONS = {"scratch": 0, "memo_cap": 0, "memo_age": 0, "memo_bytes": 0}
+
 #: monotone dispatch counter (bumped by begin_query) — the age clock.
 _QUERY_ORDINAL = [0]
+
+
+def eviction_stats() -> dict[str, int]:
+    """Copy of the per-class eviction counters plus the dispatch count
+    (``dispatches``); bench.py records this in bench_results.json so
+    eviction-policy regressions are visible next to the timings."""
+    return dict(_EVICTIONS, dispatches=_QUERY_ORDINAL[0])
+
+
+def _cached_bytes() -> int | None:
+    """Total bytes (memory + disk) of cached RDD blocks via the
+    storage-status API; ``None`` when unavailable (Spark Connect — no
+    SparkContext — or no active session)."""
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return sum(i.memSize() + i.diskSize() for i in infos)
+    except Exception:
+        return None
+
+
+def _byte_budget() -> int | None:
+    """Resident-cache byte budget: the absolute ``SPARK_GRAFT_MEMO_BYTES``
+    override if set, else :data:`MEMO_BYTES_FRACTION` of the executors'
+    summed storage capacity (``getExecutorMemoryStatus`` maxMem — the
+    unified-memory storage pool ceiling). ``None`` → no byte policy
+    (Spark Connect fallback: count/age caps only)."""
+    env = os.environ.get("SPARK_GRAFT_MEMO_BYTES")
+    if env:
+        try:
+            return int(env)
+        except ValueError:
+            pass
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        status = spark.sparkContext._jsc.sc().getExecutorMemoryStatus()
+        it = status.iterator()
+        total = 0
+        while it.hasNext():
+            total += it.next()._2()._1()  # (maxMem, remaining) -> maxMem
+        return int(total * MEMO_BYTES_FRACTION) if total else None
+    except Exception:
+        return None
+
+
+def _evict_over_budget() -> None:
+    """Evict least-recently-touched memo groups while total cached
+    bytes exceed the byte budget. Usage is re-read after every eviction
+    (releases unpersist their relations); the last-touched group is
+    never evicted by this path — it is the one the in-flight query is
+    about to consume, and evicting it would only force an immediate
+    rebuild without freeing net memory across the query."""
+    budget = _byte_budget()
+    if budget is None:
+        return
+    while len(_MEMO_GROUPS) > 1:
+        used = _cached_bytes()
+        if used is None or used <= budget:
+            return
+        _, (evict, _) = _MEMO_GROUPS.popitem(last=False)
+        _EVICTIONS["memo_bytes"] += 1
+        try:
+            evict()
+        except Exception:
+            pass
 
 
 def _family(key: str) -> str:
@@ -100,13 +208,21 @@ def scratch_pin(key: str, df: DataFrame) -> DataFrame:
 
 def begin_query(name: str) -> None:
     """Mark the start of query ``name``: eagerly release every OTHER
-    family's single-consumer scratch, and expire shared memo groups
-    idle for more than :data:`MEMO_AGE_CAP` dispatches. Queries run
-    sequentially through the driver/bench dispatch, so foreign scratch
-    has no pending consumer by the time a new query begins."""
+    family's single-consumer scratch, expire shared memo groups idle
+    for more than :data:`MEMO_AGE_CAP` dispatches, and enforce the
+    resident-cache byte budget.
+
+    CONTRACT (sequential dispatch): queries run one at a time through
+    the driver/bench dispatch — construct, materialize, then the next
+    query begins — so foreign scratch has no pending consumer by the
+    time this runs. A caller that constructs several query DataFrames
+    before materializing any loses the persisted interims (recomputed
+    correctly, but at full cost); the ``scratch`` eviction counter
+    makes that visible."""
     fam = _family(name)
     for key in [k for k in _SCRATCH if _family(k) != fam]:
         release_key(key)
+        _EVICTIONS["scratch"] += 1
     _QUERY_ORDINAL[0] += 1
     now = _QUERY_ORDINAL[0]
     for group in [
@@ -115,10 +231,12 @@ def begin_query(name: str) -> None:
         if now - touched > MEMO_AGE_CAP
     ]:
         release_fn, _ = _MEMO_GROUPS.pop(group)
+        _EVICTIONS["memo_age"] += 1
         try:
             release_fn()
         except Exception:
             pass
+    _evict_over_budget()
 
 
 def memo_touch(group: Hashable, release: Callable[[], None]) -> None:
@@ -138,10 +256,12 @@ def memo_touch(group: Hashable, release: Callable[[], None]) -> None:
     _MEMO_GROUPS[group] = [release, _QUERY_ORDINAL[0]]
     while len(_MEMO_GROUPS) > MEMO_GROUP_CAP:
         _, (evict, _) = _MEMO_GROUPS.popitem(last=False)
+        _EVICTIONS["memo_cap"] += 1
         try:
             evict()
         except Exception:
             pass
+    _evict_over_budget()
 
 
 def release_all() -> None:

@@ -91,6 +91,15 @@ def main() -> None:
                 f"SPARK_GRAFT_BENCH_ONLY matched no queries: {only!r}"
             )
 
+    # the stdout copies key several maps by name[:3]; a future pair of
+    # queries sharing a 3-char code would silently drop one measurement
+    codes: dict[str, str] = {}
+    for n in qs:
+        if codes.setdefault(n[:3], n) != n:
+            raise SystemExit(
+                f"3-char code collision: {codes[n[:3]]!r} vs {n!r}"
+            )
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     per_query: dict[str, float] = {}
     # {med,min,max} from the SAME timed runs: the median alone hides
@@ -187,6 +196,15 @@ def main() -> None:
     result_file = dict(result, spread=spread)
     if isolated:
         result_file["isolated_top"] = isolated  # full names on disk
+    # eviction-policy counters (scratch.py): a "scratch" count far above
+    # dispatches means interims were released before their consumer
+    # action ran — the sequential-dispatch contract regression signal
+    try:
+        from aw3d30_parquet_spark import scratch as _scratch
+
+        result_file["evictions"] = _scratch.eviction_stats()
+    except Exception:
+        pass
     # Full-fidelity copy on disk (the driver's stdout capture keeps only
     # a bounded tail — round 1 lost the head of a 4.3 KB line).
     with open(

@@ -27,9 +27,9 @@ def test_rotation_tiers_failed_upgraded_fresh_changed_stale():
     oracle-UPGRADED (last row was rows-only but the name now has a SQL
     oracle), then never-checked names — interleaved across families so
     any capture prefix samples the whole surface — then the green tail
-    as a 1:1 interleave of the IMPLEMENTATION-CHANGED lane and the
-    least-recently-recorded staleness lane (each lane round-monotone
-    within itself)."""
+    as a merge of the IMPLEMENTATION-CHANGED lane and the
+    least-recently-recorded staleness lane keyed by evidence age
+    (oldest recorded round first; changed wins ties)."""
     qs = list(contract.queries())
     hist = contract._driver_history()
     if not hist:
@@ -49,26 +49,25 @@ def test_rotation_tiers_failed_upgraded_fresh_changed_stale():
     assert set(qs[f0 : f0 + len(fresh)]) == set(fresh)
     if len(fresh) >= 6:
         assert len({n[0] for n in qs[f0 : f0 + 6]}) >= 3
-    # green tail: split into the changed lane (module committed or
-    # dirty after the round of the latest record) and the stale lane —
-    # each lane must be monotone in last-recorded round, and when both
-    # lanes are non-empty they must alternate (one lane never floods
-    # the bounded capture window)
+    # green tail: a merge of the changed lane (module committed or
+    # dirty after the round of the latest record) and the stale lane,
+    # keyed by evidence age — the tail must be NON-DECREASING in
+    # last-recorded round overall (the oldest-evidence cohort can
+    # never be starved by either lane), and within an equal-round run
+    # every changed name precedes every unchanged one (known-invalid
+    # evidence outranks merely-old at equal age)
     combined = contract.queries()
     is_changed = contract._changed_since_record()
     tail = qs[f0 + len(fresh) :]
-    changed = [n for n in tail if is_changed(n, hist[n][0], combined[n])]
-    stale = [n for n in tail if n not in set(changed)]
-    for lane in (changed, stale):
-        rounds = [hist[n][0] for n in lane]
-        assert rounds == sorted(rounds)
-    if changed and stale:
-        # 1:1 interleave: among the first 2*min(len) tail slots, each
-        # adjacent pair holds one name from each lane
-        k = min(len(changed), len(stale))
-        for i in range(0, 2 * k - 1, 2):
-            pair = {tail[i] in set(changed), tail[i + 1] in set(changed)}
-            assert pair == {True, False}
+    changed = {n for n in tail if is_changed(n, hist[n][0], combined[n])}
+    rounds = [hist[n][0] for n in tail]
+    assert rounds == sorted(rounds)
+    for rnd in set(rounds):
+        run = [n for n in tail if hist[n][0] == rnd]
+        flags = [n in changed for n in run]
+        # all True-prefix then False-suffix: no unchanged name ahead
+        # of a changed one within the same evidence round
+        assert flags == sorted(flags, reverse=True)
 
 
 def test_rotation_changed_implementation_priority():
@@ -92,6 +91,26 @@ def test_rotation_changed_implementation_priority():
     ]
     if not fns:
         pytest.skip("no functions in udfs module")
+    # the assertion relies on git history ordering (udfs.py committed
+    # after CORRECTNESS_r02.json); on a shallow/squashed clone or
+    # after a history rewrite that ordering is gone — verify the
+    # precondition with git directly and skip if absent, mirroring the
+    # no-record guard below, instead of failing spuriously
+    import os
+    import subprocess
+
+    def last_commit_ct(path: str) -> float:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", "--", path],
+            cwd=os.path.dirname(contract.__file__),
+            capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        return float(out) if out.isdigit() else 0.0
+
+    r2_ct = last_commit_ct("CORRECTNESS_r02.json")
+    udfs_ct = last_commit_ct("aw3d30_parquet_spark/functions/udfs.py")
+    if not (r2_ct and udfs_ct > r2_ct):
+        pytest.skip("git history cannot order udfs.py after r2 record")
     assert is_changed("u01_synthetic", 2, fns[0])
     # round with no CORRECTNESS file on disk -> no record time -> False
     assert not is_changed("u01_synthetic", 99, fns[0])

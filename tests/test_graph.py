@@ -110,3 +110,56 @@ def test_l01_no_standalone_count_job(spark):
     df = pagerank_supplier_customer(spark, SF_SMOKE, iters=0)
     assert set(st.getJobIdsForGroup()) == before  # lazy end to end
     assert df.columns == ["node", "rank_e12"]
+
+
+def test_l02_bucketed_matches_l01(spark):
+    """The co-located-iteration form is a pure physical-layout change:
+    identical BIGINT arithmetic ⇒ identical ranks, row for row."""
+    from aw3d30_parquet_spark.operators.graph import (
+        pagerank_bucketed,
+        pagerank_supplier_customer,
+    )
+
+    base = pagerank_supplier_customer(spark, SF_SMOKE).collect()
+    bucketed = pagerank_bucketed(spark, SF_SMOKE).collect()
+    assert bucketed == base
+
+
+def test_l02_iteration_join_edge_side_no_exchange(spark):
+    """The 1000-executor claim, plan-pinned: the per-iteration
+    edge⋈rank join reads edge_deg from the src-bucketed table with
+    ZERO Exchange on the edge side — the plan's ONE Exchange is the
+    |nodes|-row rank relation shuffling into the bucket layout."""
+    from pyspark.sql import functions as F
+
+    from aw3d30_parquet_spark.operators.graph import (
+        PR_SCALE,
+        _bucketed_edge_deg,
+        _l02_iteration_join,
+    )
+    from aw3d30_parquet_spark.plans import count_node, formatted_plan
+
+    tbl = _bucketed_edge_deg(spark, SF_SMOKE)
+    edge_deg = spark.table(tbl)
+    # mimic the real loop's rank relation: coalesce() discards the
+    # bucket layout, exactly like the persisted+coalesced ranks the
+    # query iterates on — so the rank side NEEDS its one shuffle
+    ranks = (
+        edge_deg.groupBy("src")
+        .agg(F.max("deg").alias("deg"))
+        .select(F.col("src").alias("node"), F.lit(PR_SCALE).alias("r"))
+        .coalesce(4)
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = _l02_iteration_join(edge_deg, ranks)
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        # exactly 1 Exchange: the |nodes|-row rank side shuffling into
+        # the bucket layout. Were the EDGE side shuffling, the
+        # non-partitioned rank side would need one too → count 2.
+        assert count_node(joined, "Exchange") == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

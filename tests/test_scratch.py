@@ -99,6 +99,50 @@ def test_queries_dispatch_wraps_with_eviction(spark):
     assert "zz9" not in scratch.resident()["scratch"]
 
 
+def test_byte_budget_evicts_lru_memo(spark, monkeypatch):
+    """Shrinking the resident-cache byte budget drives LRU memo
+    eviction at begin_query: with two materialized cached relations and
+    a budget below their footprint, the least-recently-touched group is
+    released (blocking) until usage fits — and the most-recent group
+    survives (it is the one the in-flight query consumes)."""
+    scratch.release_all()
+    a = spark.range(200_000).persist()
+    b = spark.range(200_000).persist()
+    a.count(), b.count()  # materialize: blocks appear in storage status
+    used = scratch._cached_bytes()
+    assert used and used > 0  # storage-status API live in local mode
+    released = []
+    scratch.memo_touch(("bb", "a"), lambda: (a.unpersist(True), released.append("a")))
+    scratch.memo_touch(("bb", "b"), lambda: (b.unpersist(True), released.append("b")))
+    before = dict(scratch.eviction_stats())
+    # budget of 1 byte: everything over budget, LRU ("a") must go;
+    # the floor keeps the last-touched group ("b") resident
+    monkeypatch.setenv("SPARK_GRAFT_MEMO_BYTES", "1")
+    scratch.begin_query("zz0_noop")
+    assert released == ["a"]
+    assert scratch.eviction_stats()["memo_bytes"] == before["memo_bytes"] + 1
+    assert [g for g in scratch.resident()["memo_groups"]] == [repr(("bb", "b"))]
+    monkeypatch.delenv("SPARK_GRAFT_MEMO_BYTES")
+    scratch.release_all()
+    assert released == ["a", "b"]
+
+
+def test_byte_budget_unbinding_at_default(spark, monkeypatch):
+    """At the default fraction the byte budget must not bind on this
+    box (bench numbers unchanged): the derived budget is far above any
+    suite's resident set, and a begin_query pass evicts nothing."""
+    scratch.release_all()
+    budget = scratch._byte_budget()
+    assert budget is not None and budget > 1 << 30  # >1 GiB headroom
+    df = spark.range(10_000).persist()
+    df.count()
+    released = []
+    scratch.memo_touch(("ub", 1), lambda: (df.unpersist(True), released.append(1)))
+    scratch.begin_query("zz1_noop")
+    assert released == []
+    scratch.release_all()
+
+
 def test_memo_age_expiry(spark):
     """A memo group untouched for MEMO_AGE_CAP dispatches is expired by
     begin_query; touching it resets the clock."""
