@@ -2353,6 +2353,17 @@ ROWS_ONLY = frozenset(
         "a04_quantile_sketch_rollup",
         "a05_kll_quantile_rollup",
         "a06_theta_audience_rollup",
-        "a08_cms_freq_rollup",
+        # a08 was promoted to a full hash oracle in r7: its CMS matrix
+        # is element-wise integer addition under a fixed multiply-shift
+        # family — order-independent, so DuckDB recomputes the weekly
+        # estimates bit-for-bit (see queries.py). The remaining set is
+        # engine-RNG / register-format sketches (a01–a03, a05, a06)
+        # plus a04, which is deterministic in-engine (lexsort before
+        # compression) but NOT hash-promotable: its equi-depth bucket
+        # boundaries are IEEE-754 cumulative-sum comparisons, and an
+        # SQL twin's different summation associativity can land a
+        # point on the other side of a boundary, shifting a centroid
+        # mean DISCONTINUOUSLY (not by an ulp) — a genuine
+        # impossibility note, not a missing oracle (SURVEY §2.4).
     }
 )

@@ -807,6 +807,55 @@ GROUP BY tok, n
 HAVING count(*) * 200 >= n
 ORDER BY cnt DESC, tok
 """,
+    # a08: full hash oracle for the CMS weekly rollup — promoted from
+    # rows-only (r7). The estimate needs no matrix at all in SQL:
+    # est(u) = min_i |{events e in week : h_i(e.user) = h_i(u)}| — the
+    # weekly matrix cell M[i, h_i(u)] IS that count, because weekly
+    # rollup is element-wise addition of daily counts. The
+    # multiply-shift hash ((id+1)·a_i mod 2^64) >> 54 is exact integer
+    # arithmetic: DuckDB computes the wraparound product in HUGEINT
+    # (ids ≥ 0, so (id+1)·a < 2^127 always) and the bucket by integer
+    # division by 2^54. Unlike a03–a06 (engine-RNG/register-format
+    # sketches), every CMS operation here is order-independent integer
+    # math — the same promotability class as v03/v04's hyperplanes.
+    "a08_cms_freq_rollup": """
+WITH ev AS (
+  SELECT CAST(date_trunc('week', date_trunc('day', ts)) AS DATE) AS week,
+         user_id
+  FROM events
+), mult(i, a) AS (
+  VALUES (0, CAST(11400714819323198485 AS HUGEINT)),
+         (1, CAST(14029467366897019727 AS HUGEINT)),
+         (2, CAST(1609587929392839161 AS HUGEINT)),
+         (3, CAST(2870177450012600261 AS HUGEINT))
+), week_cells AS (
+  SELECT e.week, m.i,
+         ((CAST(e.user_id + 1 AS HUGEINT) * m.a) % 18446744073709551616)
+           // 18014398509481984 AS b,
+         count(*) AS cnt
+  FROM ev e CROSS JOIN mult m
+  GROUP BY 1, 2, 3
+), wk AS (
+  SELECT week, count(*) AS n_events FROM ev GROUP BY week
+), probes(user_id) AS (
+  VALUES (0),(10),(20),(30),(40),(50),(60),(70),(80),(90)
+), probe_cells AS (
+  SELECT w.week, p.user_id, m.i,
+         ((CAST(p.user_id + 1 AS HUGEINT) * m.a) % 18446744073709551616)
+           // 18014398509481984 AS b
+  FROM wk w CROSS JOIN probes p CROSS JOIN mult m
+)
+SELECT pc.week AS week,
+       CAST(pc.user_id AS BIGINT) AS user_id,
+       CAST(min(COALESCE(wc.cnt, 0)) AS BIGINT) AS est,
+       CAST(any_value(w.n_events) AS BIGINT) AS n_events
+FROM probe_cells pc
+JOIN wk w ON w.week = pc.week
+LEFT JOIN week_cells wc
+  ON wc.week = pc.week AND wc.i = pc.i AND wc.b = pc.b
+GROUP BY pc.week, pc.user_id
+ORDER BY pc.week, pc.user_id
+""",
     # q75: same contribution-explode derivation in DuckDB (a
     # COUNT(DISTINCT) OVER RANGE is also directly expressible there,
     # but the twin mirrors the operator's day-arithmetic exactly)
