@@ -966,8 +966,26 @@ IVF_N_PROBE = 2
 _IVF_PARQUET: dict[tuple, tuple[str, list]] = {}
 
 
-def _ivf_parquet_index(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
-    key = (_session_tag(spark), sf_dir)
+def _ivf_parquet_index(
+    spark: SparkSession,
+    sf_dir: str,
+    k_clusters: int = KMEANS_K,
+    salt_target: int | None = None,
+) -> tuple[str, list]:
+    """``salt_target`` (rows per sub-partition) enables the SALTED
+    layout for skewed corpora: clusters larger than the target are
+    written as ``cluster_id=c/salt=s`` sub-directories (salt buckets =
+    ceil(members/target), salt = xxhash64(vec_id) mod buckets — k01's
+    hot-key salting applied to physical layout). Probe semantics,
+    membership and recall are unchanged (the probe joins on
+    cluster_id; salt only bounds per-directory/file size), but a hot
+    cluster holding 1/3 of a 100 TB corpus becomes many
+    target-sized files instead of one elephant partition — the
+    measured emb-skew fixture puts 66k of 200k vectors in ONE cluster
+    that even k_clusters=64 Lloyd cannot split (a point mass tighter
+    than any inter-centroid gap stays whole), so layout salting, not
+    K-scaling, is the governing mitigation."""
+    key = (_session_tag(spark), sf_dir, k_clusters, salt_target)
 
     def _release(kk=key):
         _IVF_PARQUET.pop(kk, None)  # dir reaped by _export_dir atexit
@@ -979,16 +997,33 @@ def _ivf_parquet_index(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
         return _IVF_PARQUET[key]
     from aw3d30_parquet_spark.sources.files import _export_dir
 
-    assign, cent = _kmeans_assign(spark, sf_dir, scratch_key="v10_cent")
-    out = os.path.join(_export_dir(spark, sf_dir), "v10_emb_by_cluster")
-    (
-        _emb(spark, sf_dir)
-        .join(assign.select("vec_id", F.col("cid").alias("cluster_id")), "vec_id")
-        .select("vec_id", "embedding", "cluster_id")
-        .write.mode("overwrite")
-        .partitionBy("cluster_id")
-        .parquet(out)
+    assign, cent = _kmeans_assign(
+        spark, sf_dir, k=k_clusters, scratch_key="v10_cent"
     )
+    tag = "" if k_clusters == KMEANS_K else f"_k{k_clusters}"
+    if salt_target:
+        tag += f"_s{salt_target}"
+    out = os.path.join(
+        _export_dir(spark, sf_dir), f"v10_emb_by_cluster{tag}"
+    )
+    rel = _emb(spark, sf_dir).join(
+        assign.select("vec_id", F.col("cid").alias("cluster_id")), "vec_id"
+    ).select("vec_id", "embedding", "cluster_id")
+    parts = ["cluster_id"]
+    if salt_target:
+        buckets = assign.groupBy(F.col("cid").alias("cluster_id")).agg(
+            F.ceil(F.count("*") / salt_target).cast("int").alias("nb")
+        )
+        rel = (
+            rel.join(F.broadcast(buckets), "cluster_id")
+            .withColumn(
+                "salt",
+                F.pmod(F.xxhash64("vec_id"), F.col("nb")).cast("int"),
+            )
+            .drop("nb")
+        )
+        parts.append("salt")
+    rel.write.mode("overwrite").partitionBy(*parts).parquet(out)
     # centroid sidecar: k rows of 64 BIGINTs, collected once — the
     # bounded driver artifact every probe broadcasts (at 100 TB: a
     # parquet sidecar next to the cluster-partitioned index table)
@@ -1014,6 +1049,9 @@ def ann_topk_ivf_parquet(
     k: int = DEFAULT_K,
     n_queries: int = DEFAULT_N_QUERIES,
     n_probe: int = IVF_N_PROBE,
+    k_clusters: int = KMEANS_K,
+    query_lo: int = 0,
+    salt_target: int | None = None,
 ) -> DataFrame:
     """v10: top-k cosine ANN over a DISK-BACKED IVF index — the 100 TB
     deployment shape v05's docstring promises, materialized: the
@@ -1034,9 +1072,15 @@ def ann_topk_ivf_parquet(
     ROUNDED cosine with id tie-break (v02's determinism contract);
     recall vs the exact v02 additionally floor-pinned in pytest.
     """
-    path, cents = _ivf_parquet_index(spark, sf_dir)
+    path, cents = _ivf_parquet_index(spark, sf_dir, k_clusters, salt_target)
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < n_queries).select(
+    # query_lo/k_clusters/salt_target are probe knobs (the skew /
+    # K-scaling / salted-layout study in SCALING.md): defaults
+    # reproduce the oracle-pinned registration
+    queries = emb.filter(
+        (F.col("vec_id") >= query_lo)
+        & (F.col("vec_id") < query_lo + n_queries)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         _kmeans_xi().alias("xi"),

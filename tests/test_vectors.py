@@ -326,3 +326,28 @@ def test_v10_ivf_parquet_pruned_probe(spark):
     # every returned neighbor must come from a probed cluster of its
     # own query — cross-query leakage would show as rank inflation
     assert list(p1.groupby("query_id").size().unique()) == [5]
+
+
+def test_v10_salted_layout_identical_and_pruned(spark):
+    """The salted index layout (sub-partition oversized clusters by
+    xxhash64(vec_id) mod buckets) is a pure PHYSICAL change: identical
+    result rows to the default layout, dynamic partition pruning on
+    cluster_id intact, and the on-disk tree actually carries salt=
+    sub-directories for clusters above the target."""
+    import glob
+    import os
+
+    from aw3d30_parquet_spark.functions.vectors import (
+        _ivf_parquet_index,
+        ann_topk_ivf_parquet,
+    )
+    from aw3d30_parquet_spark.oracle import canonical_hash
+
+    base = ann_topk_ivf_parquet(spark, SF_SMOKE).toPandas()
+    salted = ann_topk_ivf_parquet(spark, SF_SMOKE, salt_target=50)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, "salted scan lost partition pruning"
+    assert canonical_hash(salted.toPandas()) == canonical_hash(base)
+    path, _ = _ivf_parquet_index(spark, SF_SMOKE, salt_target=50)
+    subdirs = glob.glob(os.path.join(path, "cluster_id=*", "salt=*"))
+    assert subdirs, "no salt sub-partitions written"

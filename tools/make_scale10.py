@@ -49,6 +49,23 @@ Modes (third positional arg, default ``full``):
   100-member exact-duplicate clusters, the adversarial near-dup case),
   everything else copied unchanged: the ANN-family scale probe
   (v02/v03/v10) corpus.
+- ``docs-density`` — the FIXED-DENSITY near-dup corpus (the d04/d07
+  100x probe): every replica is "paraphrased" by replacing every 3rd
+  word with a per-replica tag token, which destroys ALL original
+  trigram shingles (any 3 consecutive word positions contain a
+  multiple of 3) — so replicas share no shingles with the base or
+  each other, and candidate volume CANNOT grow quadratically in
+  replicas the way the plain replica corpus makes it. True near-dup
+  pairs are CONSTRUCTED instead: every doc with ``doc_id % 50 == 0``
+  gets an in-replica twin (same paraphrase + one extra token,
+  Jaccard ≈ 0.97), so true pairs = replicas x ceil(N/50) — pair
+  DENSITY constant as the corpus grows, the production claim "
+  candidates linear in corpus, verify cost linear in TRUE pairs".
+- ``emb-skew`` — embeddings replicated like ``emb`` but with a
+  deliberately HOT region: replicas with i % 3 == 0 collapse onto
+  replica 0's vectors shifted by a tiny constant so ~1/3 of all
+  vectors land in one IVF cluster (k01's hot-key fixture pattern
+  applied to vector space) — the v10 partition-skew probe.
 """
 
 from __future__ import annotations
@@ -78,14 +95,14 @@ def build(
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     copy_unchanged = list(DIMS)
-    if mode in ("fixed-delta", "docs"):
+    if mode in ("fixed-delta", "docs", "docs-density"):
         # probes in these modes only read documents — ship the other
         # tables through unchanged so register_views still finds them
         copy_unchanged += ["customer", "orders", "lineitem", "events",
                            "embeddings"]
     elif mode == "relational":
         copy_unchanged += ["documents", "embeddings"]
-    elif mode == "emb":
+    elif mode in ("emb", "emb-skew"):
         copy_unchanged += ["customer", "orders", "lineitem", "events",
                            "documents"]
     for t in copy_unchanged:
@@ -104,12 +121,32 @@ def build(
 
     src = lambda t: f"read_parquet('{SRC}/{t}.parquet')"  # noqa: E731
 
-    if mode == "emb":
-        parts = [
-            f"SELECT vec_id + {i}*{STRIDES['embeddings'][1]} AS vec_id,"
-            f" embedding, label FROM {src('embeddings')}"
-            for i in range(replicas)
-        ]
+    if mode in ("emb", "emb-skew"):
+        # emb-skew: replicas with i % 3 == 1 collapse onto a single
+        # ANCHOR direction (two large fixed components + a tiny
+        # deterministic per-vector jitter) — under v09's exact Lloyd
+        # they form ONE tight cluster holding ~1/3 of all vectors,
+        # k01's hot-key fixture applied to vector space. Replica 0
+        # stays the base set, so the Lloyd init (first k ids) and the
+        # default v10 query set remain cold; hot queries are replica
+        # 1's leading ids (vec_id 100000+).
+        hot = (
+            "list_transform(range(1, 65), d -> CASE"
+            " WHEN d = 1 THEN CAST(5.0 + (vec_id % 997) / 100000.0 AS FLOAT)"
+            " WHEN d = 2 THEN CAST(-5.0 + (vec_id % 991) / 100000.0 AS FLOAT)"
+            " ELSE CAST(0.0 AS FLOAT) END)"
+        )
+        parts = []
+        for i in range(replicas):
+            emb_expr = (
+                hot
+                if (mode == "emb-skew" and i % 3 == 1)
+                else "embedding"
+            )
+            parts.append(
+                f"SELECT vec_id + {i}*{STRIDES['embeddings'][1]} AS vec_id,"
+                f" {emb_expr} AS embedding, label FROM {src('embeddings')}"
+            )
         con.execute(
             f"COPY ({' UNION ALL '.join(parts)}) TO"
             f" '{out_dir}/embeddings.parquet' (FORMAT PARQUET)"
@@ -119,6 +156,47 @@ def build(
             f" read_parquet('{out_dir}/embeddings.parquet')"
         ).fetchone()[0]
         print(f"embeddings: {n} rows")
+        return
+
+    if mode == "docs-density":
+        # paraphrase: every 3rd word -> per-replica tag (kills every
+        # original trigram shingle); constructed in-replica twins keep
+        # pair DENSITY constant (see module docstring)
+        stride = STRIDES["documents"][1]
+        parts = []
+        for i in range(replicas):
+            # TAG (not replace) every 3rd word: each original trigram
+            # maps to one tagged trigram, so the per-replica shingle
+            # df distribution ≈ the base corpus' (no hot-key collapse
+            # — replacing with a bare tag measured 10x candidate
+            # inflation per replica), while every trigram still
+            # carries the replica tag, keeping replica shingle spaces
+            # disjoint
+            nz = (
+                r"regexp_replace(trim(text), '(\S+\s+\S+)\s+(\S+)',"
+                rf" '\1 \2zr{i}', 'g')"
+            )
+            parts.append(
+                f"SELECT doc_id + {i}*{stride} AS doc_id,"
+                f" {nz} AS text, lang, source,"
+                f" CAST(length({nz}) AS BIGINT) AS n_chars"
+                f" FROM {src('documents')}"
+            )
+            parts.append(
+                f"SELECT doc_id + {i}*{stride} + 50000 AS doc_id,"
+                f" {nz} || ' q0' AS text, lang, source,"
+                f" CAST(length({nz}) + 3 AS BIGINT) AS n_chars"
+                f" FROM {src('documents')} WHERE doc_id % 50 = 0"
+            )
+        con.execute(
+            f"COPY ({' UNION ALL '.join(parts)}) TO"
+            f" '{out_dir}/documents.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT count(*), count(*) FILTER (doc_id % {stride} >= 50000)"
+            f" FROM read_parquet('{out_dir}/documents.parquet')"
+        ).fetchone()
+        print(f"documents: {n[0]} rows, constructed twins {n[1]}")
         return
 
     if mode in ("fixed-delta", "docs"):

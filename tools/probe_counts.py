@@ -121,6 +121,48 @@ ON t.term = phr.w0 AND t.doc_id <> phr.q_id"""
         BASE.format(d=d)
         + "SELECT count(*) FROM sh WHERE doc_id % 97 <> 0"
     ).fetchone()[0]
+    # d04 (inverted-index Jaccard): candidate join volume = one row per
+    # (doc pair, shared shingle) = sum over shingles of C(df, 2) — the
+    # c^2 term the fixed-density corpus must keep LINEAR in replicas
+    out["d04_candidates"] = con.execute(
+        BASE.format(d=d)
+        + """SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT)
+             FROM (SELECT s, count(*) AS c FROM sh GROUP BY s)"""
+    ).fetchone()[0]
+    # TRUE pairs (exact Jaccard >= 0.6) — what verify cost must track
+    out["d_true_pairs"] = con.execute(
+        BASE.format(d=d)
+        + """
+, docn AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+SELECT count(*) FROM (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+) p JOIN docn na ON na.doc_id = p.ia JOIN docn nb ON nb.doc_id = p.ib
+WHERE p.inter >= 0.6 * (na.n + nb.n - p.inter)"""
+    ).fetchone()[0]
+    # d07 (prefix filtering): candidates = distinct pairs sharing a
+    # PREFIX shingle (each doc's n - ceil(0.6 n) + 1 globally-rarest).
+    # Tie-break within equal df is md5(s) here vs xxhash64 in the
+    # engine — a volume PROXY (identical when df ties don't straddle
+    # the prefix boundary), fine for counting, not for membership.
+    out["d07_candidates"] = con.execute(
+        BASE.format(d=d)
+        + """
+, docn AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+, dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+, pre AS (
+  SELECT sh.doc_id, sh.s
+  FROM sh JOIN dfq USING (s) JOIN docn USING (doc_id)
+  QUALIFY row_number() OVER (PARTITION BY sh.doc_id
+                             ORDER BY dfq.df, md5(sh.s))
+          <= docn.n - ceil(0.6 * docn.n) + 1
+)
+SELECT count(*) FROM (
+  SELECT DISTINCT a.doc_id, b.doc_id
+  FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
+)"""
+    ).fetchone()[0]
     return out
 
 
