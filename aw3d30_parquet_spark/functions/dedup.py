@@ -172,19 +172,45 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n", F.xxhash64("s").alias("h")),
     ).hint("shuffle_hash")
     a, b = sh.alias("a"), sh.alias("b")
+    # the pair-intersection count is a NO-COMPRESSION aggregate on
+    # near-dup corpora (measured at the 10× replica corpus: 127 M join
+    # rows → 113 M distinct pairs), so the default partial agg pays a
+    # spilling hash pass to save nothing — same lesson as d13: pack
+    # the pair into one long key (valid while doc ids < 2³¹), ship the
+    # RAW join output 8×-wide, aggregate complete per partition
+    # (n_a/n_b are per-doc constants and ride along as max()).
+    # Measured 18.0 → 11.1 s at the 10× corpus.
+    try:
+        agg_width = 8 * spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext
+        agg_width = 256
     inter = (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.n").alias("n_a"),
-            F.col("b.n").alias("n_b"),
+        .select(
+            (F.col("a.doc_id") * F.lit(2**32) + F.col("b.doc_id")).alias(
+                "pk"
+            ),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
-        .agg(F.count("*").alias("inter"))
+        .repartition(agg_width, "pk")
+        .groupBy("pk")
+        .agg(
+            F.count("*").alias("inter"),
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+        )
+        .select(
+            F.expr("pk div 4294967296").alias("id_a"),
+            (F.col("pk") % F.lit(2**32)).alias("id_b"),
+            "n_a",
+            "n_b",
+            "inter",
+        )
     )
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     # floor-based 2-decimal rounding: int/int ratios (3/8 = 0.375) land
@@ -929,20 +955,69 @@ def editdist_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_snap = F.col("doc_id") % 10 >= 8
     snap = docs.filter(is_snap)
     corpus = docs.filter(~is_snap)
-    a = gh.filter(is_snap).alias("a")
+    # the |Δpos| ≤ EDIT_D band rides the JOIN KEY, not a post-join
+    # filter: the snapshot side (the SMALL side — the delta) is
+    # expanded 2·EDIT_D+1 ways with shifted positions, so the
+    # equi-join on (h, pos) emits exactly the in-band matches. The
+    # gram domain is EDIT_N_GRAMS positions, so only ~43 % of bare
+    # h-matches are in-band (measured 1.154 G → 501 M rows at the 10×
+    # replica corpus) — keying on (h, pos) skips generating the other
+    # 650 M rows entirely, for 11× of the tiny delta-gram relation
+    # (≈ 2.4 M rows at 10×). Each (snapshot-gram, corpus-gram) pair
+    # matches at exactly one shift, so the shared count — and the
+    # Gravano bound it feeds — is unchanged row for row.
+    a = (
+        gh.filter(is_snap)
+        .select(
+            "doc_id",
+            "h",
+            F.explode(
+                F.sequence(
+                    F.col("pos") - EDIT_D, F.col("pos") + EDIT_D
+                )
+            ).alias("pos"),
+        )
+        .filter(F.col("pos").between(1, EDIT_N_GRAMS))
+        .alias("a")
+    )
     b = gh.filter(~is_snap).alias("b")
+    # The shared-gram count is a LOW-COMPRESSION aggregate: measured at
+    # the 10× replica corpus, 480 M join rows collapse to 140 M
+    # distinct pairs (3.6×), so the default partial→exchange→final agg
+    # pays two spilling hash passes to save little shuffle. Shape it
+    # explicitly instead: pack the pair into ONE long key (id_new ·
+    # 2³² + id_old — cheaper UnsafeRow hashing than a 2-col key; valid
+    # while doc ids < 2³¹, a deployment with wider ids keeps the
+    # 2-col groupBy), hash-repartition the RAW join output 8×-wide,
+    # and aggregate COMPLETE per partition (the repartition satisfies
+    # the agg distribution, so Catalyst plans a single hash pass with
+    # per-task tables that fit). Measured 88 → 31 s at the 10× corpus;
+    # at 1000 executors the same 8×cores width keeps per-task agg
+    # state ~constant as the cluster scales.
+    try:
+        agg_width = 8 * spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext
+        agg_width = 256
     cand = (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
-            & (F.abs(F.col("a.pos") - F.col("b.pos")) <= EDIT_D),
+            & (F.col("a.pos") == F.col("b.pos")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("id_new"),
-            F.col("b.doc_id").alias("id_old"),
+        .select(
+            (F.col("a.doc_id") * F.lit(2**32) + F.col("b.doc_id")).alias(
+                "pk"
+            )
         )
+        .repartition(agg_width, "pk")
+        .groupBy("pk")
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= EDIT_MIN_SHARED)
+        .select(
+            F.expr("pk div 4294967296").alias("id_new"),
+            (F.col("pk") % F.lit(2**32)).alias("id_old"),
+            "shared",
+        )
     )
     ver = (
         cand.join(
