@@ -182,10 +182,15 @@ def build(
                 f" CAST(length({nz}) AS BIGINT) AS n_chars"
                 f" FROM {src('documents')}"
             )
+            # the twin marker carries the replica tag too: with a bare
+            # ' q0' the 1-2 UNTAGGED trailing words of a doc whose
+            # length is not a multiple of 3 formed a cross-replica
+            # shared trigram ("w dup q0") — a small quadratic leak the
+            # disjointness test (tests/test_scale_probes.py) now pins
             parts.append(
                 f"SELECT doc_id + {i}*{stride} + 50000 AS doc_id,"
-                f" {nz} || ' q0' AS text, lang, source,"
-                f" CAST(length({nz}) + 3 AS BIGINT) AS n_chars"
+                f" {nz} || ' q{i}' AS text, lang, source,"
+                f" CAST(length({nz}) + {len(f' q{i}')} AS BIGINT) AS n_chars"
                 f" FROM {src('documents')} WHERE doc_id % 50 = 0"
             )
         con.execute(
