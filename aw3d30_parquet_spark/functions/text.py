@@ -532,51 +532,19 @@ def phrase_search(
             ],
         )
     )
-    # Anchor on each phrase's RAREST word, not word₁ (r7 — the same
-    # df-pruning move as t09's rarest query terms and d07's rare-gram
-    # prefix): phrases start with corpus-hot words ("the" …), so
-    # word₁-anchoring materialized 45 M anchor rows at the 100× corpus
-    # and step 2 shuffled the FULL postings relation against them
-    # (measured 51.5 s end-to-end). Anchoring at the min-df slot makes
-    # the anchor relation Σ_q df(rarest word) — small enough that AQE
-    # broadcasts the chain into every verify join, so postings are
-    # only SCANNED (map-side, once per slot over the persisted cache),
-    # never shuffled. Verifying ALL slots (including the anchor slot —
-    # a guaranteed self-match against the unique (doc, pos) posting)
-    # keeps the loop uniform; output rows and occurrence counts are
-    # identical to the word₁ chain, so the DuckDB oracle is unchanged.
-    from pyspark.sql import Window
-
-    df_rel = postings.groupBy("term").agg(F.count("*").alias("df"))
-    slots = phrases.select(
-        "q_id",
-        F.posexplode(
-            F.array(*[F.col(f"w{i}") for i in range(plen)])
-        ).alias("slot", "w"),
-    )
-    w_pick = Window.partitionBy("q_id").orderBy("df", "slot")
-    best = (
-        slots.join(df_rel, slots.w == df_rel.term, "left")
-        # a query word absent from the corpus has df NULL → sorts
-        # FIRST (rarest) → its anchor join matches nothing → the
-        # phrase correctly yields no rows
-        .withColumn("rn", F.row_number().over(w_pick))
-        .filter(F.col("rn") == 1)
-        .select("q_id", "slot", "w")
-    )
-    anchors = (
-        postings.join(
-            F.broadcast(best), postings.term == best.w
+    chain = (
+        F.broadcast(phrases)
+        .join(
+            postings.select(
+                F.col("doc_id").alias("c_id"),
+                F.col("term").alias("t0"),
+                F.col("pos").alias("anchor"),
+            ),
+            F.col("t0") == F.col("w0"),
         )
-        .select(
-            "q_id",
-            F.col("doc_id").alias("c_id"),
-            (F.col("pos") - F.col("slot")).alias("anchor"),
-        )
-        .filter((F.col("anchor") >= 0) & (F.col("c_id") != F.col("q_id")))
+        .filter(F.col("c_id") != F.col("q_id"))
     )
-    chain = anchors.join(F.broadcast(phrases), "q_id")
-    for i in range(plen):
+    for i in range(1, plen):
         nxt = postings.select(
             F.col("doc_id").alias("c_id"),
             F.col("term").alias(f"t{i}"),

@@ -13,7 +13,9 @@ rows can carry counts next to seconds:
 - t09: candidate rows = pruned query terms (<=50 queries x 32 rarest
   terms) ⋈ postings;
 - t10: anchor rows = word-1 postings matches per phrase (the chain's
-  largest relation; later joins only shrink it);
+  largest relation; later joins only shrink it — r7 A/B'd a rarest-
+  slot anchor and reverted it: on this fixture's tiny vocabulary the
+  rarest of three phrase words is nearly as hot as word-1);
 - p13: feature rows (uni+bigram occurrences — the map-side volume) and
   the fixed bucket count B;
 - p14: eval-shingle build rows and train-side probe rows (the filter
@@ -57,21 +59,45 @@ WITH words AS (
 
 
 def counts(d: str) -> dict[str, int]:
+    """``PROBE_ONLY=t10,d04`` (comma-separated key prefixes) restricts
+    which counters run — the d_true_pairs exact-pair join is by design
+    quadratic on the ADVERSARIAL replica corpora (every replica a
+    near-dup), where running it is the pathology the fixed-density
+    corpus exists to avoid."""
+    import os
+
+    only = [
+        p.strip()
+        for p in os.environ.get("PROBE_ONLY", "").split(",")
+        if p.strip()
+    ]
+
+    def wanted(key: str) -> bool:
+        return not only or any(key.startswith(p) for p in only)
+
     con = duckdb.connect()
     out: dict[str, int] = {}
-    out["docs"] = con.execute(
-        f"SELECT count(*) FROM read_parquet('{d}/documents.parquet')"
-    ).fetchone()[0]
+
+    def put(key: str, sql: str) -> None:
+        if wanted(key):
+            out[key] = con.execute(sql).fetchone()[0]
+
+    put(
+        "docs",
+        f"SELECT count(*) FROM read_parquet('{d}/documents.parquet')",
+    )
     q = (
         f"q.doc_id % {SIMILAR_QUERY_MOD} = 0"
         f" AND q.doc_id < {BM25_QUERY_CAP}"
     )
-    out["t08_candidates"] = con.execute(
+    put(
+        "t08_candidates",
         BASE.format(d=d)
         + f"""SELECT count(*) FROM sh q JOIN sh c
-              ON q.s = c.s AND q.doc_id <> c.doc_id WHERE {q}"""
-    ).fetchone()[0]
-    out["t09_candidates"] = con.execute(
+              ON q.s = c.s AND q.doc_id <> c.doc_id WHERE {q}""",
+    )
+    put(
+        "t09_candidates",
         BASE.format(d=d)
         + f"""
 , tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -87,9 +113,10 @@ qterms AS (
           <= {BM25_QUERY_TERMS}
 )
 SELECT count(*) FROM qterms q JOIN tf p USING (term)
-WHERE p.doc_id <> q.q_id"""
-    ).fetchone()[0]
-    out["t10_anchors"] = con.execute(
+WHERE p.doc_id <> q.q_id""",
+    )
+    put(
+        "t10_anchors",
         BASE.format(d=d)
         + f"""
 , phr AS (
@@ -99,38 +126,43 @@ WHERE p.doc_id <> q.q_id"""
     AND doc_id < {BM25_QUERY_CAP} AND len(w) >= 3
 )
 SELECT count(*) FROM phr JOIN toks t
-ON t.term = phr.w0 AND t.doc_id <> phr.q_id"""
-    ).fetchone()[0]
+ON t.term = phr.w0 AND t.doc_id <> phr.q_id""",
+    )
     # p13 hashes every unigram + bigram occurrence (map-side): volume =
     # sum(n_tokens) + sum(greatest(n_tokens - 1, 0)) over docs
-    out["p13_feature_rows"] = con.execute(
+    put(
+        "p13_feature_rows",
         BASE.format(d=d)
         + """SELECT sum(len(w)) + sum(greatest(len(w) - 1, 0))
-             FROM words"""
-    ).fetchone()[0]
+             FROM words""",
+    )
     # p14's build side: distinct shingles of the bench slice
     # (doc_id % 97 == 0); probe side: every non-bench shingle row.
     # Both are inherently linear in the corpus (decontamination scans
     # the corpus by definition) — what must stay FIXED is the filter
     # itself (32 kbit broadcast), which these counts contextualize.
-    out["p14_eval_shingles"] = con.execute(
+    put(
+        "p14_eval_shingles",
         BASE.format(d=d)
-        + "SELECT count(DISTINCT s) FROM sh WHERE doc_id % 97 = 0"
-    ).fetchone()[0]
-    out["p14_probe_rows"] = con.execute(
+        + "SELECT count(DISTINCT s) FROM sh WHERE doc_id % 97 = 0",
+    )
+    put(
+        "p14_probe_rows",
         BASE.format(d=d)
-        + "SELECT count(*) FROM sh WHERE doc_id % 97 <> 0"
-    ).fetchone()[0]
+        + "SELECT count(*) FROM sh WHERE doc_id % 97 <> 0",
+    )
     # d04 (inverted-index Jaccard): candidate join volume = one row per
     # (doc pair, shared shingle) = sum over shingles of C(df, 2) — the
     # c^2 term the fixed-density corpus must keep LINEAR in replicas
-    out["d04_candidates"] = con.execute(
+    put(
+        "d04_candidates",
         BASE.format(d=d)
         + """SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT)
-             FROM (SELECT s, count(*) AS c FROM sh GROUP BY s)"""
-    ).fetchone()[0]
+             FROM (SELECT s, count(*) AS c FROM sh GROUP BY s)""",
+    )
     # TRUE pairs (exact Jaccard >= 0.6) — what verify cost must track
-    out["d_true_pairs"] = con.execute(
+    put(
+        "d_true_pairs",
         BASE.format(d=d)
         + """
 , docn AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
@@ -139,14 +171,15 @@ SELECT count(*) FROM (
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ) p JOIN docn na ON na.doc_id = p.ia JOIN docn nb ON nb.doc_id = p.ib
-WHERE p.inter >= 0.6 * (na.n + nb.n - p.inter)"""
-    ).fetchone()[0]
+WHERE p.inter >= 0.6 * (na.n + nb.n - p.inter)""",
+    )
     # d07 (prefix filtering): candidates = distinct pairs sharing a
     # PREFIX shingle (each doc's n - ceil(0.6 n) + 1 globally-rarest).
     # Tie-break within equal df is md5(s) here vs xxhash64 in the
     # engine — a volume PROXY (identical when df ties don't straddle
     # the prefix boundary), fine for counting, not for membership.
-    out["d07_candidates"] = con.execute(
+    put(
+        "d07_candidates",
         BASE.format(d=d)
         + """
 , docn AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
@@ -161,8 +194,8 @@ WHERE p.inter >= 0.6 * (na.n + nb.n - p.inter)"""
 SELECT count(*) FROM (
   SELECT DISTINCT a.doc_id, b.doc_id
   FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
-)"""
-    ).fetchone()[0]
+)""",
+    )
     return out
 
 
