@@ -545,3 +545,28 @@ def test_t10_phrase_search_matches_python(spark, docs_pdf):
     got = {(r.q_id, r.c_id): r.n_occurrences for r in rows}
     assert got == want, sorted(set(got) ^ set(want))[:5]
     assert len(got) > 0
+
+
+def test_pair_agg_single_explicit_distribution(spark):
+    """r7 plan shape for the low-compression pair aggregates (d13/d04):
+    the ONLY hash distribution of the packed pair key is the explicit
+    8x-wide repartition — were the aggregate inserting its own
+    ENSURE_REQUIREMENTS exchange on pk, a second hashpartitioning(pk)
+    would appear and the 88->31s reshaping would have regressed."""
+    from aw3d30_parquet_spark.functions.dedup import (
+        editdist_incremental,
+        ngram_jaccard_pairs,
+    )
+    from aw3d30_parquet_spark.plans import formatted_plan
+
+    from tests.conftest import SF_SMOKE
+
+    for fn in (editdist_incremental, ngram_jaccard_pairs):
+        plan = formatted_plan(fn(spark, SF_SMOKE))
+        hits = [
+            line
+            for line in plan.splitlines()
+            if "hashpartitioning(pk#" in line
+        ]
+        assert len(hits) == 1, (fn.__name__, hits)
+        assert "REPARTITION_BY_NUM" in hits[0], (fn.__name__, hits)
