@@ -20,6 +20,8 @@ not the full text, is the shuffle key, so 100 TB of text shuffles only
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -73,6 +75,79 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expensive per-row kernels downstream: fan the (single-split)
     # scan out to all cores; no-op when splits >= parallelism
     return spread(spark.table("documents"))
+
+
+#: packable doc-id range for the single-long pair key (id_a·2³² + id_b)
+_PACK_ID_LIMIT = 1 << 31
+
+
+def _packed_pair_key(a_id, b_id):
+    """The low-compression pair aggregates (d04/d13) pack the pair into
+    ONE long key — id_a · 2³² + id_b — for cheaper UnsafeRow hashing
+    than a 2-col key. Only valid while 0 ≤ doc_id < 2³¹: a wider id
+    would silently MERGE distinct pairs into one group, corrupting the
+    intersection/shared counts (r7 ADVICE). The range check rides the
+    key expression itself, so a deployment with wider ids fails loudly
+    at the first out-of-range row instead of producing wrong pairs;
+    the comparisons stay inside whole-stage codegen and are negligible
+    next to the join's shuffle write."""
+    in_range = (
+        (a_id >= 0)
+        & (a_id < _PACK_ID_LIMIT)
+        & (b_id >= 0)
+        & (b_id < _PACK_ID_LIMIT)
+    )
+    return F.when(in_range, a_id * F.lit(1 << 32) + b_id).otherwise(
+        F.raise_error(
+            F.format_string(
+                "packed pair key requires 0 <= doc_id < 2^31; got (%s, %s)"
+                " — use the 2-col groupBy form for wider id domains",
+                a_id,
+                b_id,
+            )
+        )
+    )
+
+
+#: one core-width of pair-aggregate fan-out per this many corpus bytes
+_PAIR_AGG_BYTES_PER_CORE_WIDTH = 750_000
+
+
+def _pair_agg_width(spark: SparkSession, sf_dir: str) -> int:
+    """Width of the explicit pair-key repartition feeding the
+    low-compression COMPLETE aggregates (d04/d13).
+
+    8 × cores keeps per-task aggregate state flat at probe scale
+    (measured: d13 88 → 31 s, d04 18 → 11 s at the 10× corpus), but a
+    FIXED 8× width is pure scheduling overhead at sf0.1 row counts —
+    the r7 verdict's one regression (d04 1.44 → 1.82 s: ~127 k join
+    rows over 256 partitions ≈ 500 rows/task). Derive the multiplier
+    from the corpus size instead — bytes of ``documents.parquet``, the
+    only input both joins read, known WITHOUT running a job — one
+    core-width per ~0.75 MB, clamped to [cores, 8 × cores]: sf0.1
+    (0.6 MB) stays at the core count, the 10× probe corpora (≥ 6 MB)
+    keep the measured 8× shape. At 1000 executors the same rule holds
+    per-task aggregate state ~constant as data and cluster scale
+    together. Unreadable layout or Spark Connect (no sparkContext)
+    takes the scale posture, 8 × the last-known core count."""
+    try:
+        cores = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext
+        return 256
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(path):
+            nbytes = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, names in os.walk(path)
+                for f in names
+            )
+        else:
+            nbytes = os.path.getsize(path)
+    except OSError:
+        return 8 * cores
+    mult = min(8, max(1, -(-nbytes // _PAIR_AGG_BYTES_PER_CORE_WIDTH)))
+    return mult * cores
 
 
 def exact_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,14 +251,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup corpora (measured at the 10× replica corpus: 127 M join
     # rows → 113 M distinct pairs), so the default partial agg pays a
     # spilling hash pass to save nothing — same lesson as d13: pack
-    # the pair into one long key (valid while doc ids < 2³¹), ship the
-    # RAW join output 8×-wide, aggregate complete per partition
+    # the pair into one long key (range-guarded — _packed_pair_key),
+    # ship the RAW join output wide, aggregate complete per partition
     # (n_a/n_b are per-doc constants and ride along as max()).
-    # Measured 18.0 → 11.1 s at the 10× corpus.
-    try:
-        agg_width = 8 * spark.sparkContext.defaultParallelism
-    except Exception:  # Spark Connect: no sparkContext
-        agg_width = 256
+    # Measured 18.0 → 11.1 s at the 10× corpus; the width tracks the
+    # corpus volume (_pair_agg_width) so small inputs don't pay probe-
+    # scale task counts.
     inter = (
         a.join(
             b,
@@ -191,13 +264,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            (F.col("a.doc_id") * F.lit(2**32) + F.col("b.doc_id")).alias(
+            _packed_pair_key(F.col("a.doc_id"), F.col("b.doc_id")).alias(
                 "pk"
             ),
             F.col("a.n").alias("na"),
             F.col("b.n").alias("nb"),
         )
-        .repartition(agg_width, "pk")
+        .repartition(_pair_agg_width(spark, sf_dir), "pk")
         .groupBy("pk")
         .agg(
             F.count("*").alias("inter"),
@@ -986,18 +1059,15 @@ def editdist_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct pairs (3.6×), so the default partial→exchange→final agg
     # pays two spilling hash passes to save little shuffle. Shape it
     # explicitly instead: pack the pair into ONE long key (id_new ·
-    # 2³² + id_old — cheaper UnsafeRow hashing than a 2-col key; valid
-    # while doc ids < 2³¹, a deployment with wider ids keeps the
-    # 2-col groupBy), hash-repartition the RAW join output 8×-wide,
-    # and aggregate COMPLETE per partition (the repartition satisfies
-    # the agg distribution, so Catalyst plans a single hash pass with
-    # per-task tables that fit). Measured 88 → 31 s at the 10× corpus;
-    # at 1000 executors the same 8×cores width keeps per-task agg
-    # state ~constant as the cluster scales.
-    try:
-        agg_width = 8 * spark.sparkContext.defaultParallelism
-    except Exception:  # Spark Connect: no sparkContext
-        agg_width = 256
+    # 2³² + id_old — cheaper UnsafeRow hashing than a 2-col key;
+    # range-guarded by _packed_pair_key so wider ids fail loudly),
+    # hash-repartition the RAW join output wide, and aggregate
+    # COMPLETE per partition (the repartition satisfies the agg
+    # distribution, so Catalyst plans a single hash pass with per-task
+    # tables that fit). Measured 88 → 31 s at the 10× corpus; the
+    # width tracks corpus volume (_pair_agg_width): 8×cores at probe
+    # scale, the plain core count at sf0.1 where 256 near-empty tasks
+    # were pure overhead (r7 verdict).
     cand = (
         a.join(
             b,
@@ -1005,11 +1075,11 @@ def editdist_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.pos") == F.col("b.pos")),
         )
         .select(
-            (F.col("a.doc_id") * F.lit(2**32) + F.col("b.doc_id")).alias(
+            _packed_pair_key(F.col("a.doc_id"), F.col("b.doc_id")).alias(
                 "pk"
             )
         )
-        .repartition(agg_width, "pk")
+        .repartition(_pair_agg_width(spark, sf_dir), "pk")
         .groupBy("pk")
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= EDIT_MIN_SHARED)

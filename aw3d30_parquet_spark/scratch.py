@@ -110,8 +110,8 @@ def eviction_stats() -> dict[str, int]:
     return dict(_EVICTIONS, dispatches=_QUERY_ORDINAL[0])
 
 
-def _cached_bytes() -> int | None:
-    """Total bytes (memory + disk) of cached RDD blocks via the
+def _rdd_cache_sizes() -> dict[int, int] | None:
+    """Per-RDD cached bytes (memory + disk) keyed by RDD id via the
     storage-status API; ``None`` when unavailable (Spark Connect — no
     SparkContext — or no active session)."""
     try:
@@ -119,9 +119,16 @@ def _cached_bytes() -> int | None:
 
         spark = SparkSession.getActiveSession()
         infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-        return sum(i.memSize() + i.diskSize() for i in infos)
+        return {i.id(): i.memSize() + i.diskSize() for i in infos}
     except Exception:
         return None
+
+
+def _cached_bytes() -> int | None:
+    """Total bytes (memory + disk) of cached RDD blocks; ``None`` when
+    the storage-status API is unavailable."""
+    sizes = _rdd_cache_sizes()
+    return sum(sizes.values()) if sizes is not None else None
 
 
 def _byte_budget() -> int | None:
@@ -152,24 +159,41 @@ def _byte_budget() -> int | None:
 
 def _evict_over_budget() -> None:
     """Evict least-recently-touched memo groups while total cached
-    bytes exceed the byte budget. Usage is re-read after every eviction
-    (releases unpersist their relations); the last-touched group is
-    never evicted by this path — it is the one the in-flight query is
-    about to consume, and evicting it would only force an immediate
-    rebuild without freeing net memory across the query."""
+    bytes exceed the byte budget. Usage is read ONCE up front and then
+    DECREMENTED by each evicted group's measured block sizes (the RDDs
+    that left the persistent-RDD registry across the release call,
+    valued at their pre-eviction sizes) rather than re-read per
+    iteration: memo releases unpersist non-blocking (e.g. the d-family
+    gram memos), and a usage re-read racing the async block removal
+    could still count just-evicted blocks — one over-budget pass would
+    then drain every memo group except the last, defeating the LRU
+    design (r7 ADVICE). Registry removal itself is synchronous even
+    for non-blocking unpersist, so the id-diff is reliable while block
+    removal is still in flight on the executors. The last-touched
+    group is never evicted by this path — it is the one the in-flight
+    query is about to consume, and evicting it would only force an
+    immediate rebuild without freeing net memory across the query."""
     budget = _byte_budget()
     if budget is None:
         return
+    used = _cached_bytes()
     while len(_MEMO_GROUPS) > 1:
-        used = _cached_bytes()
         if used is None or used <= budget:
             return
+        before = _rdd_cache_sizes() or {}
         _, (evict, _) = _MEMO_GROUPS.popitem(last=False)
         _EVICTIONS["memo_bytes"] += 1
         try:
             evict()
         except Exception:
             pass
+        after = _rdd_cache_sizes()
+        if after is None:
+            return
+        # remaining RDDs valued at their PRE-eviction sizes: immune to
+        # both the async removal of the evicted group's blocks and any
+        # status-store lag on untouched relations
+        used = sum(sz for rid, sz in before.items() if rid in after)
 
 
 def _family(key: str) -> str:

@@ -127,6 +127,42 @@ def test_byte_budget_evicts_lru_memo(spark, monkeypatch):
     assert released == ["a", "b"]
 
 
+def test_byte_budget_nonblocking_release_stops_at_fit(spark, monkeypatch):
+    """Production memo releases unpersist NON-blocking; the over-budget
+    pass must still stop at the first group whose eviction brings usage
+    under budget. The r7 shape re-read total usage per iteration, which
+    can race async block removal and drain every group but the last —
+    the fixed accounting decrements by the evicted group's measured
+    pre-eviction sizes (registry id-diff), so exactly the LRU group
+    goes when one eviction suffices."""
+    scratch.release_all()
+    # three DISTINCT plans: CacheManager dedupes equivalent cached
+    # plans, and aliased caches would make the size accounting vacuous
+    a = spark.range(200_000).persist()
+    b = spark.range(300_000).persist()
+    c = spark.range(400_000).persist()
+    a.count(), b.count(), c.count()
+    used = scratch._cached_bytes()
+    assert used and used > 3  # three materialized cached relations
+    released = []
+    scratch.memo_touch(("nb", "a"), lambda: (a.unpersist(), released.append("a")))
+    scratch.memo_touch(("nb", "b"), lambda: (b.unpersist(), released.append("b")))
+    scratch.memo_touch(("nb", "c"), lambda: (c.unpersist(), released.append("c")))
+    # budget one byte under current usage: evicting the LRU group ("a")
+    # alone must satisfy it — "b"/"c" stay resident even though "a"'s
+    # blocks may still be draining asynchronously
+    monkeypatch.setenv("SPARK_GRAFT_MEMO_BYTES", str(used - 1))
+    scratch.begin_query("zz2_noop")
+    assert released == ["a"]
+    assert [g for g in scratch.resident()["memo_groups"]] == [
+        repr(("nb", "b")),
+        repr(("nb", "c")),
+    ]
+    monkeypatch.delenv("SPARK_GRAFT_MEMO_BYTES")
+    scratch.release_all()
+    assert released == ["a", "b", "c"]
+
+
 def test_byte_budget_unbinding_at_default(spark, monkeypatch):
     """At the default fraction the byte budget must not bind on this
     box (bench numbers unchanged): the derived budget is far above any

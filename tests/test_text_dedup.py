@@ -570,3 +570,43 @@ def test_pair_agg_single_explicit_distribution(spark):
         ]
         assert len(hits) == 1, (fn.__name__, hits)
         assert "REPARTITION_BY_NUM" in hits[0], (fn.__name__, hits)
+
+
+def test_pair_agg_width_tracks_corpus_volume(spark, tmp_path):
+    """r8: the pair-agg repartition width is volume-derived — plain
+    core count at sf0.1-class corpora (where the r7 fixed 8x width was
+    pure scheduling overhead: d04 1.44->1.82 s), the measured 8x probe
+    shape once documents.parquet reaches probe scale, and the scale
+    posture when the input layout is unreadable."""
+    from aw3d30_parquet_spark.functions.dedup import _pair_agg_width
+
+    cores = spark.sparkContext.defaultParallelism
+    assert _pair_agg_width(spark, SF_SMOKE) == cores
+    assert _pair_agg_width(spark, "/root/testdata/sf0.1") == cores
+    big = tmp_path / "documents.parquet"
+    big.write_bytes(b"\0" * 6_000_000)  # 10x-probe-class corpus size
+    assert _pair_agg_width(spark, str(tmp_path)) == 8 * cores
+    mid = tmp_path / "mid"
+    mid.mkdir()
+    (mid / "documents.parquet").write_bytes(b"\0" * 1_600_000)
+    assert _pair_agg_width(spark, str(mid)) == 3 * cores  # linear ramp
+    assert _pair_agg_width(spark, str(tmp_path / "absent")) == 8 * cores
+
+
+def test_packed_pair_key_range_guard(spark):
+    """r7 ADVICE: the single-long pair key silently merges distinct
+    pairs when doc ids exceed 2^31 — the key expression must fail
+    loudly on out-of-range ids and stay exact in range."""
+    from pyspark.sql import functions as F
+
+    from aw3d30_parquet_spark.functions.dedup import _packed_pair_key
+
+    ok = (
+        spark.createDataFrame([(3, 5)], "a long, b long")
+        .select(_packed_pair_key(F.col("a"), F.col("b")).alias("pk"))
+        .collect()
+    )
+    assert ok[0].pk == 3 * 2**32 + 5
+    bad = spark.createDataFrame([(1 << 31, 5)], "a long, b long")
+    with pytest.raises(Exception, match="packed pair key"):
+        bad.select(_packed_pair_key(F.col("a"), F.col("b"))).collect()

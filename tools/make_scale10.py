@@ -62,10 +62,12 @@ Modes (third positional arg, default ``full``):
   DENSITY constant as the corpus grows, the production claim "
   candidates linear in corpus, verify cost linear in TRUE pairs".
 - ``emb-skew`` — embeddings replicated like ``emb`` but with a
-  deliberately HOT region: replicas with i % 3 == 0 collapse onto
-  replica 0's vectors shifted by a tiny constant so ~1/3 of all
+  deliberately HOT region: replicas with i % 3 == 1 collapse onto a
+  fixed anchor direction (tiny per-vector jitter) so ~1/3 of all
   vectors land in one IVF cluster (k01's hot-key fixture pattern
-  applied to vector space) — the v10 partition-skew probe.
+  applied to vector space) — the v10 partition-skew probe. Replica 0
+  stays the cold base set (i % 3 == 1 excludes it), which the probe's
+  HOT_QUERY_LO=100000 (replica 1's leading ids) relies on.
 """
 
 from __future__ import annotations
@@ -163,6 +165,18 @@ def build(
         # original trigram shingle); constructed in-replica twins keep
         # pair DENSITY constant (see module docstring)
         stride = STRIDES["documents"][1]
+        # twin ids live at base_id + 50000 within each replica stride,
+        # and the probe tests classify rows by doc_id // stride and
+        # doc_id % stride >= 50000 — a source corpus with wider ids
+        # would silently collide twin ids with paraphrase ids and
+        # misclassify rows (r7 ADVICE): fail loudly instead
+        max_id = con.execute(
+            f"SELECT max(doc_id) FROM {src('documents')}"
+        ).fetchone()[0]
+        assert max_id < 50_000 and max_id < stride, (
+            f"docs-density requires source doc_id < 50000 (and < replica"
+            f" stride {stride}); {SRC} has max doc_id {max_id}"
+        )
         parts = []
         for i in range(replicas):
             # TAG (not replace) every 3rd word: each original trigram
