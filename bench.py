@@ -67,6 +67,46 @@ def _bench_ingest(spark, n_tiles: int = 32, size: int = 512) -> dict:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def _fit_stdout_line(result: dict, budget: int | None = None) -> str:
+    """Serialize the one-line stdout result UNDER the driver's capture
+    window. The driver's BENCH artifact captures the LAST 2000
+    characters of stdout and json-parses the final line: r5–r7 emitted
+    >2 KB lines and every artifact recorded ``"parsed": null``. Shed
+    stdout-side detail progressively until the whole line (plus its
+    preceding newline) fits — everything shed stays full-fidelity in
+    bench_results.json / bench_history.jsonl. ``result`` is consumed
+    (mutated) — callers pass their own copy."""
+    if budget is None:
+        budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BUDGET", "1900"))
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > budget and "queries" in result:
+        # every query name's 3-char family code (q01, d04, v05, ...) is
+        # unique by construction; full names live in bench_results.json
+        result["queries"] = {k[:3]: v for k, v in result["queries"].items()}
+        result["key_style"] = "3-char family codes (full names in bench_results.json)"
+        line = json.dumps(result, separators=(",", ":"))
+    if len(line) > budget:
+        # derivable fields next: family subtotals and the mean recompute
+        # from the on-disk map; the spread bands are diagnostic-only
+        for k in ("spread_top5", "family_sec", "mean_sec"):
+            result.pop(k, None)
+        line = json.dumps(result, separators=(",", ":"))
+    if len(line) > budget and "queries" in result:
+        # last resort: keep the SLOWEST-first prefix of queries that
+        # fits — "value" stays the full-suite total, and the slow tail
+        # is what a regression triage reads first anyway
+        ranked = sorted(
+            result["queries"].items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        total_q = len(ranked)
+        while ranked and len(line) > budget:
+            ranked.pop()
+            result["queries"] = dict(sorted(ranked))
+            result["queries_omitted"] = total_q - len(ranked)
+            line = json.dumps(result, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     os.environ.setdefault("TZ", "UTC")
     from aw3d30_parquet_spark.session import get_spark
@@ -216,16 +256,29 @@ def main() -> None:
     ) as fh:
         json.dump(result_file, fh, indent=1)
         fh.write("\n")
-    line = json.dumps(result, separators=(",", ":"))
-    if len(line) > 3000:
-        # Shrink below the capture window: every query name's 3-char
-        # family code (q01, d04, v05, ...) is unique by construction;
-        # full names + timings live in bench_results.json.
-        result["queries"] = {k[:3]: v for k, v in result["queries"].items()}
-        result["key_style"] = "3-char family codes (full names in bench_results.json)"
-        line = json.dumps(result, separators=(",", ":"))
+    # Labeled full-fidelity history (judge ask r7): the driver's BENCH
+    # artifact keeps only a 2 KB stdout tail, and bench_results.json is
+    # overwritten every run — so round-over-round per-query diffs
+    # required git archaeology. With SPARK_GRAFT_BENCH_LABEL set (one
+    # labeled full-suite run per round), the complete per-query record
+    # appends to bench_history.jsonl, the durable in-repo map.
+    label = os.environ.get("SPARK_GRAFT_BENCH_LABEL")
+    if label and not only:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "bench_history.jsonl",
+            ),
+            "a",
+        ) as fh:
+            fh.write(
+                json.dumps(
+                    dict(result_file, label=label), separators=(",", ":")
+                )
+                + "\n"
+            )
     sys.stdout.flush()
-    print(line, flush=True)
+    print(_fit_stdout_line(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -165,3 +165,62 @@ def test_query_names_are_unique_3char_coded():
     qs = list(contract.queries())
     codes = [n[:3] for n in qs]
     assert len(set(codes)) == len(codes)
+
+
+def test_bench_stdout_line_fits_driver_capture_window():
+    """r7 judge ask: BENCH_r*.json recorded 'parsed': null because the
+    one-line stdout overflowed the driver's 2000-char tail capture.
+    _fit_stdout_line must shed detail until the full-suite line fits
+    the window AND still parses with the contract fields + the slowest
+    queries intact."""
+    import json
+
+    from bench import _fit_stdout_line
+
+    # realistic full-suite shape: current registered names, r7-scale
+    # timings (fast q-family, slow d/t tails)
+    names = list(contract.queries())
+    per_query = {
+        n: round(0.07 + (i % 40) * 0.11, 3) for i, n in enumerate(names)
+    }
+    slowest = sorted(per_query, key=per_query.get, reverse=True)[:20]
+    result = {
+        "metric": "declared_suite_total_sec",
+        "value": round(sum(per_query.values()), 4),
+        "unit": "sec",
+        "n_queries": len(per_query),
+        "mean_sec": 0.5,
+        "stable_q01_q28_sec": 4.0,
+        "family_sec": {chr(c): 1.0 for c in range(ord("a"), ord("z"))},
+        "queries": dict(per_query),
+        "spread_top5": {
+            n[:3]: {"med": 1.0, "min": 0.9, "max": 1.4} for n in names[:5]
+        },
+        "sf": "0.1",
+        "ingest": {
+            "tiles": 32,
+            "rows": 8388608,
+            "sec": 0.64,
+            "tiles_per_sec": 49.6,
+            "rows_per_sec": 13009427.0,
+        },
+    }
+    line = _fit_stdout_line(dict(result, queries=dict(per_query)))
+    assert len(line) <= 1900  # newline headroom inside the 2000 window
+    parsed = json.loads(line)
+    assert parsed["value"] == result["value"]
+    assert parsed["n_queries"] == len(per_query)
+    assert parsed["stable_q01_q28_sec"] == 4.0
+    # the slow tail survives shedding (3-char coded)
+    kept = set(parsed["queries"])
+    for n in slowest:
+        assert n[:3] in kept or n in kept, n
+    # anything omitted is declared
+    if len(parsed["queries"]) < len(per_query):
+        assert parsed["queries_omitted"] == len(per_query) - len(
+            parsed["queries"]
+        )
+    # a small run (BENCH_ONLY) passes through untouched
+    small = {"metric": "m", "value": 1.0, "unit": "sec",
+             "queries": {"d04": 1.0}, "sf": "0.1"}
+    assert json.loads(_fit_stdout_line(dict(small))) == small
