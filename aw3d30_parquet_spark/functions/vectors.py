@@ -954,10 +954,66 @@ def _kmeans_assign(
     return assign, cent
 
 
-#: v10 IVF-parquet probe width: clusters read per query. 2 of
-#: KMEANS_K=8 ⇒ the probe scan reads ~1/4 of the index directories —
-#: the partition-pruning ratio the plan test pins.
+#: v10 explicit probe-width override unit (the r7 skew/K-scaling probes
+#: in SCALING.md were measured at a fixed n_probe=2). Since r8 the
+#: DEFAULT probe width is policy-derived — see ``_ivf_policy``.
 IVF_N_PROBE = 2
+
+#: v10 index-build policy bounds (r8): hand-picked per-call knobs became
+#: corpus-derived defaults, with explicit overrides kept for probes.
+#: k ≈ √N is the standard IVF heuristic (clamped so tiny corpora still
+#: get a few partitions and huge ones don't explode the centroid
+#: sidecar); probe width keeps the measured ~¼-of-directories read
+#: fraction (max(2, ceil(k/4)) reproduces the oracle-pinned 2-of-8 at
+#: the old K=8); the salt target sizes sub-partitions to a parquet-file
+#: byte SLO using the corpus's own measured bytes/row, so a hot cluster
+#: becomes many SLO-sized files at any corpus scale.
+IVF_K_MIN, IVF_K_MAX = 4, 256
+IVF_FILE_SLO_BYTES = 64 * 1024 * 1024
+IVF_SALT_MIN_ROWS = 4096
+
+#: (session tag, sf_dir) → (k, n_probe, salt_target): the derived
+#: policy is a pure function of the corpus, memoized so repeated probes
+#: don't recount. Bounded (a few ints per sf_dir), so no eviction hook.
+_IVF_POLICY: dict[tuple, tuple[int, int, int]] = {}
+
+
+def _ivf_policy(spark: SparkSession, sf_dir: str) -> tuple[int, int, int]:
+    """Derive (k_clusters, n_probe, salt_target) from the corpus.
+
+    Mirrored bit-for-bit by the v10 DuckDB oracle's ``pol`` CTE —
+    floor(sqrt(N)+0.5) is used on both sides because it has no
+    banker's-rounding ambiguity. At 100 TB the count and byte figures
+    come from parquet footers/table stats, not a data scan.
+    """
+    import math
+
+    key = (_session_tag(spark), sf_dir)
+    if key not in _IVF_POLICY:
+        n = _emb(spark, sf_dir).count()
+        k = max(
+            IVF_K_MIN,
+            min(IVF_K_MAX, int(math.floor(math.sqrt(n) + 0.5))),
+        )
+        n_probe = max(2, -(-k // 4))
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        try:
+            if os.path.isdir(path):
+                nbytes = sum(
+                    os.path.getsize(os.path.join(r, f))
+                    for r, _dirs, fs in os.walk(path)
+                    for f in fs
+                )
+            else:
+                nbytes = os.path.getsize(path)
+        except OSError:
+            nbytes = 512 * max(1, n)  # no local stats: assume ~0.5 KB/row
+        row_bytes = max(1, nbytes // max(1, n))
+        salt_target = int(
+            max(IVF_SALT_MIN_ROWS, IVF_FILE_SLO_BYTES // row_bytes)
+        )
+        _IVF_POLICY[key] = (k, n_probe, salt_target)
+    return _IVF_POLICY[key]
 
 #: (session tag, sf_dir) → (index dir, centroid rows) — b01's
 #: build-once pattern for the DISK index: the parquet tree is the
@@ -969,12 +1025,14 @@ _IVF_PARQUET: dict[tuple, tuple[str, list]] = {}
 def _ivf_parquet_index(
     spark: SparkSession,
     sf_dir: str,
-    k_clusters: int = KMEANS_K,
+    k_clusters: int | None = None,
     salt_target: int | None = None,
 ) -> tuple[str, list]:
-    """``salt_target`` (rows per sub-partition) enables the SALTED
-    layout for skewed corpora: clusters larger than the target are
-    written as ``cluster_id=c/salt=s`` sub-directories (salt buckets =
+    """Defaults are POLICY (r8): ``k_clusters=None`` derives ≈√N and
+    ``salt_target=None`` derives the file-SLO row target from the
+    corpus itself (``_ivf_policy``); pass explicit values only for
+    probes/studies. The salted layout writes clusters larger than the
+    target as ``cluster_id=c/salt=s`` sub-directories (salt buckets =
     ceil(members/target), salt = xxhash64(vec_id) mod buckets — k01's
     hot-key salting applied to physical layout). Probe semantics,
     membership and recall are unchanged (the probe joins on
@@ -985,6 +1043,10 @@ def _ivf_parquet_index(
     that even k_clusters=64 Lloyd cannot split (a point mass tighter
     than any inter-centroid gap stays whole), so layout salting, not
     K-scaling, is the governing mitigation."""
+    if k_clusters is None:
+        k_clusters = _ivf_policy(spark, sf_dir)[0]
+    if salt_target is None:
+        salt_target = _ivf_policy(spark, sf_dir)[2]
     key = (_session_tag(spark), sf_dir, k_clusters, salt_target)
 
     def _release(kk=key):
@@ -1048,8 +1110,8 @@ def ann_topk_ivf_parquet(
     sf_dir: str,
     k: int = DEFAULT_K,
     n_queries: int = DEFAULT_N_QUERIES,
-    n_probe: int = IVF_N_PROBE,
-    k_clusters: int = KMEANS_K,
+    n_probe: int | None = None,
+    k_clusters: int | None = None,
     query_lo: int = 0,
     salt_target: int | None = None,
 ) -> DataFrame:
@@ -1061,8 +1123,8 @@ def ann_topk_ivf_parquet(
     reads ONLY the ``n_probe`` matching partition directories —
     Catalyst injects the broadcast probe relation as a dynamic-
     partition-pruning subquery into the scan's PartitionFilters (b02's
-    machinery pointed at ANN), so 3/4 of the index bytes are never
-    read at n_probe=2 of 8.
+    machinery pointed at ANN), so ~3/4 of the index bytes are never
+    read (the policy keeps n_probe ≈ k/4 at any derived K).
 
     Unlike v05 (MLlib k-means — seed-stable but engine-specific RNG,
     rows-only forever), the index here is v09's exact-integer Lloyd
@@ -1072,11 +1134,17 @@ def ann_topk_ivf_parquet(
     ROUNDED cosine with id tie-break (v02's determinism contract);
     recall vs the exact v02 additionally floor-pinned in pytest.
     """
+    if k_clusters is None:
+        k_clusters = _ivf_policy(spark, sf_dir)[0]
+    if n_probe is None:
+        # policy: keep the ~¼-of-directories read fraction at any K
+        # (equals the r7 oracle-pinned 2-of-8 when k_clusters=8)
+        n_probe = max(2, -(-k_clusters // 4))
     path, cents = _ivf_parquet_index(spark, sf_dir, k_clusters, salt_target)
     emb = _emb(spark, sf_dir)
-    # query_lo/k_clusters/salt_target are probe knobs (the skew /
-    # K-scaling / salted-layout study in SCALING.md): defaults
-    # reproduce the oracle-pinned registration
+    # query_lo/k_clusters/n_probe/salt_target are probe knobs (the
+    # skew / K-scaling / salted-layout study in SCALING.md): the
+    # defaults are the corpus-derived policy the oracle mirrors
     queries = emb.filter(
         (F.col("vec_id") >= query_lo)
         & (F.col("vec_id") < query_lo + n_queries)
@@ -1397,6 +1465,9 @@ FROM a{KMEANS_ITERS} GROUP BY cid ORDER BY cid
 # clusters' members, reranked by exact cosine with the shared
 # floor-half-up rounding. Hash match ⇒ the DISK index pipeline (build
 # partitioning, probe choice, pruned rerank) agrees bit-for-bit.
+# The ``pol`` CTE derives k = clamp(√N) and n_probe = max(2, ⌈k/4⌉)
+# from the corpus count — the SAME policy ``_ivf_policy`` applies on
+# the Spark side — so the oracle stays valid at any scale factor.
 ORACLE_SQL["v10_ann_ivf_parquet"] = (
     f"""
 WITH v AS (
@@ -1406,8 +1477,15 @@ WITH v AS (
            x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE} + 0.5)
                 AS BIGINT)) AS xi
   FROM embeddings
+), pol AS (
+  SELECT greatest({IVF_K_MIN}, least({IVF_K_MAX},
+           CAST(floor(sqrt(count(*)) + 0.5) AS INT))) AS k
+  FROM embeddings
+), pol2 AS (
+  SELECT k, greatest(2, CAST(ceil(k / 4.0) AS INT)) AS np FROM pol
 ), c0 AS (
-  SELECT vec_id AS cid, xi AS ci FROM v WHERE vec_id < {KMEANS_K}
+  SELECT vec_id AS cid, xi AS ci FROM v
+  WHERE vec_id < (SELECT k FROM pol2)
 )"""
     + "".join(
         _KM_ASSIGN.format(i=i, prev=i - 1, dim1=EMB_DIM + 1)
@@ -1432,7 +1510,7 @@ WITH v AS (
                       c.cid) AS rn
     FROM v q CROSS JOIN c{KMEANS_ITERS - 1} c
     WHERE q.vec_id < {DEFAULT_N_QUERIES}
-  ) WHERE rn <= {IVF_N_PROBE}
+  ) WHERE rn <= (SELECT np FROM pol2)
 ), cand AS (
   SELECT p.query_id, m.vec_id AS neighbor_id
   FROM probe p

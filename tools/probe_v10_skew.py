@@ -57,7 +57,10 @@ def main() -> None:
     for k_clusters in ks:
         scratch.release_all()
         t0 = time.perf_counter()
-        path, cents = _ivf_parquet_index(spark, corpus, k_clusters)
+        # salt_target=0: explicitly UNSALTED (since r8 the None default
+        # derives the file-SLO salt policy) — this probe studies the
+        # K-scaling dimension at the r7 fixed shape
+        path, cents = _ivf_parquet_index(spark, corpus, k_clusters, salt_target=0)
         build_s = round(time.perf_counter() - t0, 2)
         sizes = (
             spark.read.parquet(path)
@@ -71,8 +74,11 @@ def main() -> None:
             times = []
             for _ in range(3):
                 t0 = time.perf_counter()
+                from aw3d30_parquet_spark.functions.vectors import IVF_N_PROBE
+
                 ann_topk_ivf_parquet(
-                    spark, corpus, k_clusters=k_clusters, query_lo=lo
+                    spark, corpus, k_clusters=k_clusters, query_lo=lo,
+                    n_probe=IVF_N_PROBE, salt_target=0,
                 ).count()
                 times.append(time.perf_counter() - t0)
             rows.append(
@@ -108,7 +114,7 @@ def _candidates(spark, corpus, k_clusters, query_lo) -> int:
         _kmeans_xi,
     )
 
-    path, cents = _ivf_parquet_index(spark, corpus, k_clusters)
+    path, cents = _ivf_parquet_index(spark, corpus, k_clusters, salt_target=0)
     cent = spark.createDataFrame(cents, "cid int, ci array<long>")
     queries = _emb(spark, corpus).filter(
         (F.col("vec_id") >= query_lo)
