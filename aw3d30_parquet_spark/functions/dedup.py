@@ -1032,13 +1032,18 @@ def editdist_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter: the snapshot side (the SMALL side — the delta) is
     # expanded 2·EDIT_D+1 ways with shifted positions, so the
     # equi-join on (h, pos) emits exactly the in-band matches. The
-    # gram domain is EDIT_N_GRAMS positions, so only ~43 % of bare
-    # h-matches are in-band (measured 1.154 G → 501 M rows at the 10×
-    # replica corpus) — keying on (h, pos) skips generating the other
-    # 650 M rows entirely, for 11× of the tiny delta-gram relation
-    # (≈ 2.4 M rows at 10×). Each (snapshot-gram, corpus-gram) pair
-    # matches at exactly one shift, so the shared count — and the
-    # Gravano bound it feeds — is unchanged row for row.
+    # gram domain is EDIT_N_GRAMS positions (0-based, posexplode), so
+    # only ~43 % of bare h-matches are in-band (measured 1.154 G →
+    # 501 M rows at the 10× replica corpus) — keying on (h, pos) skips
+    # generating the other 650 M rows entirely, for 11× of the tiny
+    # delta-gram relation (≈ 2.4 M rows at 10×). Each (snapshot-gram,
+    # corpus-gram) pair matches at exactly one shift, so the shared
+    # count — and the Gravano bound it feeds — is unchanged row for
+    # row. The clamp below MUST cover the full 0-based domain: the r7
+    # form clamped to [1, EDIT_N_GRAMS], silently excluding every
+    # corpus gram at pos 0 from matching (measured 49 802 → 47 828
+    # matched rows at sf0.01) — a lossy count filter that d10's direct
+    # |Δpos| form does not have; test_text_dedup pins band == direct.
     a = (
         gh.filter(is_snap)
         .select(
@@ -1050,7 +1055,7 @@ def editdist_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("pos"),
         )
-        .filter(F.col("pos").between(1, EDIT_N_GRAMS))
+        .filter(F.col("pos").between(0, EDIT_N_GRAMS - 1))
         .alias("a")
     )
     b = gh.filter(~is_snap).alias("b")

@@ -325,6 +325,56 @@ def test_d13_incremental_equals_d10_boundary_pairs(spark):
     assert got == want
 
 
+def test_d13_band_join_is_lossless(spark):
+    """d13's banded (h, shifted-pos) equi-join must emit EXACTLY the
+    rows of the direct |Δpos| ≤ d predicate — the band is a join-key
+    packaging of the Gravano window, not a narrowing of it. Regression
+    for the r7 clamp `between(1, EDIT_N_GRAMS)`: posexplode positions
+    are 0-based, so that clamp silently excluded every corpus gram at
+    pos 0 (sf0.01: 49 802 → 47 828 matched rows), an undercount that
+    turns the lossless count filter lossy for pairs sitting exactly on
+    the EDIT_MIN_SHARED bound."""
+    from pyspark.sql import functions as F
+
+    from aw3d30_parquet_spark.functions.dedup import (
+        EDIT_D,
+        EDIT_N_GRAMS,
+        _ed_gram_hashes,
+    )
+
+    gh = _ed_gram_hashes(spark, SF_SMOKE)
+    is_snap = F.col("doc_id") % 10 >= 8
+    banded = (
+        gh.filter(is_snap)
+        .select(
+            "doc_id",
+            "h",
+            F.explode(
+                F.sequence(F.col("pos") - EDIT_D, F.col("pos") + EDIT_D)
+            ).alias("pos"),
+        )
+        .filter(F.col("pos").between(0, EDIT_N_GRAMS - 1))
+        .alias("a")
+        .join(
+            gh.filter(~is_snap).alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.pos") == F.col("b.pos")),
+        )
+        .count()
+    )
+    direct = (
+        gh.filter(is_snap)
+        .alias("a")
+        .join(
+            gh.filter(~is_snap).alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.abs(F.col("a.pos") - F.col("b.pos")) <= EDIT_D),
+        )
+        .count()
+    )
+    assert banded == direct
+
+
 def test_d14_metrics_internally_consistent(spark):
     """d14's counts must cohere: both forms agree on n_true_pairs (the
     losslessness witness), d10's candidates are fewer (tighter bar),
