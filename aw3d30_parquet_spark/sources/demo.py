@@ -305,6 +305,63 @@ MOSAIC_COORDS = ((51, 4), (51, 5), (52, 4), (52, 5))
 _MOSAIC_DIR = _DEMO_DIR + "_mosaic"
 
 
+#: g12 fixture: the same ramp band stored in the TILED + LZW +
+#: predictor-2 layout (the common real-world GDAL GeoTIFF shape, which
+#: the reference reads via GDAL — src/main.rs:172-180). Separate dir
+#: and coords so g01–g07's closed-form oracles never shift; france
+#: coords keep the region filter exercised on a different REGION_SET.
+TILED_COORDS = ((45, 2), (43, 7))
+_TILED_DIR = _DEMO_DIR + "_tiled"
+
+
+def g12_tiled_lzw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g12: full ingest over tiled+LZW+predictor-2 tiles — the identical
+    binaryFile scan → key parse/region filter → mapInPandas decode →
+    aggregate pipeline as g01, with the bytes in the OTHER on-disk
+    layout GDAL commonly writes. Hash match against the same
+    closed-form ramp aggregates proves the pure-python fallback's
+    tiled/LZW path end-to-end under the driver contract (rasterio is
+    absent from this container, so the fallback IS the decode path)."""
+    from aw3d30_parquet_spark.sources.tiff import encode_geotiff
+
+    os.makedirs(_TILED_DIR, exist_ok=True)
+    for lat, lon in TILED_COORDS:
+        path = os.path.join(_TILED_DIR, f"{tile_key(lat, lon)}.tif")
+        if not os.path.exists(path):
+            with open(path, "wb") as f:
+                f.write(
+                    encode_geotiff(
+                        demo_band(),
+                        demo_geotransform(lat, lon),
+                        compression="lzw",
+                        predictor=2,
+                        tile_size=(32, 32),
+                    )
+                )
+    pts = read_tiles(spark, _TILED_DIR, "france")
+    return (
+        pts.groupBy("tile_lat", "tile_lon")
+        .agg(
+            F.count("*").alias("points"),
+            F.sum("elevation").alias("sum_elev"),
+            round_half_up(F.min("lat"), 2).alias("min_lat"),
+            round_half_up(F.max("lat"), 2).alias("max_lat"),
+            round_half_up(F.min("lon"), 2).alias("min_lon"),
+            round_half_up(F.max("lon"), 2).alias("max_lon"),
+        )
+        .orderBy("tile_lat", "tile_lon")
+    )
+
+
+# same ramp closed forms as g01, over the tiled fixture's coords
+_G12_ROWS = ",\n".join(
+    f"  (CAST({la} AS INTEGER), CAST({lo} AS INTEGER), CAST(4096 AS BIGINT),"
+    f" CAST(129153024 AS BIGINT), CAST({la}.02 AS DOUBLE), CAST({la + 1}.0 AS DOUBLE),"
+    f" CAST({lo}.0 AS DOUBLE), CAST({lo}.98 AS DOUBLE))"
+    for la, lo in TILED_COORDS
+)
+
+
 def g08_seamless_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tile aggregate of the HALO-EXCHANGE gradient over a 2×2
     mosaic of adjacent ramp tiles. The per-tile ramp restarts at every
@@ -543,8 +600,15 @@ QUERIES = {
     "g09_python_datasource": g09_python_datasource,
     "g10_datasource_grid": g10_datasource_grid,
     "g11_mixed_resolution_gradient": g11_mixed_resolution_gradient,
+    "g12_tiled_lzw_ingest": g12_tiled_lzw_ingest,
 }
 ORACLE_SQL = {
+    "g12_tiled_lzw_ingest": f"""
+SELECT * FROM (VALUES
+{_G12_ROWS}
+) AS t(tile_lat, tile_lon, points, sum_elev, min_lat, max_lat, min_lon, max_lon)
+ORDER BY tile_lat, tile_lon
+""",
     "g01_geotiff_ingest": f"""
 SELECT * FROM (VALUES
 {_G01_ROWS}

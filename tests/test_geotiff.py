@@ -246,6 +246,19 @@ def test_g01_ingest_oracle(spark, duck_t2):
     assert ok, (h1, h2)
 
 
+def test_g12_tiled_lzw_ingest_oracle(spark, duck_t2):
+    """The tiled+LZW+predictor-2 ingest query (g12) hash-matches the
+    same closed-form ramp aggregates as g01 — the driver-contract
+    witness that the fallback codec's tiled/LZW path is end-to-end
+    correct inside the Spark pipeline."""
+    from aw3d30_parquet_spark.oracle import compare
+    from aw3d30_parquet_spark.sources import demo
+
+    df = demo.g12_tiled_lzw_ingest(spark, "/root/testdata/sf0.01")
+    ok, h1, h2 = compare(df, duck_t2, demo.ORACLE_SQL["g12_tiled_lzw_ingest"])
+    assert ok, (h1, h2)
+
+
 def test_g02_spatial_box_oracle(spark, duck_t2):
     from aw3d30_parquet_spark.oracle import compare
     from aw3d30_parquet_spark.sources import demo
