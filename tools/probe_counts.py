@@ -196,6 +196,95 @@ SELECT count(*) FROM (
   FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
 )""",
     )
+    # ------------------------------------------------ edit-distance family
+    # Domain mirrors dedup._ed_docs: the fixed 24-char prefix, docs
+    # shorter than that excluded; grams are the 22 positional 3-grams.
+    # Positions here are 1-based (DuckDB substring) vs the engine's
+    # 0-based posexplode — only Δpos matters, so counts are identical
+    # (validated: d13_gram_join_rows == the engine's direct-join count
+    # at sf0.01).
+    ED = """
+, edp AS (
+  SELECT doc_id, substring(text, 1, 24) AS p
+  FROM read_parquet('{d}/documents.parquet')
+  WHERE length(substring(text, 1, 24)) = 24
+), edg AS (
+  SELECT doc_id, CAST(r.range AS INT) AS pos,
+         substring(p, CAST(r.range AS INT), 3) AS gr
+  FROM edp CROSS JOIN range(1, 23) r
+)
+"""
+
+    def ed_base() -> str:
+        return BASE.format(d=d) + ED.format(d=d)
+
+    # join volume by FORMULA (Σ over gram, band-pair of df products,
+    # minus the same-doc banded pairs the engine's doc_id < doc_id
+    # predicate excludes, halved to unordered) — O(distinct (gram,pos))
+    # + O(docs × 22²) however large the would-be join is, so the
+    # counter itself cannot blow up on adversarial corpora
+    put(
+        "d10_gram_join_rows",
+        ed_base()
+        + """
+, dfp AS (SELECT gr, pos, count(*) AS df FROM edg GROUP BY 1, 2)
+SELECT CAST((sum_all - same_doc) / 2 AS BIGINT) FROM (
+  SELECT sum(a.df * b.df) AS sum_all
+  FROM dfp a JOIN dfp b
+  ON a.gr = b.gr AND abs(a.pos - b.pos) <= 5
+) s, (
+  SELECT count(*) AS same_doc
+  FROM edg a JOIN edg b
+  ON a.doc_id = b.doc_id AND a.gr = b.gr AND abs(a.pos - b.pos) <= 5
+) t""",
+    )
+    # d13: asymmetric snapshot (doc_id % 10 >= 8) × corpus volume
+    ED13 = """
+, snapg AS (SELECT * FROM edg WHERE doc_id % 10 >= 8)
+, corpg AS (SELECT * FROM edg WHERE doc_id % 10 < 8)
+"""
+    put(
+        "d13_gram_join_rows",
+        ed_base()
+        + ED13
+        + """
+, dfa AS (SELECT gr, pos, count(*) AS df FROM snapg GROUP BY 1, 2)
+, dfb AS (SELECT gr, pos, count(*) AS df FROM corpg GROUP BY 1, 2)
+SELECT CAST(coalesce(sum(a.df * b.df), 0) AS BIGINT)
+FROM dfa a JOIN dfb b ON a.gr = b.gr AND abs(a.pos - b.pos) <= 5""",
+    )
+    # candidate pairs passing the Gravano count bound (>= 7 banded
+    # matches), and the verify survivors (levenshtein <= 5) — these DO
+    # materialize the pair aggregation, so gate them behind PROBE_ONLY
+    # on corpora whose join volume the formula counter sized first
+    put(
+        "d13_candidates",
+        ed_base()
+        + ED13
+        + """
+SELECT count(*) FROM (
+  SELECT a.doc_id, b.doc_id
+  FROM snapg a JOIN corpg b
+  ON a.gr = b.gr AND abs(a.pos - b.pos) <= 5
+  GROUP BY 1, 2 HAVING count(*) >= 7
+)""",
+    )
+    put(
+        "d13_verified_pairs",
+        ed_base()
+        + ED13
+        + """
+, cand AS (
+  SELECT a.doc_id AS id_new, b.doc_id AS id_old
+  FROM snapg a JOIN corpg b
+  ON a.gr = b.gr AND abs(a.pos - b.pos) <= 5
+  GROUP BY 1, 2 HAVING count(*) >= 7
+)
+SELECT count(*) FROM cand
+JOIN edp pa ON pa.doc_id = cand.id_new
+JOIN edp pb ON pb.doc_id = cand.id_old
+WHERE levenshtein(pa.p, pb.p) <= 5""",
+    )
     return out
 
 
