@@ -50,6 +50,62 @@ def dens_dir(tmp_path_factory):
     return out
 
 
+def _build(tmp_path_factory, replicas: int, mode: str) -> str:
+    out = str(tmp_path_factory.mktemp(f"{mode}{replicas}"))
+    env = dict(os.environ, SCALE_SRC_DIR=SRC)
+    subprocess.run(
+        [sys.executable, "tools/make_scale10.py", out, str(replicas), mode],
+        cwd="/root/repo", env=env, check=True, capture_output=True,
+        timeout=120,
+    )
+    return out
+
+
+def _ed_counts(d: str) -> dict:
+    """The d13 DuckDB counters from tools/probe_counts.py (subprocess:
+    the tools dir is not a package)."""
+    import ast
+
+    r = subprocess.run(
+        [sys.executable, "tools/probe_counts.py", d],
+        cwd="/root/repo", check=True, capture_output=True, text=True,
+        timeout=300, env=dict(os.environ, PROBE_ONLY="d13"),
+    )
+    return ast.literal_eval(r.stdout.strip().split(" ", 1)[1])
+
+
+def test_fixed_delta_construction_and_ed_linearity(tmp_path_factory):
+    """Pins the fixed-delta probe corpus (SCALING.md round-8, the ED
+    family's 100 TB evidence) the way the dens tests pin docs-density:
+
+    - the snapshot slice (doc_id % 10 >= 8) stays EXACTLY the base
+      slice at any replica count (replicas shift ids by a stride
+      divisible by 10 and drop their snapshot-eligible rows);
+    - the corpus side grows exactly replicas × the base corpus;
+    - therefore d13's gram-join / candidate / verified-pair volumes
+      are exactly linear in the replica count (2→4 replicas ⇒ 2.000×),
+      which is the linearity the 10×/100× SCALING.md rows extrapolate.
+    """
+    con = duckdb.connect()
+    base_snap, base_corp = con.execute(
+        f"SELECT count(*) FILTER (doc_id % 10 >= 8),"
+        f" count(*) FILTER (doc_id % 10 < 8)"
+        f" FROM read_parquet('{SRC}/documents.parquet')"
+    ).fetchone()
+    dirs = {n: _build(tmp_path_factory, n, "fixed-delta") for n in (2, 4)}
+    for n, d in dirs.items():
+        snap, corp = con.execute(
+            f"SELECT count(*) FILTER (doc_id % 10 >= 8),"
+            f" count(*) FILTER (doc_id % 10 < 8)"
+            f" FROM read_parquet('{d}/documents.parquet')"
+        ).fetchone()
+        assert snap == base_snap, (n, snap, base_snap)
+        assert corp == n * base_corp, (n, corp, base_corp)
+    c2, c4 = _ed_counts(dirs[2]), _ed_counts(dirs[4])
+    for key in ("d13_gram_join_rows", "d13_candidates", "d13_verified_pairs"):
+        assert c4[key] == 2 * c2[key], (key, c2[key], c4[key])
+
+
 def test_density_replica_shingle_spaces_disjoint(dens_dir):
     con = duckdb.connect()
     cross = con.execute(
