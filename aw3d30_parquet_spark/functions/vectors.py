@@ -974,8 +974,17 @@ IVF_SALT_MIN_ROWS = 4096
 
 #: (session tag, sf_dir) → (k, n_probe, salt_target): the derived
 #: policy is a pure function of the corpus, memoized so repeated probes
-#: don't recount. Bounded (a few ints per sf_dir), so no eviction hook.
+#: don't recount; registered with the scratch registry so eviction
+#: re-derives it if the corpus is regenerated in-place mid-session.
 _IVF_POLICY: dict[tuple, tuple[int, int, int]] = {}
+
+
+def _probe_width(k_clusters: int) -> int:
+    """Probe-width policy: ~¼ of the index directories, never fewer
+    than 2 (equals the r7 oracle-pinned 2-of-8 at k=8). The ONE Python
+    home of the formula — the v10 DuckDB oracle's ``pol2`` CTE mirrors
+    it in SQL."""
+    return max(2, -(-k_clusters // 4))
 
 
 def _ivf_policy(spark: SparkSession, sf_dir: str) -> tuple[int, int, int]:
@@ -988,14 +997,23 @@ def _ivf_policy(spark: SparkSession, sf_dir: str) -> tuple[int, int, int]:
     """
     import math
 
+    from aw3d30_parquet_spark.scratch import memo_touch
+
     key = (_session_tag(spark), sf_dir)
+
+    def _release(kk=key):
+        # registry-evictable like the index memo: a corpus regenerated
+        # in-place mid-session re-derives the policy after eviction
+        # instead of keeping stale N/bytes figures forever
+        _IVF_POLICY.pop(kk, None)
+
     if key not in _IVF_POLICY:
         n = _emb(spark, sf_dir).count()
         k = max(
             IVF_K_MIN,
             min(IVF_K_MAX, int(math.floor(math.sqrt(n) + 0.5))),
         )
-        n_probe = max(2, -(-k // 4))
+        n_probe = _probe_width(k)
         path = os.path.join(sf_dir, "embeddings.parquet")
         try:
             if os.path.isdir(path):
@@ -1013,6 +1031,7 @@ def _ivf_policy(spark: SparkSession, sf_dir: str) -> tuple[int, int, int]:
             max(IVF_SALT_MIN_ROWS, IVF_FILE_SLO_BYTES // row_bytes)
         )
         _IVF_POLICY[key] = (k, n_probe, salt_target)
+    memo_touch(("ivf_policy", *key), _release)
     return _IVF_POLICY[key]
 
 #: (session tag, sf_dir) → (index dir, centroid rows) — b01's
@@ -1137,9 +1156,7 @@ def ann_topk_ivf_parquet(
     if k_clusters is None:
         k_clusters = _ivf_policy(spark, sf_dir)[0]
     if n_probe is None:
-        # policy: keep the ~¼-of-directories read fraction at any K
-        # (equals the r7 oracle-pinned 2-of-8 when k_clusters=8)
-        n_probe = max(2, -(-k_clusters // 4))
+        n_probe = _probe_width(k_clusters)
     path, cents = _ivf_parquet_index(spark, sf_dir, k_clusters, salt_target)
     emb = _emb(spark, sf_dir)
     # query_lo/k_clusters/n_probe/salt_target are probe knobs (the

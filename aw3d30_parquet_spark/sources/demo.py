@@ -42,8 +42,16 @@ def demo_geotransform(lat: int, lon: int):
     return (float(lon), 1.0 / DEMO_SIZE, 0.0, float(lat + 1), 0.0, -1.0 / DEMO_SIZE)
 
 
-def ensure_demo_tiles(tif_dir: str = _DEMO_DIR, coords=DEMO_COORDS, size: int = DEMO_SIZE) -> str:
-    """Write demo tiles if absent (idempotent, like src/main.rs:144-146)."""
+def ensure_demo_tiles(
+    tif_dir: str = _DEMO_DIR,
+    coords=DEMO_COORDS,
+    size: int = DEMO_SIZE,
+    **encode_kwargs,
+) -> str:
+    """Write demo tiles if absent (idempotent, like src/main.rs:144-146).
+
+    ``encode_kwargs`` pass through to :func:`encode_geotiff` so fixtures
+    can fabricate any supported on-disk layout (g12: tiled + LZW)."""
     from aw3d30_parquet_spark.sources.tiff import encode_geotiff
 
     os.makedirs(tif_dir, exist_ok=True)
@@ -59,7 +67,7 @@ def ensure_demo_tiles(tif_dir: str = _DEMO_DIR, coords=DEMO_COORDS, size: int = 
         if not os.path.exists(path):
             gt = (float(lon), 1.0 / size, 0.0, float(lat + 1), 0.0, -1.0 / size)
             with open(path, "wb") as f:
-                f.write(encode_geotiff(band, gt))
+                f.write(encode_geotiff(band, gt, **encode_kwargs))
     return tif_dir
 
 
@@ -322,22 +330,13 @@ def g12_tiled_lzw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form ramp aggregates proves the pure-python fallback's
     tiled/LZW path end-to-end under the driver contract (rasterio is
     absent from this container, so the fallback IS the decode path)."""
-    from aw3d30_parquet_spark.sources.tiff import encode_geotiff
-
-    os.makedirs(_TILED_DIR, exist_ok=True)
-    for lat, lon in TILED_COORDS:
-        path = os.path.join(_TILED_DIR, f"{tile_key(lat, lon)}.tif")
-        if not os.path.exists(path):
-            with open(path, "wb") as f:
-                f.write(
-                    encode_geotiff(
-                        demo_band(),
-                        demo_geotransform(lat, lon),
-                        compression="lzw",
-                        predictor=2,
-                        tile_size=(32, 32),
-                    )
-                )
+    ensure_demo_tiles(
+        _TILED_DIR,
+        TILED_COORDS,
+        compression="lzw",
+        predictor=2,
+        tile_size=(32, 32),
+    )
     pts = read_tiles(spark, _TILED_DIR, "france")
     return (
         pts.groupBy("tile_lat", "tile_lon")

@@ -158,7 +158,10 @@ def _sample_dtype(tags: dict[int, list], endian: str) -> np.dtype:
 # plus a hand-derived known-answer bitstream.
 
 _LZW_CLEAR, _LZW_EOI, _LZW_FIRST = 256, 257, 258
-_LZW_RESET_AT = 4094  # encoder emits Clear instead of assigning this code
+#: table-full threshold: entries are assigned up to _LZW_RESET_AT - 1
+#: (4093, matching libtiff), and the encoder emits Clear instead of
+#: assigning _LZW_RESET_AT itself
+_LZW_RESET_AT = 4094
 
 
 def _lzw_encode(raw: bytes) -> bytes:
@@ -183,9 +186,9 @@ def _lzw_encode(raw: bytes) -> bytes:
             omega = cand
             continue
         emit(table[omega], width)
-        if next_code == _LZW_RESET_AT - 1:
-            # table full: hand the decoder a Clear instead of the last
-            # assignable entry, then both sides restart at 9 bits
+        if next_code == _LZW_RESET_AT:
+            # table full (entry 4093 already assigned): hand the
+            # decoder a Clear, then both sides restart at 9 bits
             emit(_LZW_CLEAR, width)
             table = {bytes([i]): i for i in range(256)}
             next_code, width = _LZW_FIRST, 9
@@ -329,10 +332,12 @@ def decode_geotiff(data: bytes) -> tuple[np.ndarray, GeoTransform]:
         counts = tags[_TAG_TILE_BYTE_COUNTS]
         across = -(-width // tw)
         down = -(-height // tl)
-        if len(offsets) != across * down:
+        if len(offsets) != across * down or len(counts) != len(offsets):
+            # must fail loudly: zip() would silently truncate a short
+            # TileByteCounts and leave uninitialized band rows
             raise ValueError(
-                f"tile count mismatch: {len(offsets)} tiles for "
-                f"{down}x{across} grid"
+                f"tile count mismatch: {len(offsets)} offsets / "
+                f"{len(counts)} byte counts for {down}x{across} grid"
             )
         band = np.empty((down * tl, across * tw), dtype=np.int32)
         for idx, (o, c) in enumerate(zip(offsets, counts)):

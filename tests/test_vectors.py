@@ -302,10 +302,11 @@ def test_v9_kmeans_matches_python(spark, emb_np):
 def test_v10_ivf_parquet_pruned_probe(spark):
     """v10: the disk-backed IVF probe must (a) carry a dynamic-
     partition-pruning expression on the index scan's PartitionFilters
-    (the pruning IS the operator's scale claim — n_probe of KMEANS_K
+    (the pruning IS the operator's scale claim — n_probe of k_clusters
     directories read), (b) rank identically across invocations, and
-    (c) keep recall vs the exact v02 top-k above the floor at the
-    2-of-8 probe width."""
+    (c) keep recall vs the exact v02 top-k above the floor under the
+    corpus-derived r8 policy defaults (k=22, n_probe=6 on this
+    fixture; was the hand-picked 2-of-8 before r8)."""
     from aw3d30_parquet_spark.functions.vectors import (
         ann_topk_bruteforce,
         ann_topk_ivf_parquet,

@@ -32,6 +32,13 @@ import duckdb
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+from aw3d30_parquet_spark.functions.dedup import (  # noqa: E402
+    EDIT_D,
+    EDIT_MIN_SHARED,
+    EDIT_N_GRAMS,
+    EDIT_PREFIX,
+    EDIT_Q,
+)
 from aw3d30_parquet_spark.functions.text import (  # noqa: E402
     BM25_QUERY_CAP,
     BM25_QUERY_TERMS,
@@ -197,21 +204,23 @@ SELECT count(*) FROM (
 )""",
     )
     # ------------------------------------------------ edit-distance family
-    # Domain mirrors dedup._ed_docs: the fixed 24-char prefix, docs
-    # shorter than that excluded; grams are the 22 positional 3-grams.
+    # Domain mirrors dedup._ed_docs (constants imported from it so the
+    # counters can't drift): the fixed EDIT_PREFIX-char prefix, docs
+    # shorter than that excluded; grams are the EDIT_N_GRAMS positional
+    # EDIT_Q-grams.
     # Positions here are 1-based (DuckDB substring) vs the engine's
     # 0-based posexplode — only Δpos matters, so counts are identical
     # (validated: d13_gram_join_rows == the engine's direct-join count
     # at sf0.01).
-    ED = """
+    ED = f"""
 , edp AS (
-  SELECT doc_id, substring(text, 1, 24) AS p
-  FROM read_parquet('{d}/documents.parquet')
-  WHERE length(substring(text, 1, 24)) = 24
+  SELECT doc_id, substring(text, 1, {EDIT_PREFIX}) AS p
+  FROM read_parquet('{{d}}/documents.parquet')
+  WHERE length(substring(text, 1, {EDIT_PREFIX})) = {EDIT_PREFIX}
 ), edg AS (
   SELECT doc_id, CAST(r.range AS INT) AS pos,
-         substring(p, CAST(r.range AS INT), 3) AS gr
-  FROM edp CROSS JOIN range(1, 23) r
+         substring(p, CAST(r.range AS INT), {EDIT_Q}) AS gr
+  FROM edp CROSS JOIN range(1, {EDIT_N_GRAMS + 1}) r
 )
 """
 
@@ -226,16 +235,16 @@ SELECT count(*) FROM (
     put(
         "d10_gram_join_rows",
         ed_base()
-        + """
+        + f"""
 , dfp AS (SELECT gr, pos, count(*) AS df FROM edg GROUP BY 1, 2)
 SELECT CAST((sum_all - same_doc) / 2 AS BIGINT) FROM (
   SELECT sum(a.df * b.df) AS sum_all
   FROM dfp a JOIN dfp b
-  ON a.gr = b.gr AND abs(a.pos - b.pos) <= 5
+  ON a.gr = b.gr AND abs(a.pos - b.pos) <= {EDIT_D}
 ) s, (
   SELECT count(*) AS same_doc
   FROM edg a JOIN edg b
-  ON a.doc_id = b.doc_id AND a.gr = b.gr AND abs(a.pos - b.pos) <= 5
+  ON a.doc_id = b.doc_id AND a.gr = b.gr AND abs(a.pos - b.pos) <= {EDIT_D}
 ) t""",
     )
     # d13: asymmetric snapshot (doc_id % 10 >= 8) × corpus volume
@@ -247,43 +256,44 @@ SELECT CAST((sum_all - same_doc) / 2 AS BIGINT) FROM (
         "d13_gram_join_rows",
         ed_base()
         + ED13
-        + """
+        + f"""
 , dfa AS (SELECT gr, pos, count(*) AS df FROM snapg GROUP BY 1, 2)
 , dfb AS (SELECT gr, pos, count(*) AS df FROM corpg GROUP BY 1, 2)
 SELECT CAST(coalesce(sum(a.df * b.df), 0) AS BIGINT)
-FROM dfa a JOIN dfb b ON a.gr = b.gr AND abs(a.pos - b.pos) <= 5""",
+FROM dfa a JOIN dfb b ON a.gr = b.gr AND abs(a.pos - b.pos) <= {EDIT_D}""",
     )
-    # candidate pairs passing the Gravano count bound (>= 7 banded
-    # matches), and the verify survivors (levenshtein <= 5) — these DO
+    # candidate pairs passing the Gravano count bound (EDIT_MIN_SHARED
+    # banded matches) and the verify survivors (levenshtein <= EDIT_D)
+    # — these DO
     # materialize the pair aggregation, so gate them behind PROBE_ONLY
     # on corpora whose join volume the formula counter sized first
     put(
         "d13_candidates",
         ed_base()
         + ED13
-        + """
+        + f"""
 SELECT count(*) FROM (
   SELECT a.doc_id, b.doc_id
   FROM snapg a JOIN corpg b
-  ON a.gr = b.gr AND abs(a.pos - b.pos) <= 5
-  GROUP BY 1, 2 HAVING count(*) >= 7
+  ON a.gr = b.gr AND abs(a.pos - b.pos) <= {EDIT_D}
+  GROUP BY 1, 2 HAVING count(*) >= {EDIT_MIN_SHARED}
 )""",
     )
     put(
         "d13_verified_pairs",
         ed_base()
         + ED13
-        + """
+        + f"""
 , cand AS (
   SELECT a.doc_id AS id_new, b.doc_id AS id_old
   FROM snapg a JOIN corpg b
-  ON a.gr = b.gr AND abs(a.pos - b.pos) <= 5
-  GROUP BY 1, 2 HAVING count(*) >= 7
+  ON a.gr = b.gr AND abs(a.pos - b.pos) <= {EDIT_D}
+  GROUP BY 1, 2 HAVING count(*) >= {EDIT_MIN_SHARED}
 )
 SELECT count(*) FROM cand
 JOIN edp pa ON pa.doc_id = cand.id_new
 JOIN edp pb ON pb.doc_id = cand.id_old
-WHERE levenshtein(pa.p, pb.p) <= 5""",
+WHERE levenshtein(pa.p, pb.p) <= {EDIT_D}""",
     )
     return out
 

@@ -47,6 +47,7 @@ def main() -> None:
 
     from aw3d30_parquet_spark import scratch
     from aw3d30_parquet_spark.functions.vectors import (
+        IVF_N_PROBE,
         _ivf_parquet_index,
         ann_topk_ivf_parquet,
     )
@@ -74,8 +75,6 @@ def main() -> None:
             times = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                from aw3d30_parquet_spark.functions.vectors import IVF_N_PROBE
-
                 ann_topk_ivf_parquet(
                     spark, corpus, k_clusters=k_clusters, query_lo=lo,
                     n_probe=IVF_N_PROBE, salt_target=0,
