@@ -669,6 +669,63 @@ def test_lzw_roundtrip_width_boundaries():
         assert _lzw_decode(_lzw_encode(raw)) == raw, len(raw)
 
 
+def _naive_lzw_decode(data: bytes) -> bytes:
+    """Reference TIFF-LZW decoder: one code at a time, no vectorized
+    run extraction — structurally independent of the production
+    decoder's fast path, so a refactor of the run/rewind logic that
+    breaks width accounting diverges from this instead of silently
+    round-tripping."""
+    CLEAR, EOI, FIRST = 256, 257, 258
+    pos = acc = nbits = 0
+
+    def read(width):
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                return EOI
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        return (acc >> nbits) & ((1 << width) - 1)
+
+    out = bytearray()
+    table = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, prev = 9, b""
+    while True:
+        code = read(width)
+        if code == EOI:
+            break
+        if code == CLEAR:
+            del table[FIRST:]
+            width, prev = 9, b""
+            continue
+        entry = table[code] if code < len(table) else prev + prev[:1]
+        out += entry
+        if prev:
+            table.append(prev + entry[:1])
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
+def test_lzw_fast_decoder_equals_naive_reference():
+    """The production decoder (vectorized fixed-width-run extraction
+    with bit-cursor rewinds) must agree byte-for-byte with the naive
+    per-code reference on streams crossing every width boundary and
+    the table-reset cycle."""
+    from aw3d30_parquet_spark.sources.tiff import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(11)
+    cases = [rng.bytes(n) for n in (250, 253, 260, 1700, 60_000)]
+    cases += [bytes([1, 2, 3]) * 15_000, b"z" * 30_000]
+    for raw in cases:
+        enc = _lzw_encode(raw)
+        assert _naive_lzw_decode(enc) == raw, len(raw)
+        assert _lzw_decode(enc) == _naive_lzw_decode(enc), len(raw)
+
+
 @pytest.mark.parametrize("compression", ["none", "deflate", "lzw"])
 @pytest.mark.parametrize("predictor", [1, 2])
 def test_tiled_layout_roundtrip(compression, predictor):
