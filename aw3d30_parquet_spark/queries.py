@@ -15,6 +15,59 @@ results + column names, not shared text.
 
 from __future__ import annotations
 
+from aw3d30_parquet_spark.operators.relational import (
+    HLL_ALPHA_NUM,
+    HLL_M,
+    HLL_P,
+    HLL_RHO_MAX,
+)
+
+# a10's oracle mirrors the operator constant-for-constant; the α·m²/2^-53
+# numerator is embedded as the SAME double literal the operator uses so
+# the one float division per week is bit-identical across engines.
+_A10_SQL = f"""
+WITH ev AS (
+  SELECT date_trunc('day', ts) AS day, user_id FROM events
+), hh AS (
+  SELECT day,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM ev
+), rw AS (
+  SELECT day, h % {HLL_M} AS j,
+         (h >> {HLL_P}) + {1 << 52} AS w1
+  FROM hh
+), rr AS (
+  SELECT day, j, CAST(log2(w1 & (-w1)) AS INT) + 1 AS rho FROM rw
+), daily AS (
+  SELECT day, j, max(rho) AS r FROM rr GROUP BY 1, 2
+), weekly AS (
+  SELECT CAST(date_trunc('week', day) AS DATE) AS week, j, max(r) AS r
+  FROM daily GROUP BY 1, 2
+), agg AS (
+  SELECT week,
+         CAST(sum(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - r)) AS BIGINT)
+           AS s_hit,
+         count(*) AS m_hit
+  FROM weekly GROUP BY week
+), fin AS (
+  SELECT week,
+         s_hit + ({HLL_M} - m_hit) * (CAST(1 AS BIGINT) << {HLL_RHO_MAX})
+           AS s_int,
+         CAST({HLL_M} - m_hit AS BIGINT) AS zero_registers
+  FROM agg
+)
+SELECT week, s_int, zero_registers,
+       CAST(floor(
+         CASE WHEN {HLL_ALPHA_NUM!r} / s_int <= {2.5 * HLL_M}
+                   AND zero_registers > 0
+              THEN CAST({HLL_M} AS DOUBLE)
+                   * ln(CAST({HLL_M} AS DOUBLE) / zero_registers)
+              ELSE {HLL_ALPHA_NUM!r} / s_int
+         END * 10000 + 0.5) AS BIGINT) / 10000.0 AS est
+FROM fin ORDER BY week
+"""
+
 ORACLE_SQL: dict[str, str] = {
     # -- scan + projection
     "q01_scan_project": """
@@ -856,6 +909,12 @@ LEFT JOIN week_cells wc
 GROUP BY pc.week, pc.user_id
 ORDER BY pc.week, pc.user_id
 """,
+    # a10: full hash oracle for the HLL distinct rollup — same exact
+    # register arithmetic: md5-prefix 60-bit hash (v03's device),
+    # trailing-zero rho via log2 of a power of two (IEEE-exact), the
+    # harmonic sum as an exact BIGINT in units of 2^-53, one float
+    # division per week against the shared constant literal.
+    "a10_hll_distinct_rollup": _A10_SQL,
     # q75: same contribution-explode derivation in DuckDB (a
     # COUNT(DISTINCT) OVER RANGE is also directly expressible there,
     # but the twin mirrors the operator's day-arithmetic exactly)

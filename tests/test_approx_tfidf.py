@@ -352,3 +352,71 @@ def test_t5h_kmv_bottomk_python_twin_and_merge(spark):
             assert abs(est - exact) <= max(4 * exact / (KMV_K ** 0.5), 2), (
                 scope, est, exact,
             )
+
+
+def test_t5i_hll_register_rollup_accuracy_and_python_twin(spark):
+    """a10 (hand-built HLL with the full hash oracle): (1) estimates
+    within tolerance of exact weekly distincts on BOTH estimator
+    branches — linear counting at sf0.001 (n=150 ≪ 2.5m) and the raw
+    harmonic form at sf0.1 (n=1500 > 640, where zero registers nearly
+    vanish); (2) the register state (s_int, zero_registers) matches a
+    fully independent pure-python recompute (hashlib md5 → trailing-
+    zero rho → register max → exact integer harmonic sum)."""
+    import hashlib
+
+    from aw3d30_parquet_spark.operators.relational import (
+        HLL_M,
+        HLL_P,
+        HLL_RHO_MAX,
+        a10_hll_distinct_rollup,
+    )
+
+    for sf, tol in ((SF_SMOKE, 0.15), ("/root/testdata/sf0.1", 0.20)):
+        rows = a10_hll_distinct_rollup(spark, sf).collect()
+        assert rows
+        register_views(spark, sf)
+        exact = {
+            r.week: r.d
+            for r in spark.table("events")
+            .groupBy(F.date_trunc("week", "ts").cast("date").alias("week"))
+            .agg(F.count_distinct("user_id").alias("d"))
+            .collect()
+        }
+        for r in rows:
+            err = abs(r.est - exact[r.week]) / exact[r.week]
+            assert err <= tol, (sf, r.week, r.est, exact[r.week])
+        # branch witness: smoke sits in the linear-counting regime,
+        # sf0.1 in the raw regime
+        if sf == SF_SMOKE:
+            assert all(r.zero_registers > 0 for r in rows)
+        else:
+            assert all(exact[r.week] > 2.5 * HLL_M for r in rows)
+
+    # independent python twin at smoke: same registers bit-for-bit
+    rows = a10_hll_distinct_rollup(spark, SF_SMOKE).collect()
+    register_views(spark, SF_SMOKE)
+    ev = (
+        spark.table("events")
+        .select(
+            F.date_trunc("week", F.date_trunc("day", "ts"))
+            .cast("date")
+            .alias("week"),
+            "user_id",
+        )
+        .collect()
+    )
+    regs: dict = {}
+    for e in ev:
+        h = int(hashlib.md5(str(e.user_id).encode()).hexdigest()[:15], 16)
+        j = h % HLL_M
+        w1 = (h >> HLL_P) + (1 << 52)
+        rho = (w1 & -w1).bit_length()  # trailing-zero rank
+        key = (e.week, j)
+        regs[key] = max(regs.get(key, 0), rho)
+    for r in rows:
+        week_regs = {j: v for (w, j), v in regs.items() if w == r.week}
+        s_int = sum(
+            1 << (HLL_RHO_MAX - v) for v in week_regs.values()
+        ) + (HLL_M - len(week_regs)) * (1 << HLL_RHO_MAX)
+        assert r.s_int == s_int, r.week
+        assert r.zero_registers == HLL_M - len(week_regs), r.week
