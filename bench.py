@@ -273,7 +273,11 @@ def main() -> None:
         ) as fh:
             fh.write(
                 json.dumps(
-                    dict(result_file, label=label), separators=(",", ":")
+                    # ts disambiguates repeated same-label runs (r8: a
+                    # mid-round surface and a steal-phase run preceded
+                    # the committed one) — latest row per label wins
+                    dict(result_file, label=label, ts=round(time.time(), 1)),
+                    separators=(",", ":"),
                 )
                 + "\n"
             )
