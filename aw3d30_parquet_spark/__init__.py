@@ -22,7 +22,17 @@ see SURVEY.md §2 for the authoritative inventory and counts) is
 assembled by ``__spark_entry__.py`` at the repo root.
 """
 
-from aw3d30_parquet_spark.session import get_spark, register_views
-
+# Lazy re-exports (PEP 562): the package itself must import without a
+# Spark installation so DuckDB-only tooling can load the oracle-SQL
+# modules (``queries``, ``constants``) standalone; ``session`` (and
+# with it pyspark) loads on first attribute access.
 __all__ = ["get_spark", "register_views"]
 __version__ = "0.1.0"
+
+
+def __getattr__(name: str):
+    if name in ("get_spark", "register_views"):
+        from aw3d30_parquet_spark import session
+
+        return getattr(session, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -971,6 +971,16 @@ IVF_N_PROBE = 2
 IVF_K_MIN, IVF_K_MAX = 4, 256
 IVF_FILE_SLO_BYTES = 64 * 1024 * 1024
 IVF_SALT_MIN_ROWS = 4096
+#: Fixed logical row-width model for the salt target (ADVICE r8): the
+#: r8 policy measured on-disk bytes of embeddings.parquet, which made
+#: the index layout (salt sub-partition count, hence file counts and
+#:  bench timings) vary with parquet codec/version/filesystem, and the
+#: OSError fallback silently diverged further. Instead model the row as
+#: 4 bytes per embedding element (float32 storage width) plus a fixed
+#: per-row overhead for id/label/encoding — a pure function of (N, dim)
+#: that every environment derives identically. At 100 TB dim comes from
+#: the catalog schema the same way it comes from one LIMIT-1 row here.
+IVF_ROW_OVERHEAD_BYTES = 64
 
 #: (session tag, sf_dir) → (k, n_probe, salt_target): the derived
 #: policy is a pure function of the corpus, memoized so repeated probes
@@ -1014,19 +1024,15 @@ def _ivf_policy(spark: SparkSession, sf_dir: str) -> tuple[int, int, int]:
             min(IVF_K_MAX, int(math.floor(math.sqrt(n) + 0.5))),
         )
         n_probe = _probe_width(k)
-        path = os.path.join(sf_dir, "embeddings.parquet")
-        try:
-            if os.path.isdir(path):
-                nbytes = sum(
-                    os.path.getsize(os.path.join(r, f))
-                    for r, _dirs, fs in os.walk(path)
-                    for f in fs
-                )
-            else:
-                nbytes = os.path.getsize(path)
-        except OSError:
-            nbytes = 512 * max(1, n)  # no local stats: assume ~0.5 KB/row
-        row_bytes = max(1, nbytes // max(1, n))
+        # reproducible row-width model (see IVF_ROW_OVERHEAD_BYTES):
+        # 4 B per embedding element + fixed overhead, dim read from one
+        # LIMIT-1 row (catalog schema at 100 TB) — NOT on-disk bytes,
+        # which vary with parquet codec/version/filesystem
+        first = (
+            _emb(spark, sf_dir).select(F.size("embedding").alias("d")).first()
+        )
+        dim = int(first["d"]) if first is not None else 0
+        row_bytes = 4 * dim + IVF_ROW_OVERHEAD_BYTES
         salt_target = int(
             max(IVF_SALT_MIN_ROWS, IVF_FILE_SLO_BYTES // row_bytes)
         )

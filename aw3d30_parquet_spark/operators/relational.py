@@ -1934,17 +1934,15 @@ def a08_cms_freq_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-HLL_P = 8  # register-index bits
-HLL_M = 1 << HLL_P  # 256 registers (σ ≈ 1.04/√m ≈ 6.5 %)
-#: rho ceiling: the 60-bit md5 hash leaves 52 bits after the register
-#: index; a sentinel bit at 2^52 bounds rho ≤ 53 and handles w = 0
-HLL_RHO_MAX = 53
-#: α_m · m² / 2^-53 as ONE double literal shared by both engines:
-#: the weekly estimate is this constant divided by the EXACT integer
-#: harmonic sum (s_int below), so the only float ops are a single
-#: division + rounding — deterministic under any merge order
-HLL_ALPHA_NUM = (0.7213 / (1 + 1.079 / HLL_M)) * HLL_M * HLL_M * float(
-    1 << HLL_RHO_MAX
+# HLL sketch constants live in the Spark-free aw3d30_parquet_spark.
+# constants module (queries.py embeds them into oracle SQL and must
+# stay importable without pyspark); re-exported here because the a10
+# operator below is their primary consumer.
+from aw3d30_parquet_spark.constants import (  # noqa: E402
+    HLL_ALPHA_NUM,
+    HLL_M,
+    HLL_P,
+    HLL_RHO_MAX,
 )
 
 

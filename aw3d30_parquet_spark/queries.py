@@ -15,7 +15,7 @@ results + column names, not shared text.
 
 from __future__ import annotations
 
-from aw3d30_parquet_spark.operators.relational import (
+from aw3d30_parquet_spark.constants import (
     HLL_ALPHA_NUM,
     HLL_M,
     HLL_P,

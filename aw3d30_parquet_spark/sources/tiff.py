@@ -233,13 +233,14 @@ def _lzw_decode(data: bytes) -> bytes:
     width, prev = 9, b""
     pending: list[int] = []  # codes extracted but not yet consumed
     pi = 0
+    saw_eoi = False
     while True:
         if pi >= len(pending):
             # extract the next run: width is constant until the table
             # grows to 2^width - 2 entries (early change) or a Clear
             # resets it, so cap the run at the entries-to-boundary count
             if pos + width > nbits_total:
-                break  # padding exhausted: treat like EOI
+                break  # fewer than one code of bits left
             if width < 12:
                 to_boundary = ((1 << width) - 2) - len(table)
             else:
@@ -256,6 +257,7 @@ def _lzw_decode(data: bytes) -> bytes:
         code = pending[pi]
         pi += 1
         if code == _LZW_EOI:
+            saw_eoi = True
             break
         if code == _LZW_CLEAR:
             del table[_LZW_FIRST:]
@@ -281,6 +283,16 @@ def _lzw_decode(data: bytes) -> bytes:
             pending, pi = [], 0
             width += 1
         prev = entry
+    if not saw_eoi:
+        # TIFF 6.0 §13 requires an EndOfInformation code to terminate
+        # every strip/tile stream; running out of bits first means the
+        # payload was truncated or corrupt. Fail HERE with a codec-layer
+        # error rather than letting the short buffer surface later as a
+        # baffling np.frombuffer/reshape shape mismatch.
+        raise ValueError(
+            "truncated LZW stream: bitstream exhausted before EOI "
+            f"(decoded {len(out)} bytes)"
+        )
     return bytes(out)
 
 

@@ -224,3 +224,39 @@ def test_bench_stdout_line_fits_driver_capture_window():
     small = {"metric": "m", "value": 1.0, "unit": "sec",
              "queries": {"d04": 1.0}, "sf": "0.1"}
     assert json.loads(_fit_stdout_line(dict(small))) == small
+
+
+def test_oracle_module_imports_without_pyspark():
+    """queries.py is the DuckDB oracle contract: DuckDB-only tooling
+    must be able to import it on a machine with no Spark install
+    (ADVICE r8: the HLL constants used to be imported from
+    operators.relational, dragging pyspark in). Run a subprocess with
+    pyspark import-blocked and load the module."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys\n"
+        "class B:\n"
+        "    def find_module(self, n, p=None):\n"
+        "        if n == 'pyspark' or n.startswith('pyspark.'):\n"
+        "            return self\n"
+        "    def load_module(self, n):\n"
+        "        raise ImportError('blocked: ' + n)\n"
+        "sys.meta_path.insert(0, B())\n"
+        "import aw3d30_parquet_spark.queries as q\n"
+        "import aw3d30_parquet_spark.constants as c\n"
+        "assert c.HLL_M == 256 and c.HLL_P == 8\n"
+        "assert isinstance(next(iter(q.__dict__)), str)\n"
+        "print('OK')\n"
+    )
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=120,
+        cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "OK" in out.stdout

@@ -726,6 +726,24 @@ def test_lzw_fast_decoder_equals_naive_reference():
         assert _lzw_decode(enc) == _naive_lzw_decode(enc), len(raw)
 
 
+def test_lzw_truncated_stream_raises_at_codec_layer():
+    """A stream cut short of its EOI code must raise ValueError in the
+    decoder itself — not decode to a short buffer that later fails in
+    np.frombuffer/reshape with a misleading shape error (TIFF 6.0 §13
+    requires EOI to terminate every strip/tile stream)."""
+    from aw3d30_parquet_spark.sources.tiff import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(7)
+    for n in (40, 300, 5000):
+        enc = _lzw_encode(rng.bytes(n))
+        for cut in (1, 2, len(enc) // 2):
+            with pytest.raises(ValueError, match="truncated LZW"):
+                _lzw_decode(enc[: len(enc) - cut])
+    # intact streams still decode (EOI present)
+    raw = rng.bytes(1000)
+    assert _lzw_decode(_lzw_encode(raw)) == raw
+
+
 @pytest.mark.parametrize("compression", ["none", "deflate", "lzw"])
 @pytest.mark.parametrize("predictor", [1, 2])
 def test_tiled_layout_roundtrip(compression, predictor):

@@ -333,14 +333,19 @@ def test_v10_ivf_parquet_pruned_probe(spark):
 
 def test_v10_policy_derivation(spark):
     """r8: index knobs are corpus-derived policy, not hand-picked —
-    k = clamp(√N), n_probe = max(2, ⌈k/4⌉) (the ~¼ read fraction),
-    salt_target from the 64 MB file SLO over measured bytes/row.
+    k = clamp(√N), n_probe = max(2, ⌈k/4⌉) (the ~¼ read fraction).
+    r9 (ADVICE r8): salt_target comes from the 64 MB file SLO over a
+    FIXED logical row-width model (4 B/element + constant overhead) —
+    a pure function of (N, dim), so the index layout no longer varies
+    with parquet codec/version/filesystem across environments.
     Explicit overrides still win (the probe tools rely on that)."""
     import math
-    import os
+
+    import pyspark.sql.functions as F
 
     from aw3d30_parquet_spark.functions.vectors import (
         IVF_FILE_SLO_BYTES,
+        IVF_ROW_OVERHEAD_BYTES,
         IVF_SALT_MIN_ROWS,
         _emb,
         _ivf_policy,
@@ -350,10 +355,13 @@ def test_v10_policy_derivation(spark):
     n = _emb(spark, SF_SMOKE).count()
     assert k == max(4, min(256, int(math.floor(math.sqrt(n) + 0.5))))
     assert np_ == max(2, -(-k // 4))
-    nbytes = os.path.getsize(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    dim = _emb(spark, SF_SMOKE).select(F.size("embedding")).first()[0]
     assert salt == max(
-        IVF_SALT_MIN_ROWS, IVF_FILE_SLO_BYTES // max(1, nbytes // n)
+        IVF_SALT_MIN_ROWS,
+        IVF_FILE_SLO_BYTES // (4 * dim + IVF_ROW_OVERHEAD_BYTES),
     )
+    # the model is environment-free: same (N, dim) → same layout
+    assert salt == _ivf_policy(spark, SF_SMOKE)[2]
 
 
 def test_v10_salted_layout_identical_and_pruned(spark):
