@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -890,6 +891,59 @@ def _kmeans_dist(xi_col: str, ci_col: str):
     )
 
 
+#: |component| bound under which the vectorized assignment kernel's
+#: float64 arithmetic is EXACT: every dot-product partial sum is
+#: ≤ 64·(10⁷)² = 6.4·10¹⁵ < 2⁵³ ≈ 9.007·10¹⁵, so all intermediates
+#: stay below the float64 integer-exactness ceiling. The fixture's
+#: millionths-scaled unit vectors sit at 10⁶, 10× inside the bound;
+#: the kernel RAISES past it rather than silently rounding.
+KMEANS_UDF_ABS_MAX = 10**7
+
+
+def _kmeans_argmin_kernel(cids: "np.ndarray", cents: "np.ndarray"):
+    """mapInPandas kernel: exact-integer argmin assignment against a
+    closure-captured (k, dim) centroid matrix (bounded: k ≤ 256 ×
+    64 longs ≈ 131 KB pickled per task).
+
+    Arithmetic contract (what the v09/v10 DuckDB oracles pin): squared
+    L2 over BIGINT-millionth components, ties broken by smallest cid.
+    ``cids`` is sorted ascending, so np.argmin's first-minimum rule IS
+    the (dist, cid) lexicographic tie-break. All products and sums
+    stay under 2⁵³ (see KMEANS_UDF_ABS_MAX), so the float64 BLAS
+    matmul is bit-exact integer arithmetic — verified against the
+    pure-DataFrame HOF formulation in pytest."""
+    c2 = (cents.astype(np.float64) ** 2).sum(axis=1)
+    cf = cents.astype(np.float64)
+
+    def kernel(batches: "Iterable") -> "Iterator":
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array([np.asarray(v, np.int64) for v in pdf["xi"]])
+            if abs(x).max() >= KMEANS_UDF_ABS_MAX:
+                raise ValueError(
+                    "kmeans component exceeds the exact-float64 bound "
+                    f"{KMEANS_UDF_ABS_MAX}; rescale KMEANS_SCALE"
+                )
+            xf = x.astype(np.float64)
+            dist = (xf**2).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (
+                xf @ cf.T
+            )
+            j = np.argmin(dist, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "xi": pdf["xi"],
+                    "cid": cids[j],
+                    "dist": dist[np.arange(len(j)), j].astype(np.int64),
+                }
+            )
+
+    return kernel
+
+
 def _kmeans_assign(
     spark: SparkSession,
     sf_dir: str,
@@ -902,22 +956,41 @@ def _kmeans_assign(
     ranked against — factored out so v10's disk-backed IVF index
     consumes the identical exact-integer arithmetic (same centroids,
     same (dist, cid) tie-break) that v09's driver hash and DuckDB
-    oracle pin."""
+    oracle pin.
+
+    Scale shape (r9 — the change the 100× policy probe forced,
+    SCALING.md "IVF policy at 100×"): assignment is a SHUFFLE-FREE map
+    stage — the k-row centroid state is collected (bounded: k ≤
+    IVF_K_MAX rows of 64 longs, the same driver-artifact class as
+    v10's sidecar) and closure-shipped into a vectorized Arrow kernel
+    (`_kmeans_argmin_kernel`, exact integer arithmetic in disguise —
+    see its contract note). The r8 shape (crossJoin(broadcast) →
+    window row_number) shuffled N·k rows each carrying the 64-long
+    vector — ~28 GB/iteration at 200 k vectors × k=256 — and made
+    index build superlinear once the √N policy raised k; measured
+    build 277 s → 8.8 s at the 100× corpus. The collect is ALSO the
+    per-iteration lineage cut (DEPLOY.md row 13): the next iteration's
+    plan starts from literals, so no persist bookkeeping is needed.
+    At 100 TB this is MLlib's own k-means topology: centers broadcast
+    per iteration, one scan per assignment, k·dim-key partial agg per
+    update."""
     emb = _emb(spark, sf_dir)
     vec = emb.select("vec_id", _kmeans_xi().alias("xi"))
     cent = vec.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("xi").alias("ci")
     )
-    dist = _kmeans_dist("xi", "ci")
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
     assign = None
+    schema = "vec_id long, xi array<long>, cid long, dist long"
+    cent_rows: list = []
     for it in range(iters):
-        assign = (
-            vec.crossJoin(F.broadcast(cent))
-            .withColumn("dist", dist)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "xi", "cid", "dist")
+        cent_rows = sorted(
+            (int(r["cid"]), [int(v) for v in r["ci"]])
+            for r in cent.collect()
+        )
+        cids = np.array([c for c, _ in cent_rows], np.int64)
+        cmat = np.array([v for _, v in cent_rows], np.int64)
+        assign = vec.mapInPandas(
+            _kmeans_argmin_kernel(cids, cmat), schema=schema
         )
         if it < iters - 1:
             cent = (
@@ -938,20 +1011,15 @@ def _kmeans_assign(
                         "ci"
                     ),
                 )
-                .persist()
             )
-            # materialize the k-row centroid table per iteration
-            # (DEPLOY.md row 13): without this the next assignment's
-            # plan embeds the whole previous-iteration subtree, and
-            # lineage grows with the iteration count. Released at the
-            # next call for the owning op via the scratch registry.
-            cent.count()
-            from aw3d30_parquet_spark.functions.dedup import (
-                _scratch_persist,
-            )
-
-            _scratch_persist(scratch_key, cent)
-    return assign, cent
+    # the centroid relation handed back (v10 collects it for the
+    # sidecar) is rebuilt as a LocalRelation from the already-collected
+    # rows — zero recompute, no lineage into the loop above
+    cent_local = spark.createDataFrame(
+        [(c, v) for c, v in cent_rows],
+        schema="cid long, ci array<long>",
+    )
+    return assign, cent_local
 
 
 #: v10 explicit probe-width override unit (the r7 skew/K-scaling probes
@@ -1110,6 +1178,14 @@ def _ivf_parquet_index(
             .drop("nb")
         )
         parts.append("salt")
+    # one shuffle keyed on the partition columns before the write:
+    # without it every one of the ~cores input tasks writes its own
+    # sliver into every cluster directory — the 100× policy probe
+    # measured 8190 files at median 3.5 KB for k=256 (file-open
+    # overhead then dominated the probe path). Clustering rows by
+    # (cluster_id[, salt]) yields ONE ~salt-target-sized file per leaf
+    # directory — the 64 MB SLO the salt policy exists to enforce.
+    rel = rel.repartition(*[F.col(p) for p in parts])
     rel.write.mode("overwrite").partitionBy(*parts).parquet(out)
     # centroid sidecar: k rows of 64 BIGINTs, collected once — the
     # bounded driver artifact every probe broadcasts (at 100 TB: a

@@ -387,3 +387,49 @@ def test_v10_salted_layout_identical_and_pruned(spark):
     path, _ = _ivf_parquet_index(spark, SF_SMOKE, salt_target=50)
     subdirs = glob.glob(os.path.join(path, "cluster_id=*", "salt=*"))
     assert subdirs, "no salt sub-partitions written"
+
+
+def test_kmeans_argmin_kernel_exact_and_guarded():
+    """r9: the vectorized assignment kernel (float64 BLAS in disguise)
+    must (a) reproduce exact int64 squared-L2 distances, (b) break
+    distance ties toward the SMALLEST cid (the (dist, cid) ordering
+    the v09/v10 oracles pin), and (c) raise past the exactness bound
+    instead of silently rounding."""
+    import pandas as pd
+
+    from aw3d30_parquet_spark.functions.vectors import (
+        KMEANS_UDF_ABS_MAX,
+        _kmeans_argmin_kernel,
+    )
+
+    rng = np.random.default_rng(5)
+    dim, k, n = 64, 7, 40
+    cmat = rng.integers(-(10**6), 10**6, size=(k, dim), dtype=np.int64)
+    cids = np.arange(10, 10 + k, dtype=np.int64)
+    x = rng.integers(-(10**6), 10**6, size=(n, dim), dtype=np.int64)
+    # rows 0/1 duplicate centroids 3 and 0 exactly (dist 0, unique min)
+    x[0], x[1] = cmat[3], cmat[0]
+    pdf = pd.DataFrame({"vec_id": np.arange(n), "xi": list(x)})
+    out = pd.concat(list(_kmeans_argmin_kernel(cids, cmat)([pdf])))
+    # exact int64 reference (python ints -> no overflow possible)
+    for i in range(n):
+        ds = [
+            (sum((int(a) - int(b)) ** 2 for a, b in zip(x[i], cmat[j])), int(cids[j]))
+            for j in range(k)
+        ]
+        want = min(ds)
+        assert (out.iloc[i]["dist"], out.iloc[i]["cid"]) == want, i
+    # tie-break: duplicate centroid -> equal dists for the duplicated
+    # rows of cmat; fabricate two identical centroids and check the
+    # smaller cid wins
+    cmat2 = np.vstack([cmat[0], cmat[0]])
+    cids2 = np.array([5, 6], np.int64)
+    pdf2 = pd.DataFrame({"vec_id": [0], "xi": [cmat[0]]})
+    out2 = pd.concat(list(_kmeans_argmin_kernel(cids2, cmat2)([pdf2])))
+    assert (out2.iloc[0]["dist"], out2.iloc[0]["cid"]) == (0, 5)
+    # overflow guard
+    bad = pd.DataFrame(
+        {"vec_id": [0], "xi": [np.full(dim, KMEANS_UDF_ABS_MAX, np.int64)]}
+    )
+    with pytest.raises(ValueError, match="exact-float64 bound"):
+        list(_kmeans_argmin_kernel(cids, cmat)([bad]))
