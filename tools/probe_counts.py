@@ -33,6 +33,8 @@ import duckdb
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from aw3d30_parquet_spark.functions.dedup import (  # noqa: E402
+    _MH_MIN_SQL,
+    _MH_PARAMS,
     EDIT_D,
     EDIT_MIN_SHARED,
     EDIT_N_GRAMS,
@@ -202,6 +204,107 @@ SELECT count(*) FROM (
   SELECT DISTINCT a.doc_id, b.doc_id
   FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
 )""",
+    )
+    # ------------------------------------------------ banded-MinHash family
+    # d06/d15 (VERDICT r8 #6): the band-join volume was argued, not
+    # measured, at 100×. These CTEs are the d06 oracle's own minhash
+    # arithmetic (ONE md5 per shingle → 60-bit long, then the embedded
+    # 2-universal (a_i, b_i) literals via _MH_MIN_SQL, band key = the
+    # 2-slice values joined "_") so the counters measure exactly the
+    # relation the engine banding produces.
+    MH = f"""
+, h0 AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh
+), mhx AS (
+  SELECT doc_id, i.i AS perm,
+         {_MH_MIN_SQL}
+  FROM h0, (SELECT unnest(range(0, {len(_MH_PARAMS)})) AS i) i
+  GROUP BY doc_id, i.i
+), bandkey AS (
+  SELECT doc_id, perm // 2 AS band,
+         string_agg(mh::VARCHAR, '_' ORDER BY perm) AS bk
+  FROM mhx GROUP BY doc_id, perm // 2
+)
+"""
+    # band-join rows by FORMULA: Σ over (band, key) buckets of
+    # C(occupancy, 2) — O(distinct band keys), never materializes the
+    # pair join, so the counter is safe on adversarial corpora
+    put(
+        "d06_band_join_rows",
+        BASE.format(d=d) + MH
+        + """SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT)
+             FROM (SELECT band, bk, count(*) AS c
+                   FROM bandkey GROUP BY 1, 2)""",
+    )
+    # distinct candidate pairs + exact-Jaccard-verified survivors —
+    # these DO materialize the pair set; size with the formula first
+    put(
+        "d06_candidates",
+        BASE.format(d=d) + MH
+        + """SELECT count(*) FROM (
+               SELECT DISTINCT a.doc_id, b.doc_id
+               FROM bandkey a JOIN bandkey b
+               ON a.band = b.band AND a.bk = b.bk
+                  AND a.doc_id < b.doc_id)""",
+    )
+    put(
+        "d06_verified_pairs",
+        BASE.format(d=d) + MH
+        + """
+, cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandkey a JOIN bandkey b
+  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+), docn AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+SELECT count(*) FROM (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+  GROUP BY 1, 2
+) p JOIN docn na ON na.doc_id = p.id_a
+    JOIN docn nb ON nb.doc_id = p.id_b
+WHERE p.inter >= 0.6 * (na.n + nb.n - p.inter)""",
+    )
+    # d15 (asymmetric snapshot × corpus): band-join rows by the same
+    # bucket formula — Σ snap_count · corpus_count per (band, key)
+    put(
+        "d15_band_join_rows",
+        BASE.format(d=d) + MH
+        + """SELECT CAST(coalesce(sum(cs * cc), 0) AS BIGINT) FROM (
+               SELECT band, bk,
+                      count(*) FILTER (doc_id % 10 >= 8) AS cs,
+                      count(*) FILTER (doc_id % 10 < 8) AS cc
+               FROM bandkey GROUP BY 1, 2)""",
+    )
+    put(
+        "d15_candidates",
+        BASE.format(d=d) + MH
+        + """SELECT count(*) FROM (
+               SELECT DISTINCT s.doc_id, c.doc_id
+               FROM bandkey s JOIN bandkey c
+               ON s.band = c.band AND s.bk = c.bk
+               WHERE s.doc_id % 10 >= 8 AND c.doc_id % 10 < 8)""",
+    )
+    put(
+        "d15_verified_pairs",
+        BASE.format(d=d) + MH
+        + """
+, cand AS (
+  SELECT DISTINCT s.doc_id AS snap_id, c.doc_id AS corpus_id
+  FROM bandkey s JOIN bandkey c
+  ON s.band = c.band AND s.bk = c.bk
+  WHERE s.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
+), docn AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+SELECT count(*) FROM (
+  SELECT c.snap_id, c.corpus_id, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.snap_id
+  JOIN sh b ON b.doc_id = c.corpus_id AND b.s = a.s
+  GROUP BY 1, 2
+) p JOIN docn na ON na.doc_id = p.snap_id
+    JOIN docn nb ON nb.doc_id = p.corpus_id
+WHERE p.inter >= 0.6 * (na.n + nb.n - p.inter)""",
     )
     # ------------------------------------------------ edit-distance family
     # Domain mirrors dedup._ed_docs (constants imported from it so the
