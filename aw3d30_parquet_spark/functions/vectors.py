@@ -847,19 +847,23 @@ def kmeans_fixed(
     are BIGINT sums (order-independent), assignment ranks (dist, cid)
     with the id tie-break, and the centroid update is the floor-mean
     ``sum div count`` (Spark ``div`` ≙ DuckDB ``//``, both truncate
-    toward zero — verified). No float exists anywhere in the pipeline,
-    so the engines cannot diverge. Init = the first ``k`` vectors by
-    id (the deterministic stand-in for k-means‖ seeding).
+    toward zero — verified). The r9 vectorized assignment kernel uses
+    float64 REPRESENTATION but all its intermediates stay below 2⁵³
+    (guarded — see ``KMEANS_UDF_ABS_MAX``), so every value is still an
+    exactly-represented integer and the engines cannot diverge. Init =
+    the first ``k`` vectors by id (the deterministic stand-in for
+    k-means‖ seeding).
 
     Unrolled spec: a1 = assign(c0), c1 = update(a1), a2 = assign(c1),
     output = per-cluster (n_members, inertia) of a2.
 
-    Scale shape: assignment is vectors ⋈ broadcast(k-row centroid
-    relation) — map-side, no shuffle; the update is a (k·dim)-key
-    partial aggregate (map-side combine reduces to k·64 rows) plus a
-    k-row array re-assembly. Per-iteration cost is one scan — the
-    MLlib k-means plan, re-expressed with an exact-arithmetic
-    contract.
+    Scale shape: assignment is a shuffle-free map stage (collected
+    k-row centroid state closure-shipped into a vectorized Arrow
+    kernel — since r9; see ``_kmeans_assign``); the update is a
+    (k·dim)-key partial aggregate (map-side combine reduces to k·64
+    rows) plus a k-row array re-assembly. Per-iteration cost is one
+    scan — the MLlib k-means plan, re-expressed with an
+    exact-arithmetic contract.
     """
     assign, _ = _kmeans_assign(spark, sf_dir, k, iters)
     return (
