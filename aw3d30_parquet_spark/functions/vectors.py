@@ -953,7 +953,6 @@ def _kmeans_assign(
     sf_dir: str,
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
-    scratch_key: str = "v09_cent",
 ) -> tuple[DataFrame, DataFrame]:
     """The v09 Lloyd loop's final state: the ASSIGNMENT relation
     (vec_id, xi, cid, dist) and the (cid, ci) CENTROID relation it
@@ -1156,9 +1155,7 @@ def _ivf_parquet_index(
         return _IVF_PARQUET[key]
     from aw3d30_parquet_spark.sources.files import _export_dir
 
-    assign, cent = _kmeans_assign(
-        spark, sf_dir, k=k_clusters, scratch_key="v10_cent"
-    )
+    assign, cent = _kmeans_assign(spark, sf_dir, k=k_clusters)
     tag = "" if k_clusters == KMEANS_K else f"_k{k_clusters}"
     if salt_target:
         tag += f"_s{salt_target}"
