@@ -417,3 +417,23 @@ def test_t09_bm25_stats_broadcast_no_cartesian(spark):
     assert not has_node(df, "CartesianProduct")
     plan = formatted_plan(df)
     assert "ArrowEvalPython" not in plan
+
+
+def test_v09_assignment_is_shuffle_free_map(spark):
+    """r9 scale posture: the k-means ASSIGNMENT relation is a pure map
+    stage — scan → (spread fan-out) → Arrow kernel, with NO data-key
+    shuffle and NO window. The r8 shape (crossJoin(broadcast) →
+    window row_number) shuffled N·k vector-carrying rows per iteration
+    (~28 GB at 200 k × k=256); this pin fails if anyone reintroduces
+    that. The single allowed Exchange is spread()'s ROUND-ROBIN
+    repartition (small-input core fan-out — a no-op at real scale);
+    a hash/range Exchange below the kernel is the regression."""
+    from aw3d30_parquet_spark.functions.vectors import _kmeans_assign
+
+    assign, _cent = _kmeans_assign(spark, SF)
+    plan = formatted_plan(assign)
+    assert count_node(assign, "Exchange") <= 1, plan
+    assert "roundrobin" in plan.lower(), plan
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert "MapInPandas" in plan, plan
+    assert not has_node(assign, "Window"), plan
