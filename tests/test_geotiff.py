@@ -726,6 +726,22 @@ def test_lzw_fast_decoder_equals_naive_reference():
         assert _lzw_decode(enc) == _naive_lzw_decode(enc), len(raw)
 
 
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_lzw_decode_total_on_garbage(data):
+    """Totality: arbitrary bytes either decode or raise ValueError —
+    never hang, never raise anything else (index errors from table
+    lookups, struct errors from width accounting). The codec is the
+    first consumer of untrusted tile payloads."""
+    from aw3d30_parquet_spark.sources.tiff import _lzw_decode
+
+    try:
+        out = _lzw_decode(data)
+    except ValueError:
+        return
+    assert isinstance(out, bytes)
+
+
 def test_lzw_truncated_stream_raises_at_codec_layer():
     """A stream cut short of its EOI code must raise ValueError in the
     decoder itself — not decode to a short buffer that later fails in
