@@ -254,7 +254,31 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _JPEG_SIG = b"\xff\xd8\xff"
 
 
-def _decode_image_real(payload: bytes) -> tuple[str, dict, np.ndarray]:
+#: PNG color type → sample count (IHDR byte 25; PLTE counts as 1)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _decode_image_real(
+    payload: bytes, metadata_only: bool = False
+) -> tuple[str, dict, np.ndarray | None]:
+    if metadata_only and payload.startswith(_PNG_SIG):
+        # header-only PNG: width/height/channels live in the fixed-
+        # position IHDR chunk — no pixel decode, no Pillow needed, so
+        # the metadata_only contract holds even where the library is
+        # absent (JPEG metadata needs a SOF marker walk — that path
+        # still goes through Pillow below)
+        if len(payload) < 26:
+            raise ValueError(
+                f"corrupt PNG payload: {len(payload)} bytes, no IHDR"
+            )
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        ch = _PNG_CHANNELS.get(payload[25])
+        if ch is None:
+            raise ValueError(
+                f"corrupt PNG payload: color type {payload[25]}"
+            )
+        return "image", {"width": w, "height": h, "channels": ch}, None
     try:
         from PIL import Image  # conditional: absent in this container
     except ImportError as exc:
@@ -265,33 +289,63 @@ def _decode_image_real(payload: bytes) -> tuple[str, dict, np.ndarray]:
         ) from exc
     import io
 
-    with Image.open(io.BytesIO(payload)) as im:
-        arr = np.asarray(im)
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            if metadata_only:
+                w, h = im.size
+                return (
+                    "image",
+                    {"width": w, "height": h, "channels": len(im.getbands())},
+                    None,
+                )
+            arr = np.asarray(im)
+    except Exception as exc:
+        if isinstance(exc, (NotImplementedError, ValueError)):
+            raise
+        raise ValueError(f"corrupt image payload: {exc}") from exc
     if arr.ndim == 2:  # grayscale → explicit single channel
         arr = arr[:, :, None]
     h, w, ch = arr.shape
     return "image", {"width": w, "height": h, "channels": ch}, arr
 
 
-def _decode_wav(payload: bytes) -> tuple[str, dict, np.ndarray]:
+def _decode_wav(
+    payload: bytes, metadata_only: bool = False
+) -> tuple[str, dict, np.ndarray | None]:
     """PCM16 WAV via the stdlib ``wave`` module — a REAL codec branch
     with no third-party dependency. Output shape matches the PCM0 arm:
-    int16 samples, {sample_rate, n_samples} metadata."""
+    int16 samples, {sample_rate, n_samples} metadata. ``metadata_only``
+    stops after the chunk headers (``wave`` reads data lazily), so the
+    header-only contract holds for real formats too. Corrupt RIFF
+    surfaces as ValueError, not a bare ``wave.Error``."""
     import io
     import wave as _wave
 
-    with _wave.open(io.BytesIO(payload), "rb") as wf:
-        sw, ch = wf.getsampwidth(), wf.getnchannels()
-        if sw != 2:
-            raise NotImplementedError(
-                f"no decoder for {8 * sw}-bit WAV: only PCM16 is wired"
-            )
-        sr, n = wf.getframerate(), wf.getnframes()
-        frames = wf.readframes(n)
+    try:
+        with _wave.open(io.BytesIO(payload), "rb") as wf:
+            sw, ch = wf.getsampwidth(), wf.getnchannels()
+            if sw != 2:
+                raise NotImplementedError(
+                    f"no decoder for {8 * sw}-bit WAV: only PCM16 is wired"
+                )
+            sr, n = wf.getframerate(), wf.getnframes()
+            meta = {"sample_rate": sr, "n_samples": n}
+            if metadata_only:
+                return "audio", meta, None
+            frames = wf.readframes(n)
+    except NotImplementedError:
+        raise  # our own named refusal (a RuntimeError subclass!)
+    except (_wave.Error, EOFError, OSError, RuntimeError) as exc:
+        # wave delegates chunk walking to chunk.py and its own _Chunk
+        # wrapper, which leak EOFError/OSError/bare RuntimeError on
+        # truncated or lying chunk tables — all of these are "corrupt
+        # container" here (the input is a BytesIO, so OSError cannot
+        # mean a real I/O fault; every op in the try is wave-internal)
+        raise ValueError(f"corrupt WAV payload: {exc}") from exc
     arr = np.frombuffer(frames, "<i2")
     if ch > 1:
         arr = arr.reshape(-1, ch)
-    return "audio", {"sample_rate": sr, "n_samples": n}, arr
+    return "audio", meta, arr
 
 
 def _decode_video_real(payload: bytes) -> tuple[str, dict, np.ndarray]:
@@ -315,30 +369,56 @@ def _decode_video_real(payload: bytes) -> tuple[str, dict, np.ndarray]:
     return "video", {"width": w, "height": h, "n_frames": n}, arr
 
 
-def decode_payload(payload: bytes) -> tuple[str, dict, np.ndarray]:
+def decode_payload(
+    payload: bytes, metadata_only: bool = False
+) -> tuple[str, dict, np.ndarray | None]:
     """Binary payload → (kind, metadata, sample array).
 
     The RAW container family (synthetic corpus) decodes inline and
     vectorized; standard formats dispatch by signature (see _PNG_SIG
     block comment) — WAV decodes for real everywhere, PNG/JPEG/video
-    light up when Pillow/PyAV are installed, with no code change."""
+    light up when Pillow/PyAV are installed, with no code change.
+
+    ``metadata_only=True`` returns (kind, metadata, None) without
+    touching the body — WAV reads chunk headers only, PNG parses the
+    IHDR directly (no Pillow required), the RAW family skips the
+    buffer view. Error contract: unknown-but-plausible formats raise
+    NotImplementedError naming the missing library; malformed bytes
+    (too short, corrupt container) raise ValueError at this layer —
+    never a bare struct/wave error from the internals."""
     if payload.startswith(_PNG_SIG) or payload[:3] == _JPEG_SIG:
-        return _decode_image_real(payload)
+        return _decode_image_real(payload, metadata_only)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return _decode_wav(payload)
+        return _decode_wav(payload, metadata_only)
     if payload[4:8] == b"ftyp":  # ISO-BMFF (MP4/MOV) box structure
         return _decode_video_real(payload)
+    if len(payload) < _HEADER_SIZE:
+        raise ValueError(
+            f"payload too short for any known container "
+            f"({len(payload)} bytes < {_HEADER_SIZE}-byte RAW header)"
+        )
     magic, a, b, c = struct.unpack_from(_HEADER_FMT, payload, 0)
-    body = payload[_HEADER_SIZE:]
     if magic == _MAGIC_IMAGE:
-        arr = np.frombuffer(body, np.uint8, a * b * c).reshape(b, a, c)
-        return "image", {"width": a, "height": b, "channels": c}, arr
+        meta = {"width": a, "height": b, "channels": c}
+        if metadata_only:
+            return "image", meta, None
+        arr = np.frombuffer(
+            payload, np.uint8, a * b * c, _HEADER_SIZE
+        ).reshape(b, a, c)
+        return "image", meta, arr
     if magic == _MAGIC_AUDIO:
-        arr = np.frombuffer(body, "<i2", b)
-        return "audio", {"sample_rate": a, "n_samples": b}, arr
+        meta = {"sample_rate": a, "n_samples": b}
+        if metadata_only:
+            return "audio", meta, None
+        return "audio", meta, np.frombuffer(payload, "<i2", b, _HEADER_SIZE)
     if magic == _MAGIC_VIDEO:
-        arr = np.frombuffer(body, np.uint8, a * b * c).reshape(c, b, a)
-        return "video", {"width": a, "height": b, "n_frames": c}, arr
+        meta = {"width": a, "height": b, "n_frames": c}
+        if metadata_only:
+            return "video", meta, None
+        arr = np.frombuffer(
+            payload, np.uint8, a * b * c, _HEADER_SIZE
+        ).reshape(c, b, a)
+        return "video", meta, arr
     raise NotImplementedError(
         f"no decoder for magic {magic!r}: known formats are the RAW "
         "container family plus WAV (stdlib), PNG/JPEG (Pillow), and "
@@ -402,10 +482,16 @@ def extract_features(media: DataFrame, metadata_only: bool = False) -> DataFrame
             # The decoded row is merged back below; zero out the header
             # fields so the vectorized lanes never read real-format
             # rows' garbage a/b/c.
-            slow: dict[int, tuple[str, dict, np.ndarray]] = {}
+            slow: dict[int, tuple] = {}
             if unknown.any():
                 for i in np.nonzero(unknown)[0]:
-                    slow[int(i)] = decode_payload(payloads[int(i)])
+                    # metadata_only propagates: header-only real-format
+                    # parses (WAV chunk headers, PNG IHDR) keep the
+                    # "touch 16 bytes, not the body" contract on the
+                    # slow path too
+                    slow[int(i)] = decode_payload(
+                        payloads[int(i)], metadata_only=metadata_only
+                    )
                 a[unknown] = b[unknown] = c[unknown] = 0
 
             intensity = np.zeros(n, np.float64)
@@ -518,9 +604,15 @@ def decimate_audio(media: DataFrame, factor: int = 2) -> DataFrame:
                 kind, meta, arr = decode_payload(bytes(payload))
                 if kind != "audio":
                     continue
-                dec = arr[::factor]
+                # arr is (n,) mono or (n, ch) for multi-channel WAV
+                # (decodable since r9): decimate along the FRAME axis,
+                # then flatten interleaved so the PCM0 invariant
+                # body == 2·b (b = total int16 count) always holds —
+                # packing frame count with an interleaved body would
+                # truncate half the samples on the next decode.
+                dec = np.ascontiguousarray(arr[::factor]).reshape(-1)
                 head = _pack_header(
-                    _MAGIC_AUDIO, meta["sample_rate"] // factor, len(dec), 0
+                    _MAGIC_AUDIO, meta["sample_rate"] // factor, dec.size, 0
                 )
                 rows["media_id"].append(int(mid))
                 rows["kind"].append("audio")

@@ -895,13 +895,25 @@ def _kmeans_dist(xi_col: str, ci_col: str):
     )
 
 
-#: |component| bound under which the vectorized assignment kernel's
-#: float64 arithmetic is EXACT: every dot-product partial sum is
-#: ≤ 64·(10⁷)² = 6.4·10¹⁵ < 2⁵³ ≈ 9.007·10¹⁵, so all intermediates
-#: stay below the float64 integer-exactness ceiling. The fixture's
-#: millionths-scaled unit vectors sit at 10⁶, 10× inside the bound;
-#: the kernel RAISES past it rather than silently rounding.
-KMEANS_UDF_ABS_MAX = 10**7
+def _kmeans_exact_bound(dim: int) -> int:
+    """Largest |component| M for which the vectorized assignment
+    kernel's float64 arithmetic is provably exact at dimensionality
+    ``dim``: the squared-L2 value itself is the largest intermediate,
+    dist = Σ(x−c)² ≤ dim·(2M)² = 4·dim·M², and float64 represents
+    every integer up to 2⁵³ — so exactness needs 4·dim·M² < 2⁵³, i.e.
+    M < √(2⁵³ / (4·dim)). At dim=64 that is 5 931 641 (NOT 10⁷: a
+    review round caught the looser bound admitting a measured error
+    of 3 ulp-integers near the corner — the a²+b²−2ab pieces each fit
+    but their combination doesn't). The fixture's millionths-scaled
+    unit vectors sit at 10⁶, ~6× inside; the kernel RAISES past the
+    bound rather than silently rounding."""
+    return int(((1 << 53) / (4 * dim)) ** 0.5)
+
+
+#: dim=64 instance of the bound (the fixture dimensionality) — kept as
+#: a named constant for tests and docs; the kernel derives its own
+#: bound from each batch's actual dim.
+KMEANS_UDF_ABS_MAX = _kmeans_exact_bound(64)
 
 
 def _kmeans_argmin_kernel(cids: "np.ndarray", cents: "np.ndarray"):
@@ -912,12 +924,19 @@ def _kmeans_argmin_kernel(cids: "np.ndarray", cents: "np.ndarray"):
     Arithmetic contract (what the v09/v10 DuckDB oracles pin): squared
     L2 over BIGINT-millionth components, ties broken by smallest cid.
     ``cids`` is sorted ascending, so np.argmin's first-minimum rule IS
-    the (dist, cid) lexicographic tie-break. All products and sums
-    stay under 2⁵³ (see KMEANS_UDF_ABS_MAX), so the float64 BLAS
-    matmul is bit-exact integer arithmetic — verified against the
-    pure-DataFrame HOF formulation in pytest."""
+    the (dist, cid) lexicographic tie-break. Every value up to the
+    final dist stays under 2⁵³ (see ``_kmeans_exact_bound``), so the
+    float64 BLAS matmul is bit-exact integer arithmetic — verified
+    against a python-int reference in pytest."""
     c2 = (cents.astype(np.float64) ** 2).sum(axis=1)
     cf = cents.astype(np.float64)
+    cbound = _kmeans_exact_bound(cents.shape[1]) if cents.size else 0
+    if cents.size and abs(cents).max() >= cbound:
+        raise ValueError(
+            "kmeans centroid component exceeds the exact-float64 "
+            f"bound {cbound} at dim={cents.shape[1]}; rescale "
+            "KMEANS_SCALE"
+        )
 
     def kernel(batches: "Iterable") -> "Iterator":
         import pandas as pd
@@ -926,10 +945,11 @@ def _kmeans_argmin_kernel(cids: "np.ndarray", cents: "np.ndarray"):
             if pdf.empty:
                 continue
             x = np.array([np.asarray(v, np.int64) for v in pdf["xi"]])
-            if abs(x).max() >= KMEANS_UDF_ABS_MAX:
+            bound = _kmeans_exact_bound(x.shape[1])
+            if abs(x).max() >= bound:
                 raise ValueError(
                     "kmeans component exceeds the exact-float64 bound "
-                    f"{KMEANS_UDF_ABS_MAX}; rescale KMEANS_SCALE"
+                    f"{bound} at dim={x.shape[1]}; rescale KMEANS_SCALE"
                 )
             xf = x.astype(np.float64)
             dist = (xf**2).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (

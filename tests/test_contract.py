@@ -235,15 +235,23 @@ def test_oracle_module_imports_without_pyspark():
     import subprocess
     import sys
 
+    # find_spec, not the legacy find_module/load_module pair: the
+    # legacy fallback was removed in Python 3.12, where a find_module-
+    # only finder is silently ignored and this test would pass even if
+    # the oracle module regressed to importing pyspark.
     code = (
         "import sys\n"
         "class B:\n"
-        "    def find_module(self, n, p=None):\n"
+        "    def find_spec(self, n, path=None, target=None):\n"
         "        if n == 'pyspark' or n.startswith('pyspark.'):\n"
-        "            return self\n"
-        "    def load_module(self, n):\n"
-        "        raise ImportError('blocked: ' + n)\n"
+        "            raise ImportError('blocked: ' + n)\n"
         "sys.meta_path.insert(0, B())\n"
+        "try:\n"
+        "    import pyspark\n"
+        "except ImportError:\n"
+        "    pass\n"
+        "else:\n"
+        "    raise SystemExit('blocker inert: pyspark imported')\n"
         "import aw3d30_parquet_spark.queries as q\n"
         "import aw3d30_parquet_spark.constants as c\n"
         "assert c.HLL_M == 256 and c.HLL_P == 8\n"

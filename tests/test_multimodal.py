@@ -255,3 +255,82 @@ def test_m06_frame_dedup_audit_matches_python(spark):
     assert got == want
     # non-vacuous: the fixture must contain within-video duplicates
     assert any(n > d for n, d, _ in got.values())
+
+
+def test_decode_error_contract_short_and_corrupt():
+    """Malformed bytes raise ValueError AT the codec layer (r9 review):
+    too-short payloads must not leak struct.error, corrupt RIFF must
+    not leak wave.Error."""
+    with pytest.raises(ValueError, match="too short"):
+        mm.decode_payload(b"\x01\x02\x03")
+    with pytest.raises(ValueError, match="corrupt WAV"):
+        mm.decode_payload(b"RIFF\x10\x00\x00\x00WAVEjunkjunk")
+
+
+def test_decode_metadata_only_skips_bodies():
+    """metadata_only=True returns (kind, meta, None) without touching
+    the body: RAW arms skip the buffer view, WAV stops at the chunk
+    headers, and PNG parses the IHDR directly — no Pillow required."""
+    import io
+    import struct as _struct
+    import wave
+    import zlib
+
+    # RAW family
+    for doc_id in (0, 1, 2):
+        k_full, m_full, arr = mm.decode_payload(mm._fabricate_payload(doc_id))
+        k_meta, m_meta, none = mm.decode_payload(
+            mm._fabricate_payload(doc_id), metadata_only=True
+        )
+        assert (k_meta, m_meta) == (k_full, m_full) and none is None
+    # WAV
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(44100)
+        wf.writeframes(np.zeros(64, "<i2").tobytes())
+    kind, meta, none = mm.decode_payload(buf.getvalue(), metadata_only=True)
+    assert kind == "audio" and none is None
+    assert meta == {"sample_rate": 44100, "n_samples": 32}  # 32 frames x 2ch
+    # PNG via hand-built IHDR (grayscale 12x8, color type 0) — the
+    # Pillow-free header branch
+    ihdr = _struct.pack(">II", 12, 8) + bytes([8, 0, 0, 0, 0])
+    chunk = b"IHDR" + ihdr
+    png = (
+        mm._PNG_SIG
+        + _struct.pack(">I", len(ihdr))
+        + chunk
+        + _struct.pack(">I", zlib.crc32(chunk))
+    )
+    kind, meta, none = mm.decode_payload(png, metadata_only=True)
+    assert kind == "image" and none is None
+    assert meta == {"width": 12, "height": 8, "channels": 1}
+
+
+def test_decimate_audio_multichannel_wav_keeps_pcm0_invariant(spark):
+    """r9 review: a stereo WAV through decimate_audio must re-encode
+    with body == 2*b (b = total int16 count), so the result decodes
+    cleanly — frame-count-with-interleaved-body would silently halve
+    and channel-mix the samples."""
+    import io
+    import wave
+
+    frames = np.arange(80, dtype="<i2").reshape(40, 2)  # 40 frames x 2ch
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(frames.tobytes())
+    media = spark.createDataFrame(
+        [(7, "audio", bytearray(buf.getvalue()))], schema=mm.MEDIA_SCHEMA
+    )
+    out = mm.decimate_audio(media, factor=2).collect()
+    assert len(out) == 1
+    kind, meta, arr = mm.decode_payload(bytes(out[0].payload))
+    assert kind == "audio"
+    # every 2nd FRAME kept, channels intact, interleaved flat
+    want = frames[::2].reshape(-1)
+    assert meta["n_samples"] == want.size
+    np.testing.assert_array_equal(arr, want)

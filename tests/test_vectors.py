@@ -427,9 +427,33 @@ def test_kmeans_argmin_kernel_exact_and_guarded():
     pdf2 = pd.DataFrame({"vec_id": [0], "xi": [cmat[0]]})
     out2 = pd.concat(list(_kmeans_argmin_kernel(cids2, cmat2)([pdf2])))
     assert (out2.iloc[0]["dist"], out2.iloc[0]["cid"]) == (0, 5)
-    # overflow guard
+    # exactness at the corner: components at bound-1 with opposite
+    # signs maximize dist = 4*dim*M^2 — the case the r9 review showed
+    # the old 10^7 bound got wrong by 3 integer ulps
+    from aw3d30_parquet_spark.functions.vectors import _kmeans_exact_bound
+
+    m = _kmeans_exact_bound(dim) - 1
+    corner_c = np.full((1, dim), -m, np.int64)
+    corner_c[0, -1] = -(m - 1)
+    corner_x = np.full(dim, m, np.int64)
+    out3 = pd.concat(
+        list(
+            _kmeans_argmin_kernel(np.array([0], np.int64), corner_c)(
+                [pd.DataFrame({"vec_id": [0], "xi": [corner_x]})]
+            )
+        )
+    )
+    want3 = sum(
+        (int(a) - int(b)) ** 2 for a, b in zip(corner_x, corner_c[0])
+    )
+    assert int(out3.iloc[0]["dist"]) == want3
+    # overflow guard (vector side and centroid side)
     bad = pd.DataFrame(
         {"vec_id": [0], "xi": [np.full(dim, KMEANS_UDF_ABS_MAX, np.int64)]}
     )
     with pytest.raises(ValueError, match="exact-float64 bound"):
         list(_kmeans_argmin_kernel(cids, cmat)([bad]))
+    with pytest.raises(ValueError, match="exact-float64 bound"):
+        _kmeans_argmin_kernel(
+            cids, np.full((k, dim), KMEANS_UDF_ABS_MAX, np.int64)
+        )

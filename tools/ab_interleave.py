@@ -21,9 +21,13 @@ import statistics
 import subprocess
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _loadavg  # noqa: E402  (the ONE load-sampling idiom)
+
 
 def run_arm(tree: str, only: str) -> tuple[dict[str, float], list[float]]:
-    load = list(os.getloadavg())
+    load = _loadavg()
     env = dict(
         os.environ,
         TZ="UTC",
@@ -34,8 +38,24 @@ def run_arm(tree: str, only: str) -> tuple[dict[str, float], list[float]]:
         [sys.executable, "bench.py"],
         cwd=tree, env=env, capture_output=True, text=True, timeout=900,
     )
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)["queries"], [round(x, 2) for x in load]
+    # a failed arm must surface its own stderr, not die later in a
+    # JSON parse that discards the diagnosis (and lose the whole
+    # interleaved session's collected rounds with it)
+    lines = out.stdout.strip().splitlines()
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"bench failed in {tree} (exit {out.returncode}):\n"
+            + out.stderr[-2000:]
+        )
+    try:
+        queries = json.loads(lines[-1])["queries"]
+    except (json.JSONDecodeError, KeyError) as exc:
+        raise RuntimeError(
+            f"unparseable bench stdout in {tree}: {lines[-1][:200]!r}"
+        ) from exc
+    # end-of-run load appended: a steal phase STARTING mid-run would
+    # otherwise hide behind a quiet pre-run sample
+    return queries, load + _loadavg()[:1]
 
 
 def main() -> None:
@@ -50,7 +70,8 @@ def main() -> None:
             for name, sec in qs.items():
                 results[arm].setdefault(name, []).append(sec)
             print(
-                f"round {i + 1} arm {arm} load1m={load[0]}: "
+                f"round {i + 1} arm {arm} "
+                f"load1m={load[0]}→{load[-1]}: "
                 + json.dumps(qs, sort_keys=True),
                 flush=True,
             )
@@ -65,9 +86,10 @@ def main() -> None:
         }
         for arm in results
     }
-    summary["load1m_band"] = [
-        min(l[0] for l in loads), max(l[0] for l in loads)
-    ]
+    # band over BOTH the pre-run and post-run 1-min samples — a steal
+    # phase arriving mid-run shows in the post sample
+    ones = [l[0] for l in loads] + [l[-1] for l in loads]
+    summary["load1m_band"] = [min(ones), max(ones)]
     print(json.dumps(summary, indent=1))
 
 

@@ -28,6 +28,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import _loadavg  # noqa: E402  (the ONE load-sampling idiom)
+
 
 def probe(spark, corpus: str) -> dict:
     from aw3d30_parquet_spark.functions import vectors as V
@@ -35,7 +37,7 @@ def probe(spark, corpus: str) -> dict:
     def mat(df) -> None:
         df.write.mode("overwrite").format("noop").save()
 
-    out: dict = {"corpus": corpus, "load1m": round(os.getloadavg()[0], 2)}
+    out: dict = {"corpus": corpus, "load_start": _loadavg()}
     k, n_probe, salt = V._ivf_policy(spark, corpus)
     n = V._emb(spark, corpus).count()
     out["n_vectors"] = n
@@ -69,7 +71,7 @@ def probe(spark, corpus: str) -> dict:
     es = set(zip(exact.query_id, exact.neighbor_id))
     vs = set(zip(approx.query_id, approx.neighbor_id))
     out["recall_at_5"] = round(len(es & vs) / len(es), 3)
-    out["load1m_end"] = round(os.getloadavg()[0], 2)
+    out["load_end"] = _loadavg()
     return out
 
 
