@@ -36,6 +36,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import _loadavg  # noqa: E402  (the ONE load-sampling idiom)
+
 HOT_QUERY_LO = 100_000  # replica 1's leading ids (emb-skew anchors)
 
 
@@ -91,6 +93,9 @@ def main() -> None:
                     "candidates": _candidates(
                         spark, corpus, k_clusters, lo
                     ),
+                    # post-measurement load: steal adjudication without
+                    # cross-referencing uptime by hand (bench._loadavg)
+                    "load": _loadavg(),
                 }
             )
             print(json.dumps(rows[-1]), flush=True)
