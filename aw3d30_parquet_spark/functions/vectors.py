@@ -1152,9 +1152,13 @@ def _ivf_parquet_index(
     ceil(members/target), salt = xxhash64(vec_id) mod buckets — k01's
     hot-key salting applied to physical layout). Probe semantics,
     membership and recall are unchanged (the probe joins on
-    cluster_id; salt only bounds per-directory/file size), but a hot
-    cluster holding 1/3 of a 100 TB corpus becomes many
-    target-sized files instead of one elephant partition — the
+    cluster_id; salt is physical only), and under the r9 clustered
+    write salt does DOUBLE duty: it bounds per-leaf file size AND
+    restores intra-cluster scan parallelism that one-file-per-
+    directory would serialize (measured hot-probe 25.8→15.8 s on the
+    skew corpus — SCALING.md). A hot cluster holding 1/3 of a 100 TB
+    corpus becomes many target-sized, parallel-scannable files
+    instead of one elephant partition — the
     measured emb-skew fixture puts 66k of 200k vectors in ONE cluster
     that even k_clusters=64 Lloyd cannot split (a point mass tighter
     than any inter-centroid gap stays whole), so layout salting, not
