@@ -334,3 +334,29 @@ def test_decimate_audio_multichannel_wav_keeps_pcm0_invariant(spark):
     want = frames[::2].reshape(-1)
     assert meta["n_samples"] == want.size
     np.testing.assert_array_equal(arr, want)
+
+
+def test_decode_payload_total_on_garbage():
+    """Totality fuzz for the r9 error contract: arbitrary bytes either
+    decode or raise ValueError/NotImplementedError — never a leaked
+    struct.error, wave.Error, EOFError, or bare RuntimeError. Seeded
+    random payloads plus signature-prefixed garbage (the dispatch's
+    three real-format branches) in both full and metadata-only modes."""
+    rng = np.random.default_rng(13)
+    cases = [bytes(rng.integers(0, 256, n, dtype=np.uint8).tolist())
+             for n in (0, 1, 3, 15, 16, 17, 64, 300)]
+    cases += [
+        mm._PNG_SIG + bytes(rng.integers(0, 256, 20, dtype=np.uint8).tolist()),
+        b"\xff\xd8\xff" + b"\0" * 40,
+        b"RIFF\xff\xff\x00\x00WAVE" + bytes(range(48)),
+        b"\x00\x00\x00\x18ftypmp42" + b"\0" * 40,
+        mm._MAGIC_IMAGE + b"\x01",  # RAW magic, truncated header
+        mm._pack_header(mm._MAGIC_AUDIO, 8000, 10**6, 0),  # lying count
+    ]
+    for payload in cases:
+        for meta_only in (False, True):
+            try:
+                out = mm.decode_payload(payload, metadata_only=meta_only)
+            except (ValueError, NotImplementedError):
+                continue
+            assert isinstance(out, tuple) and len(out) == 3, payload[:12]
