@@ -314,8 +314,12 @@ def _decode_wav(
 ) -> tuple[str, dict, np.ndarray | None]:
     """PCM16 WAV via the stdlib ``wave`` module — a REAL codec branch
     with no third-party dependency. Output shape matches the PCM0 arm:
-    int16 samples, {sample_rate, n_samples} metadata. ``metadata_only``
-    stops after the chunk headers (``wave`` reads data lazily), so the
+    int16 samples, {sample_rate, n_samples} metadata, where
+    ``n_samples`` is the TOTAL int16 count (frames × channels) — the
+    PCM0 convention — so the feature column means the same thing for
+    every audio format (ADVICE r9: a stereo WAV must not report half
+    the figure of an equivalent PCM0 row). ``metadata_only`` stops
+    after the chunk headers (``wave`` reads data lazily), so the
     header-only contract holds for real formats too. Corrupt RIFF
     surfaces as ValueError, not a bare ``wave.Error``."""
     import io
@@ -329,7 +333,7 @@ def _decode_wav(
                     f"no decoder for {8 * sw}-bit WAV: only PCM16 is wired"
                 )
             sr, n = wf.getframerate(), wf.getnframes()
-            meta = {"sample_rate": sr, "n_samples": n}
+            meta = {"sample_rate": sr, "n_samples": n * ch}
             if metadata_only:
                 return "audio", meta, None
             frames = wf.readframes(n)
@@ -348,7 +352,86 @@ def _decode_wav(
     return "audio", meta, arr
 
 
-def _decode_video_real(payload: bytes) -> tuple[str, dict, np.ndarray]:
+def _bmff_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, box_end) for each ISO-BMFF box in
+    buf[start:end] (ISO/IEC 14496-12 §4.2: 32-bit size + fourcc, with
+    the size==1 64-bit largesize and size==0 to-end escapes)."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(buf[pos : pos + 4], "big")
+        btype = buf[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("corrupt ISO-BMFF: truncated largesize")
+            size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+            hdr = 16
+        elif size == 0:  # box extends to end of file
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(
+                f"corrupt ISO-BMFF: box {btype!r} size {size} overruns"
+            )
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _bmff_video_meta(payload: bytes) -> dict:
+    """Header-only ISO-BMFF metadata: width/height from the video
+    track's ``tkhd`` (16.16 fixed point, the box's last 8 bytes) and
+    n_frames from its ``stbl/stsz`` sample_count — a pure moov-box walk
+    with no codec library, the video twin of the Pillow-free PNG IHDR
+    path, so extract_features(metadata_only=True) never touches frame
+    bodies (ADVICE r9)."""
+
+    def children(span):  # (start, end) → {type: (start, end), ...} first-wins
+        out = {}
+        for t, s, e in _bmff_boxes(payload, *span):
+            out.setdefault(t, (s, e))
+        return out
+
+    top = children((0, len(payload)))
+    if b"moov" not in top:
+        raise ValueError("corrupt ISO-BMFF: no moov box")
+    for t, s, e in _bmff_boxes(payload, *top[b"moov"]):
+        if t != b"trak":
+            continue
+        trak = children((s, e))
+        if b"tkhd" not in trak or b"mdia" not in trak:
+            continue
+        mdia = children(trak[b"mdia"])
+        hdlr = mdia.get(b"hdlr")
+        # handler_type 'vide' marks the video track (byte 8 of hdlr body)
+        if not hdlr or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        ts, te = trak[b"tkhd"]
+        if te - ts < 8:
+            raise ValueError("corrupt ISO-BMFF: short tkhd")
+        w = int.from_bytes(payload[te - 8 : te - 4], "big") >> 16
+        h = int.from_bytes(payload[te - 4 : te], "big") >> 16
+        n_frames = None
+        if b"minf" in mdia:
+            stbl = children(mdia[b"minf"]).get(b"stbl")
+            if stbl:
+                stsz = children(stbl).get(b"stsz")
+                if stsz and stsz[1] - stsz[0] >= 12:
+                    # stsz body: version+flags, sample_size, sample_count
+                    n_frames = int.from_bytes(
+                        payload[stsz[0] + 8 : stsz[0] + 12], "big"
+                    )
+        if n_frames is None:
+            raise ValueError("corrupt ISO-BMFF: video track without stsz")
+        return {"width": w, "height": h, "n_frames": n_frames}
+    raise ValueError("corrupt ISO-BMFF: no video track in moov")
+
+
+def _decode_video_real(
+    payload: bytes, metadata_only: bool = False
+) -> tuple[str, dict, np.ndarray | None]:
+    if metadata_only:
+        # moov box walk — no PyAV, no frame decode (ADVICE r9: the
+        # header-only contract must hold for every format)
+        return "video", _bmff_video_meta(payload), None
     try:
         import av  # conditional: absent in this container
     except ImportError as exc:
@@ -391,7 +474,7 @@ def decode_payload(
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload, metadata_only)
     if payload[4:8] == b"ftyp":  # ISO-BMFF (MP4/MOV) box structure
-        return _decode_video_real(payload)
+        return _decode_video_real(payload, metadata_only)
     if len(payload) < _HEADER_SIZE:
         raise ValueError(
             f"payload too short for any known container "
@@ -496,20 +579,35 @@ def extract_features(media: DataFrame, metadata_only: bool = False) -> DataFrame
 
             intensity = np.zeros(n, np.float64)
             pix = is_img | is_vid  # both carry uint8 bodies of a·b·c
+            # degenerate zero-length bodies (0-frame video, 0-sample
+            # audio) keep the lanes' 0.0 default instead of emitting a
+            # 0/0 NaN with a runtime warning (ADVICE r9)
             if not metadata_only and pix.any():
                 idx = np.nonzero(pix)[0]
                 lens = (a * b * c)[idx]
                 big = np.frombuffer(
                     b"".join(payloads[i][_HEADER_SIZE:] for i in idx), np.uint8
                 )
-                intensity[idx] = _segment_sums(big, lens) / lens
+                intensity[idx] = np.divide(
+                    _segment_sums(big, lens),
+                    lens,
+                    out=np.zeros(len(idx)),
+                    where=lens > 0,
+                )
             if not metadata_only and is_aud.any():
                 idx = np.nonzero(is_aud)[0]
                 lens = b[idx]
                 xs = np.frombuffer(
                     b"".join(payloads[i][_HEADER_SIZE:] for i in idx), "<i2"
                 ).astype(np.float64)
-                intensity[idx] = np.sqrt(_segment_sums(xs * xs, lens) / lens)
+                intensity[idx] = np.sqrt(
+                    np.divide(
+                        _segment_sums(xs * xs, lens),
+                        lens,
+                        out=np.zeros(len(idx)),
+                        where=lens > 0,
+                    )
+                )
 
             def opt(vals: np.ndarray, mask: np.ndarray) -> pd.Series:
                 s = pd.Series(vals.astype("int32"), dtype="Int32")
@@ -533,7 +631,10 @@ def extract_features(media: DataFrame, metadata_only: bool = False) -> DataFrame
                 }
             )
             # merge the real-format slow-path rows (same feature
-            # semantics as the RAW lanes: mean pixel / RMS sample)
+            # semantics as the RAW lanes: mean pixel / RMS sample;
+            # empty decoded arrays — zero-frame video, zero-frame WAV —
+            # take the lanes' 0.0 default, not a NaN-with-warning
+            # (ADVICE r9))
             for i, (k, meta, arr) in slow.items():
                 frame.loc[i, "kind"] = k
                 frame.loc[i, "payload_bytes"] = len(payloads[i])
@@ -542,21 +643,27 @@ def extract_features(media: DataFrame, metadata_only: bool = False) -> DataFrame
                     frame.loc[i, "height"] = meta["height"]
                     frame.loc[i, "channels"] = meta["channels"]
                     if not metadata_only:
-                        frame.loc[i, "intensity"] = float(arr.mean())
+                        frame.loc[i, "intensity"] = (
+                            float(arr.mean()) if arr.size else 0.0
+                        )
                 elif k == "audio":
                     frame.loc[i, "sample_rate"] = meta["sample_rate"]
                     frame.loc[i, "n_samples"] = meta["n_samples"]
                     if not metadata_only:
                         xs = arr.astype(np.float64)
-                        frame.loc[i, "intensity"] = float(
-                            np.sqrt((xs * xs).mean())
+                        frame.loc[i, "intensity"] = (
+                            float(np.sqrt((xs * xs).mean()))
+                            if xs.size
+                            else 0.0
                         )
                 else:
                     frame.loc[i, "width"] = meta["width"]
                     frame.loc[i, "height"] = meta["height"]
                     frame.loc[i, "n_frames"] = meta["n_frames"]
                     if not metadata_only:
-                        frame.loc[i, "intensity"] = float(arr.mean())
+                        frame.loc[i, "intensity"] = (
+                            float(arr.mean()) if arr.size else 0.0
+                        )
             yield frame
 
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)

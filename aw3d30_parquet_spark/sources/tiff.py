@@ -213,7 +213,7 @@ def _lzw_encode(raw: bytes) -> bytes:
     return bytes(out)
 
 
-def _lzw_decode(data: bytes) -> bytes:
+def _lzw_decode(data: bytes, expected_bytes: int | None = None) -> bytes:
     """Decode one TIFF LZW stream (one strip or tile).
 
     Code extraction is vectorized: the stream's bits are unpacked once,
@@ -222,6 +222,12 @@ def _lzw_decode(data: bytes) -> bytes:
     Clear code, so each run is a single reshape+dot) — only the
     table-update loop stays per-code Python. ~20× faster than a
     read-one-code-at-a-time loop on DEM-sized tiles.
+
+    ``expected_bytes`` is the chunk's decoded size (rows × width ×
+    itemsize, known from the IFD): TIFF 6.0 §13 requires an EOI code,
+    but some historical encoders omit it, so a stream that already
+    produced the full chunk is accepted without one (ADVICE r9) —
+    missing EOI only means truncation when the output is SHORT.
     """
     out = bytearray()
     bits = np.unpackbits(np.frombuffer(data, np.uint8)).astype(np.int32)
@@ -283,27 +289,35 @@ def _lzw_decode(data: bytes) -> bytes:
             pending, pi = [], 0
             width += 1
         prev = entry
-    if not saw_eoi:
+    if not saw_eoi and (expected_bytes is None or len(out) < expected_bytes):
         # TIFF 6.0 §13 requires an EndOfInformation code to terminate
         # every strip/tile stream; running out of bits first means the
-        # payload was truncated or corrupt. Fail HERE with a codec-layer
-        # error rather than letting the short buffer surface later as a
-        # baffling np.frombuffer/reshape shape mismatch.
+        # payload was truncated or corrupt — UNLESS the full chunk was
+        # already decoded (expected_bytes reached), which some real
+        # encoders produce. Fail HERE with a codec-layer error rather
+        # than letting the short buffer surface later as a baffling
+        # np.frombuffer/reshape shape mismatch.
         raise ValueError(
             "truncated LZW stream: bitstream exhausted before EOI "
-            f"(decoded {len(out)} bytes)"
+            f"(decoded {len(out)} bytes"
+            + (f", expected {expected_bytes})" if expected_bytes else ")")
         )
     return bytes(out)
 
 
 def _decompress_chunk(
-    data: bytes, offset: int, count: int, compression: int, dtype: np.dtype
+    data: bytes,
+    offset: int,
+    count: int,
+    compression: int,
+    dtype: np.dtype,
+    expected_bytes: int | None = None,
 ) -> np.ndarray:
     if compression == 1:
         return np.frombuffer(data, dtype, count // dtype.itemsize, offset)
     raw = data[offset : offset + count]
     if compression == 5:
-        return np.frombuffer(_lzw_decode(raw), dtype)
+        return np.frombuffer(_lzw_decode(raw, expected_bytes), dtype)
     return np.frombuffer(zlib.decompress(raw), dtype)  # 8 / legacy 32946
 
 
@@ -353,7 +367,9 @@ def decode_geotiff(data: bytes) -> tuple[np.ndarray, GeoTransform]:
             )
         band = np.empty((down * tl, across * tw), dtype=np.int32)
         for idx, (o, c) in enumerate(zip(offsets, counts)):
-            tile = _decompress_chunk(data, o, c, compression, dtype)
+            tile = _decompress_chunk(
+                data, o, c, compression, dtype, tl * tw * dtype.itemsize
+            )
             if predictor == 2:
                 # differencing resets at each tile row (row width = tw)
                 tile = tile.reshape(-1, tw).cumsum(axis=1, dtype=dtype)
@@ -365,9 +381,18 @@ def decode_geotiff(data: bytes) -> tuple[np.ndarray, GeoTransform]:
 
     offsets = tags[_TAG_STRIP_OFFSETS]
     counts = tags[_TAG_STRIP_BYTE_COUNTS]
+    rps = int(tags.get(_TAG_ROWS_PER_STRIP, [height])[0]) or height
     chunks = [
-        _decompress_chunk(data, o, c, compression, dtype)
-        for o, c in zip(offsets, counts)
+        _decompress_chunk(
+            data,
+            o,
+            c,
+            compression,
+            dtype,
+            # last strip holds only the remaining rows
+            min(rps, height - i * rps) * width * dtype.itemsize,
+        )
+        for i, (o, c) in enumerate(zip(offsets, counts))
     ]
     if predictor == 2:
         # horizontal differencing: samples are row-wise deltas; undo with

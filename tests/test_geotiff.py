@@ -1121,3 +1121,34 @@ def test_mixed_resolution_halo_accepts_tier_adjacency(spark, tmp_path):
 
     got = read_tile_gradients_seamless(spark, tdir, "netherlands").collect()
     assert len(got) == na * na + nb * nb
+
+
+def test_lzw_missing_eoi_tolerated_when_output_complete():
+    """TIFF 6.0 requires EOI, but some real-world encoders omit it —
+    a stream that already produced the full chunk (expected_bytes from
+    the IFD) decodes; a genuinely short stream still raises, with or
+    without the expectation (ADVICE r9)."""
+    from aw3d30_parquet_spark.sources.tiff import _lzw_decode
+
+    def pack9(codes):  # 9-bit big-endian bit packing, no EOI
+        acc = nbits = 0
+        out = bytearray()
+        for c in codes:
+            acc = (acc << 9) | c
+            nbits += 9
+            while nbits >= 8:
+                out.append((acc >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    no_eoi = pack9([256, 65, 66, 67])  # CLEAR 'A' 'B' 'C', no EOI
+    # full output produced → missing EOI is a padding quirk
+    assert _lzw_decode(no_eoi, expected_bytes=3) == b"ABC"
+    # no expectation → strict spec behavior, codec-layer error
+    with pytest.raises(ValueError, match="truncated LZW"):
+        _lzw_decode(no_eoi)
+    # short output → truncation even with the expectation
+    with pytest.raises(ValueError, match="truncated LZW"):
+        _lzw_decode(no_eoi, expected_bytes=4)

@@ -292,7 +292,9 @@ def test_decode_metadata_only_skips_bodies():
         wf.writeframes(np.zeros(64, "<i2").tobytes())
     kind, meta, none = mm.decode_payload(buf.getvalue(), metadata_only=True)
     assert kind == "audio" and none is None
-    assert meta == {"sample_rate": 44100, "n_samples": 32}  # 32 frames x 2ch
+    # n_samples is TOTAL int16 count (32 frames x 2ch — the PCM0
+    # convention, uniform across formats since the r9 ADVICE fix)
+    assert meta == {"sample_rate": 44100, "n_samples": 64}
     # PNG via hand-built IHDR (grayscale 12x8, color type 0) — the
     # Pillow-free header branch
     ihdr = _struct.pack(">II", 12, 8) + bytes([8, 0, 0, 0, 0])
@@ -360,3 +362,103 @@ def test_decode_payload_total_on_garbage():
             except (ValueError, NotImplementedError):
                 continue
             assert isinstance(out, tuple) and len(out) == 3, payload[:12]
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _mini_mp4(width=24, height=18, n_frames=9) -> bytes:
+    """Minimal ISO-BMFF box tree with one audio trak (skipped) and one
+    video trak carrying tkhd dims + stsz sample_count — enough for the
+    PyAV-free header walk, none of the media data."""
+    tkhd = b"\0" * 76 + struct.pack(">II", width << 16, height << 16)
+    stsz = struct.pack(">III", 0, 0, n_frames)  # vflags, size, count
+    vide_trak = _box(
+        b"trak",
+        _box(b"tkhd", tkhd)
+        + _box(
+            b"mdia",
+            _box(b"hdlr", b"\0" * 8 + b"vide" + b"\0" * 12)
+            + _box(b"minf", _box(b"stbl", _box(b"stsz", stsz))),
+        ),
+    )
+    soun_trak = _box(
+        b"trak",
+        _box(b"tkhd", b"\0" * 84)
+        + _box(b"mdia", _box(b"hdlr", b"\0" * 8 + b"soun" + b"\0" * 12)),
+    )
+    return (
+        _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        + _box(b"moov", soun_trak + vide_trak)
+    )
+
+
+def test_bmff_metadata_only_header_walk():
+    """metadata_only video: a pure moov-box walk (no PyAV) returns
+    width/height from the video trak's tkhd and n_frames from stsz —
+    the header-only contract holds for ISO-BMFF like it does for PNG
+    IHDR and WAV chunk headers (ADVICE r9). Full decode still names
+    PyAV as the missing library."""
+    mp4 = _mini_mp4(width=24, height=18, n_frames=9)
+    kind, meta, none = mm.decode_payload(mp4, metadata_only=True)
+    assert kind == "video" and none is None
+    assert meta == {"width": 24, "height": 18, "n_frames": 9}
+    with pytest.raises(NotImplementedError, match="PyAV"):
+        mm.decode_payload(mp4)
+    # corrupt trees raise ValueError at the codec layer, not IndexError
+    for bad in (
+        _box(b"ftyp", b"isom"),  # no moov at all
+        _box(b"ftyp", b"isom") + _box(b"moov", b""),  # no trak
+        mp4[:40],  # truncated mid-box
+    ):
+        with pytest.raises(ValueError):
+            mm.decode_payload(bad, metadata_only=True)
+
+
+def test_extract_features_metadata_only_video_slow_path(spark):
+    """An ISO-BMFF payload under extract_features(metadata_only=True)
+    routes through the header-only box walk — dims populated, intensity
+    stays the 0.0 default, and no PyAV import is attempted."""
+    rows = [
+        (0, "video", bytearray(_mini_mp4(width=32, height=20, n_frames=7))),
+        (1, "image", bytearray(mm._fabricate_payload(0))),
+    ]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    out = (
+        mm.extract_features(media, metadata_only=True)
+        .toPandas()
+        .set_index("media_id")
+    )
+    vid = out.loc[0]
+    assert vid["kind"] == "video"
+    assert (vid["width"], vid["height"], vid["n_frames"]) == (32, 20, 7)
+    assert vid["intensity"] == 0.0
+
+
+def test_empty_bodies_intensity_zero(spark):
+    """Degenerate payloads (zero-sample PCM0, zero-frame VID0, zero-
+    frame WAV on the slow path) yield intensity 0.0 — never a 0/0 NaN
+    with a runtime warning (ADVICE r9)."""
+    import io
+    import warnings
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"")
+    rows = [
+        (0, "audio", bytearray(mm._pack_header(mm._MAGIC_AUDIO, 8000, 0, 0))),
+        (1, "video", bytearray(mm._pack_header(mm._MAGIC_VIDEO, 4, 4, 0))),
+        (2, "audio", bytearray(buf.getvalue())),
+        (3, "image", bytearray(mm._fabricate_payload(0))),  # sane control
+    ]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = mm.extract_features(media).toPandas().set_index("media_id")
+    assert (out.loc[[0, 1, 2], "intensity"] == 0.0).all()
+    assert out.loc[3, "intensity"] > 0.0

@@ -26,8 +26,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import _loadavg  # noqa: E402  (the ONE load-sampling idiom)
 
 
-def run_arm(tree: str, only: str) -> tuple[dict[str, float], list[float]]:
-    load = _loadavg()
+def run_arm(tree: str, only: str) -> tuple[dict[str, float], list]:
+    # _loadavg() is [] where os.getloadavg is unsupported — substitute
+    # None so the later load[0]/load[-1] prints and the band computation
+    # degrade like bench.py does instead of crashing the whole
+    # interleaved session (ADVICE r9)
+    load = _loadavg() or [None]
     env = dict(
         os.environ,
         TZ="UTC",
@@ -55,7 +59,7 @@ def run_arm(tree: str, only: str) -> tuple[dict[str, float], list[float]]:
         ) from exc
     # end-of-run load appended: a steal phase STARTING mid-run would
     # otherwise hide behind a quiet pre-run sample
-    return queries, load + _loadavg()[:1]
+    return queries, load + (_loadavg()[:1] or [None])
 
 
 def main() -> None:
@@ -87,9 +91,12 @@ def main() -> None:
         for arm in results
     }
     # band over BOTH the pre-run and post-run 1-min samples — a steal
-    # phase arriving mid-run shows in the post sample
-    ones = [l[0] for l in loads] + [l[-1] for l in loads]
-    summary["load1m_band"] = [min(ones), max(ones)]
+    # phase arriving mid-run shows in the post sample (None samples from
+    # loadavg-less platforms are excluded; band degrades to null)
+    ones = [
+        x for l in loads for x in (l[0], l[-1]) if x is not None
+    ]
+    summary["load1m_band"] = [min(ones), max(ones)] if ones else None
     print(json.dumps(summary, indent=1))
 
 
