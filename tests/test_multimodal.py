@@ -462,3 +462,37 @@ def test_empty_bodies_intensity_zero(spark):
         out = mm.extract_features(media).toPandas().set_index("media_id")
     assert (out.loc[[0, 1, 2], "intensity"] == 0.0).all()
     assert out.loc[3, "intensity"] > 0.0
+
+
+def test_m07_wav_corpus_goes_through_signature_dispatch(spark):
+    """Every m07 payload is a genuine RIFF/WAVE container (the decode
+    routes through _decode_wav, never the RAW arm), the stdlib encoder's
+    44-byte framing holds, and stereo rows report the PCM0 total-sample
+    convention."""
+    rows = (
+        mm.wav_media_table(spark, SF)
+        .limit(20)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        payload = bytes(r.payload)
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        p = mm.media_params(r.media_id)
+        assert len(payload) == 44 + 2 * p["n_samples"]
+        kind, meta, arr = mm.decode_payload(payload)
+        assert kind == "audio"
+        assert meta["n_samples"] == p["n_samples"]  # total, even stereo
+        assert meta["sample_rate"] == p["sample_rate"]
+        np.testing.assert_array_equal(
+            np.asarray(arr).reshape(-1),
+            (p["seed"] + np.arange(p["n_samples"])) % 4096 - 2048,
+        )
+
+
+def test_m07_oracle(spark, duck_t2):
+    from aw3d30_parquet_spark.oracle import compare
+
+    df = mm.m07_wav_ingest_energy(spark, "/root/testdata/sf0.01")
+    ok, h1, h2 = compare(df, duck_t2, mm.ORACLE_SQL["m07_wav_ingest_energy"])
+    assert ok, (h1, h2)
