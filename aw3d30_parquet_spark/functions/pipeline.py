@@ -134,6 +134,11 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BENCH_MOD = 97  # doc_id % 97 == 0 marks the held-out "benchmark" set
 LEAK_FLAG = 0.5
+#: bench-side broadcast gate for p05's asymmetric plan: (doc_id, h)
+#: rows are 16 B, so 5 M rows ≈ 80 MB broadcast — safely under executor
+#: memory at any realistic eval-set size (eval sets are FIXED-size in
+#: production; only the fixture's %97 rule grows bench with the corpus)
+P05_BENCH_BROADCAST_CAP = 5_000_000
 
 #: funnel predicates, applied cumulatively (lang allowlist → minimum
 #: token count → stopword-hit quality gate → exact dedup survivors)
@@ -151,45 +156,77 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pulled. Here the "benchmark" is the ``doc_id % 97 == 0`` slice of
     ``documents`` and train is the rest.
 
-    Scale shape (one corpus scan, same single-scan discipline as d04):
+    Scale shape — the r10 asymmetric plan (the d13-style bound the r9
+    100× probe demanded; see SCALING.md "Round-10 probes"):
 
     - shingle both splits from one shingled relation; join key is
       ``xxhash64(shingle)`` (8-byte ints shuffle, never strings);
-    - the train side is reduced to *distinct* hashes before the join —
-      partial (map-side) distinct means the shuffle carries unique
-      hashes per partition, not every token occurrence;
-    - bench side is tiny by construction (an eval set, ~1/97 of the
-      corpus here, fixed-size in real life) → at scale it broadcasts
-      and the leak count is a map-side probe of the train hash stream.
+    - the bench side (an eval set — FIXED-size in production; ~1/97 of
+      the corpus under the fixture's rule) persists once and its
+      measured row count gates the plan, the d12/p12 discipline:
+    - **small bench (the production case): broadcast-probe.** The
+      (doc_id, h) bench relation broadcasts; every train shingle
+      OCCURRENCE probes it map-side (inner broadcast-hash join — the
+      corpus-sized relation is scanned but never shuffled), and only
+      the HIT rows reach a shuffle, deduped per (bench doc, shingle)
+      by a partial-first distinct. The r9 probe measured the old
+      plan's train-side ``distinct()`` at 7.7 M shuffled rows for the
+      510 k-doc corpus — linear in the corpus by construction; this
+      plan's shuffle is bounded by leak volume instead, which is what
+      a 100 TB decontamination pass actually affords.
+    - **large bench (fixture stress): shuffled hash join.** Train is
+      reduced to distinct hashes (partial/map-side first) and
+      left-joined — the r9 shape, kept as the fallback because
+      broadcasting an oversized bench is worse than shuffling.
 
     A leaked shingle is counted once per bench doc (both sides
     distinct), so ``leak_frac`` is exact set overlap, not occurrence
-    counting.
+    counting; both plans produce byte-identical output.
     """
-    from aw3d30_parquet_spark.functions.dedup import _shingles
+    from aw3d30_parquet_spark.functions.dedup import _scratch_persist, _shingles
 
     sh = _docs(spark, sf_dir).select(
         "doc_id",
         (F.col("doc_id") % BENCH_MOD == 0).alias("is_bench"),
         _shingles(F.col("text")).alias("shs"),
     )
-    bench = sh.filter("is_bench").select(
-        "doc_id", F.explode_outer("shs").alias("s")
-    ).select("doc_id", F.xxhash64("s").alias("h"))
-    train = (
+    bench = _scratch_persist(
+        "p05",
+        sh.filter("is_bench")
+        .select("doc_id", F.explode_outer("shs").alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("h")),
+    )
+    train_occ = (
         sh.filter(~F.col("is_bench"))
         .select(F.explode_outer("shs").alias("s"))
         .select(F.xxhash64("s").alias("h"))
-        .distinct()
-        .withColumn("hit", F.lit(1))
     )
+    n_sh = bench.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    if bench.count() <= P05_BENCH_BROADCAST_CAP:
+        # asymmetric broadcast-probe: train occurrences stream through a
+        # map-side hash probe; only hits shuffle (for the per-(doc, h)
+        # distinct — Spark plans it partial-first)
+        hits = (
+            train_occ.join(F.broadcast(bench), "h")
+            .select("doc_id", "h")
+            .distinct()
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hit"))
+        )
+    else:
+        hits = (
+            bench.join(
+                train_occ.distinct().withColumn("hit", F.lit(1)), "h", "left"
+            )
+            .groupBy("doc_id")
+            .agg(F.count("hit").alias("n_hit"))
+        )
     leak = F.floor(
         F.col("n_hit") / F.col("n_sh").cast("double") * 100 + 0.5
     ).cast("bigint") / 100.0
     return (
-        bench.join(train, "h", "left")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_sh"), F.count("hit").alias("n_hit"))
+        n_sh.join(hits, "doc_id", "left")
+        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
         .select(
             "doc_id",
             "n_sh",

@@ -437,3 +437,23 @@ def test_v09_assignment_is_shuffle_free_map(spark):
     assert "hashpartitioning" not in plan.lower(), plan
     assert "MapInPandas" in plan, plan
     assert not has_node(assign, "Window"), plan
+
+
+def test_p05_small_bench_is_broadcast_probe(spark):
+    """r10 scale posture (the r9 100× probe's finding): under the
+    bench-size gate, p05's train side STREAMS through a broadcast-hash
+    probe — the corpus-sized shingle relation is never shuffled. The
+    r9 shape (train .distinct() then shuffled left join) exchanged a
+    corpus-linear hash relation (7.7 M rows at the 510 k-doc corpus);
+    this pin fails if that shape comes back: the only hashpartitioning
+    Exchanges allowed are keyed by doc_id (the bounded per-bench-doc
+    aggregates and the hit distinct), never by the bare shingle hash."""
+    import re
+
+    from aw3d30_parquet_spark.functions.pipeline import decontaminate
+
+    df = decontaminate(spark, SF)
+    plan = formatted_plan(df)
+    assert has_node(df, "BroadcastHashJoin"), plan
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "doc_id" in m.group(1), m.group(0)

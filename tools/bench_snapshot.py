@@ -1,0 +1,133 @@
+"""Committed-bench-snapshot protocol (r9 verdict item 5).
+
+The host delivers CPU steal in ~10-minute waves (six same-label r9 runs
+spanned 87.9–117.4 s on identical code), so a SINGLE bench run is weak
+evidence by construction. This tool mechanizes what ab_interleave.py
+does for two arms, for the ONE committed snapshot: run the full suite N
+times in fresh processes (cold JVM each, so every round samples its own
+load phase), then write bench_results.json as the per-query
+min-over-rounds artifact — min-spread is the steal-proof statistic
+(steal only ever ADDS wall-clock), with per-round medians, host_load
+windows, and the across-rounds band kept alongside so SCALING.md drift
+sections can cite the file without fresh A/Bs.
+
+Usage:
+    python tools/bench_snapshot.py [rounds] [label]
+
+Writes bench_results.json (schema superset of a single bench.py run:
+`queries` become min-over-rounds, `snapshot` carries the protocol
+record) and appends one labeled row to bench_history.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RESULTS = os.path.join(HERE, "bench_results.json")
+
+
+def run_round(idx: int) -> dict:
+    env = dict(os.environ, TZ="UTC")
+    env.pop("SPARK_GRAFT_BENCH_ONLY", None)  # snapshots are full-suite
+    env.pop("SPARK_GRAFT_BENCH_LABEL", None)  # history row written once, merged
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=HERE, env=env, capture_output=True, text=True, timeout=1800,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(
+            f"bench round {idx} failed (exit {out.returncode}):\n"
+            + out.stderr[-2000:]
+        )
+    # bench.py just wrote the full-fidelity artifact for this round
+    with open(RESULTS) as fh:
+        return json.load(fh)
+
+
+def main() -> None:
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    label = sys.argv[2] if len(sys.argv) > 2 else None
+    runs: list[dict] = []
+    for i in range(rounds):
+        t0 = time.time()
+        runs.append(run_round(i))
+        print(
+            f"round {i + 1}/{rounds}: value={runs[-1]['value']} "
+            f"host_load={runs[-1].get('host_load')} "
+            f"({round(time.time() - t0, 1)}s wall)",
+            flush=True,
+        )
+
+    names = sorted(runs[0]["queries"])
+    per_round = {n: [r["queries"][n] for r in runs] for n in names}
+    merged = dict(runs[-1])  # structure/keys from the newest run
+    merged["queries"] = {n: min(v) for n, v in per_round.items()}
+    merged["value"] = round(sum(merged["queries"].values()), 4)
+    merged["metric"] = "declared_suite_total_sec_min_over_rounds"
+    families: dict[str, float] = {}
+    for n, sec in merged["queries"].items():
+        families[n[0]] = families.get(n[0], 0.0) + sec
+    merged["family_sec"] = {k: round(v, 3) for k, v in sorted(families.items())}
+    merged["stable_q01_q28_sec"] = round(
+        sum(
+            sec for n, sec in merged["queries"].items()
+            if n[0] == "q" and n[1:3].isdigit() and int(n[1:3]) <= 28
+        ),
+        4,
+    )
+    # across-ROUNDS band replaces the within-run spread: each round is a
+    # fresh process in its own load phase, so this band IS the
+    # steal-noise envelope for this code
+    merged["spread"] = {
+        n: {
+            "min": round(min(v), 4),
+            "med": round(statistics.median(v), 4),
+            "max": round(max(v), 4),
+        }
+        for n, v in per_round.items()
+    }
+    merged["snapshot"] = {
+        "protocol": "min-over-interleaved-rounds",
+        "rounds": rounds,
+        "round_totals": [r["value"] for r in runs],
+        "round_host_load": [r.get("host_load") for r in runs],
+        "round_ingest_sec": [
+            r.get("ingest", {}).get("sec") for r in runs
+        ],
+    }
+    # ingest: keep the fastest round's block (same steal-proof logic)
+    ingests = [r["ingest"] for r in runs if "ingest" in r]
+    if ingests:
+        merged["ingest"] = min(ingests, key=lambda g: g["sec"])
+    with open(RESULTS, "w") as fh:
+        json.dump(merged, fh, indent=1)
+        fh.write("\n")
+    if label:
+        with open(os.path.join(HERE, "bench_history.jsonl"), "a") as fh:
+            fh.write(
+                json.dumps(
+                    dict(merged, label=label, ts=round(time.time(), 1)),
+                    separators=(",", ":"),
+                )
+                + "\n"
+            )
+    print(
+        json.dumps(
+            {
+                "value": merged["value"],
+                "rounds": rounds,
+                "round_totals": merged["snapshot"]["round_totals"],
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -40,6 +40,13 @@ from aw3d30_parquet_spark.functions.dedup import (  # noqa: E402
     EDIT_N_GRAMS,
     EDIT_PREFIX,
     EDIT_Q,
+    SPAN_STRIDE,
+    SPAN_WIDTH,
+)
+from aw3d30_parquet_spark.functions.pipeline import (  # noqa: E402
+    BENCH_MOD,
+    BOILER_CHUNK_TOKENS,
+    BOILER_MIN_DOCS,
 )
 from aw3d30_parquet_spark.functions.text import (  # noqa: E402
     BM25_QUERY_CAP,
@@ -381,6 +388,128 @@ SELECT count(*) FROM (
   ON a.gr = b.gr AND abs(a.pos - b.pos) <= {EDIT_D}
   GROUP BY 1, 2 HAVING count(*) >= {EDIT_MIN_SHARED}
 )""",
+    )
+    # ------------------------------------------------ d16 substring spans
+    # VERDICT r9 #3: the digest-groupBy posture was measured only to
+    # 10×. Window inventory mirrors the d16 oracle's own CTEs (stride-S
+    # generate_series + md5(substr)); the volume drivers are the
+    # inventory itself (the only corpus-sized shuffle), the ≥2-doc dup
+    # digest set, the dup-window join-back rows, and the merged spans.
+    D16 = f"""
+, w16 AS (
+  SELECT doc_id,
+         unnest(generate_series(1, length(text) - {SPAN_WIDTH - 1},
+                                {SPAN_STRIDE})) AS p,
+         text
+  FROM read_parquet('{d}/documents.parquet')
+  WHERE length(text) >= {SPAN_WIDTH}
+), g16 AS (
+  SELECT doc_id, p, md5(substr(text, p, {SPAN_WIDTH})) AS h FROM w16
+)
+"""
+    put(
+        "d16_window_rows",
+        BASE.format(d=d) + D16 + "SELECT count(*) FROM g16",
+    )
+    put(
+        "d16_dup_digests",
+        BASE.format(d=d) + D16
+        + """SELECT count(*) FROM (
+               SELECT h FROM g16 GROUP BY h
+               HAVING count(DISTINCT doc_id) >= 2)""",
+    )
+    put(
+        "d16_dup_window_rows",
+        BASE.format(d=d) + D16
+        + """SELECT count(*) FROM g16
+             JOIN (SELECT h FROM g16 GROUP BY h
+                   HAVING count(DISTINCT doc_id) >= 2) dup USING (h)""",
+    )
+    put(
+        "d16_spans",
+        BASE.format(d=d) + D16
+        + f"""
+, dw AS (
+  SELECT g16.doc_id, g16.p FROM g16
+  JOIN (SELECT h FROM g16 GROUP BY h
+        HAVING count(DISTINCT doc_id) >= 2) dup USING (h)
+), flagged AS (
+  SELECT doc_id, p,
+         CASE WHEN max(p + {SPAN_WIDTH - 1}) OVER (
+                PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) IS NULL
+              OR p > max(p + {SPAN_WIDTH - 1}) OVER (
+                PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) + 1
+         THEN 1 ELSE 0 END AS new_span
+  FROM dw
+)
+SELECT CAST(coalesce(sum(new_span), 0) AS BIGINT) FROM flagged""",
+    )
+    # ------------------------------------------------ p05 decontamination
+    # VERDICT r9 #4: p05's wall grew 5.1× at 10× — the steepest
+    # p-family grower. Volume drivers, mirroring the p05 oracle: the
+    # bench probe rows (corpus/97 docs × distinct shingles), the
+    # train-side DISTINCT shingle relation (the join's build side —
+    # grows with the corpus), the join hit rows, and the contaminated
+    # doc count (the leak outcome the fixture constructs).
+    P05 = f"""
+, bench05 AS (
+  SELECT doc_id, s FROM sh WHERE doc_id % {BENCH_MOD} = 0
+), train05 AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % {BENCH_MOD} <> 0
+)
+"""
+    put(
+        "p05_bench_rows",
+        BASE.format(d=d) + P05 + "SELECT count(*) FROM bench05",
+    )
+    put(
+        "p05_train_distinct",
+        BASE.format(d=d) + P05 + "SELECT count(*) FROM train05",
+    )
+    put(
+        "p05_hit_rows",
+        BASE.format(d=d) + P05
+        + "SELECT count(*) FROM bench05 JOIN train05 USING (s)",
+    )
+    put(
+        "p05_contaminated_docs",
+        BASE.format(d=d) + P05
+        + """SELECT count(*) FROM (
+               SELECT b.doc_id, count(*) AS n_sh, count(t.s) AS n_hit
+               FROM bench05 b LEFT JOIN train05 t USING (s)
+               GROUP BY b.doc_id)
+             WHERE n_hit >= n_sh * 0.5""",
+    )
+    # p11 boilerplate chunks: per-(doc, chunk-hash) distinct rows (the
+    # one corpus-sized shuffle), distinct chunks, and flagged chunks
+    P11 = f"""
+, ch11 AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(w[i.i * {BOILER_CHUNK_TOKENS} + 1 :
+                               i.i * {BOILER_CHUNK_TOKENS} + {BOILER_CHUNK_TOKENS}], ' ')) AS h
+  FROM words,
+       LATERAL (SELECT unnest(range(0,
+                CAST(ceil(len(w) / {BOILER_CHUNK_TOKENS}.0) AS BIGINT))) AS i) i
+)
+"""
+    put(
+        "p11_chunk_rows",
+        BASE.format(d=d) + P11 + "SELECT count(*) FROM ch11",
+    )
+    put(
+        "p11_distinct_chunks",
+        BASE.format(d=d) + P11 + "SELECT count(DISTINCT h) FROM ch11",
+    )
+    put(
+        "p11_boiler_chunks",
+        BASE.format(d=d) + P11
+        + f"""SELECT count(*) FROM (
+                SELECT h FROM ch11 GROUP BY h
+                HAVING count(*) >= {BOILER_MIN_DOCS})""",
     )
     put(
         "d13_verified_pairs",
