@@ -577,6 +577,101 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def has_tws_runtime() -> bool:
+    """True when ``transformWithStateInPandas`` can actually RUN here:
+    its Python state-server worker imports
+    ``pyspark.sql.streaming.proto.StateMessage_pb2``, which needs the
+    ``protobuf`` runtime. In this container the import of the API
+    succeeds but the query dies at runtime with ``[STREAM_FAILED] …
+    TransformWithStateInPySpark driver worker exited unexpectedly``
+    (SURVEY §7.4, r10 adjudication: no network, protobuf cannot be
+    vendored) — so availability is probed by the worker's own import,
+    not by the API surface."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except (ImportError, ModuleNotFoundError):
+        return False
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """s09's twin on the Spark 4 arbitrary-state API v2
+    (``transformWithStateInPandas``): identical semantics — per-user
+    running event count + value total, one updated row per user per
+    micro-batch — expressed as a ``StatefulProcessor`` with a single
+    ValueState field instead of the ``GroupState`` closure.
+
+    Environment-gated, the multimodal-codec pattern: where the
+    ``protobuf`` runtime exists this lights up with no code change
+    (``tests/test_streaming.py`` carries the skipif-gated replay twin
+    of the S7 test); here it raises the loud named refusal before the
+    stream is even constructed, because the failure otherwise surfaces
+    only at runtime inside the state-server worker. Not registered in
+    QUERIES (SURVEY §7.4: a registration that cannot run in the
+    driver's container would be a standing red row, not coverage)."""
+    if not has_tws_runtime():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the protobuf runtime "
+            "(google.protobuf) for its state-server worker: install "
+            "protobuf — the operator is wired, only the library is "
+            "absent (SURVEY §7.4)"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._st.get() if self._st.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._st.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,

@@ -347,3 +347,49 @@ def test_s10_chained_rollup_stream_matches_batch(spark, stage_dir, batch_events)
     want = want_all[want_all["day"].isin(emitted)]
     assert len(got) > 0, "replay should close at least one daily window"
     assert canonical_hash(got) == canonical_hash(want)
+
+
+def test_s11_tws_runtime_gate_refuses_loudly():
+    """Without the protobuf runtime, the transformWithStateInPandas
+    twin refuses at CONSTRUCTION time with the named library — never a
+    baffling state-server worker crash mid-query (SURVEY §7.4, r10)."""
+    from aw3d30_parquet_spark.streaming.events import (
+        has_tws_runtime,
+        running_user_totals_tws,
+    )
+
+    if has_tws_runtime():
+        pytest.skip("protobuf present: the gated branch is live instead")
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        running_user_totals_tws(None)
+
+
+def test_s11_tws_running_totals(spark, stage_dir, batch_events):
+    """transformWithStateInPandas twin of S7 — replay-verified against
+    the batch aggregate wherever the protobuf runtime exists (skipped
+    here; lights up with no code change when protobuf is installed)."""
+    from pyspark.sql import functions as F
+
+    from aw3d30_parquet_spark.streaming.events import (
+        has_tws_runtime,
+        running_user_totals_tws,
+    )
+
+    if not has_tws_runtime():
+        pytest.skip("protobuf absent: SURVEY 7.4 r10 adjudication")
+    res = running_user_totals_tws(read_event_stream(spark, stage_dir, SF))
+    run_to_memory(res, "s11_tbl", output_mode="update")
+    got = spark.sql("SELECT * FROM s11_tbl").toPandas()
+    final = got.loc[got.groupby("user_id")["n_events"].idxmax()]
+    want = (
+        batch_events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert set(final["user_id"]) == set(want.index)
+    for _, r in final.iterrows():
+        assert r["n_events"] == want.loc[r["user_id"], "n"]
+        assert r["total_value"] == pytest.approx(
+            want.loc[r["user_id"], "tv"], rel=1e-12
+        )
