@@ -401,8 +401,13 @@ def _bmff_video_meta(payload: bytes) -> dict:
             continue
         mdia = children(trak[b"mdia"])
         hdlr = mdia.get(b"hdlr")
-        # handler_type 'vide' marks the video track (byte 8 of hdlr body)
-        if not hdlr or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+        # handler_type 'vide' marks the video track (byte 8 of hdlr
+        # body); clamp the read to the box end so a short lying hdlr
+        # can never match against the NEXT sibling box's bytes
+        if (
+            not hdlr
+            or payload[hdlr[0] + 8 : min(hdlr[0] + 12, hdlr[1])] != b"vide"
+        ):
             continue
         ts, te = trak[b"tkhd"]
         if te - ts < 8:

@@ -281,6 +281,14 @@ def _lzw_decode(data: bytes, expected_bytes: int | None = None) -> bytes:
         else:
             raise ValueError(f"corrupt LZW stream: code {code} out of range")
         out += entry
+        if expected_bytes is not None and len(out) >= expected_bytes:
+            # full chunk decoded: stop HERE (libtiff semantics — decode
+            # exactly the strip/tile size). Trailing bits are the EOI
+            # and/or byte padding; decoding them would append spurious
+            # bytes (padding zeros parse as code 0 → b"\\x00") that blow
+            # up np.frombuffer downstream, and an EOI-less stream (the
+            # tolerated encoder quirk) has nothing left to check.
+            return bytes(out[:expected_bytes])
         if prev:
             table.append(prev + entry[:1])
         # early change, one below the encoder's 2^w - 1 (see block comment)
@@ -289,14 +297,16 @@ def _lzw_decode(data: bytes, expected_bytes: int | None = None) -> bytes:
             pending, pi = [], 0
             width += 1
         prev = entry
-    if not saw_eoi and (expected_bytes is None or len(out) < expected_bytes):
+    if not saw_eoi:
         # TIFF 6.0 §13 requires an EndOfInformation code to terminate
         # every strip/tile stream; running out of bits first means the
-        # payload was truncated or corrupt — UNLESS the full chunk was
-        # already decoded (expected_bytes reached), which some real
-        # encoders produce. Fail HERE with a codec-layer error rather
-        # than letting the short buffer surface later as a baffling
-        # np.frombuffer/reshape shape mismatch.
+        # payload was truncated or corrupt. (An EOI-less stream that
+        # carries the full chunk returns from inside the loop above the
+        # moment expected_bytes is reached — reaching HERE means the
+        # output is short of the expectation, or no expectation was
+        # given.) Fail with a codec-layer error rather than letting the
+        # short buffer surface later as a baffling np.frombuffer/
+        # reshape shape mismatch.
         raise ValueError(
             "truncated LZW stream: bitstream exhausted before EOI "
             f"(decoded {len(out)} bytes"
@@ -382,16 +392,16 @@ def decode_geotiff(data: bytes) -> tuple[np.ndarray, GeoTransform]:
     offsets = tags[_TAG_STRIP_OFFSETS]
     counts = tags[_TAG_STRIP_BYTE_COUNTS]
     rps = int(tags.get(_TAG_ROWS_PER_STRIP, [height])[0]) or height
+    # last strip holds only the remaining rows; a lying IFD with MORE
+    # strips than ceil(height/rps) would give surplus strips a <=0 row
+    # count — pass None there (strict EOI mode) so the tolerance can
+    # never mask truncation behind a negative expectation
+    def _strip_expected(i: int) -> int | None:
+        rows_i = min(rps, height - i * rps)
+        return rows_i * width * dtype.itemsize if rows_i > 0 else None
+
     chunks = [
-        _decompress_chunk(
-            data,
-            o,
-            c,
-            compression,
-            dtype,
-            # last strip holds only the remaining rows
-            min(rps, height - i * rps) * width * dtype.itemsize,
-        )
+        _decompress_chunk(data, o, c, compression, dtype, _strip_expected(i))
         for i, (o, c) in enumerate(zip(offsets, counts))
     ]
     if predictor == 2:

@@ -1146,6 +1146,12 @@ def test_lzw_missing_eoi_tolerated_when_output_complete():
     no_eoi = pack9([256, 65, 66, 67])  # CLEAR 'A' 'B' 'C', no EOI
     # full output produced → missing EOI is a padding quirk
     assert _lzw_decode(no_eoi, expected_bytes=3) == b"ABC"
+    # trailing byte padding after the last code must NOT decode into
+    # spurious bytes (padding zeros parse as code 0 → b"\x00"): the
+    # decoder stops the moment expected_bytes is reached, so the
+    # output is exactly the chunk — never an oversized buffer that
+    # breaks np.frombuffer downstream
+    assert _lzw_decode(no_eoi + b"\x00\x00", expected_bytes=3) == b"ABC"
     # no expectation → strict spec behavior, codec-layer error
     with pytest.raises(ValueError, match="truncated LZW"):
         _lzw_decode(no_eoi)

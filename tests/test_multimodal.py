@@ -388,9 +388,19 @@ def _mini_mp4(width=24, height=18, n_frames=9) -> bytes:
         _box(b"tkhd", b"\0" * 84)
         + _box(b"mdia", _box(b"hdlr", b"\0" * 8 + b"soun" + b"\0" * 12)),
     )
+    # hdlr whose body is SHORTER than 12 bytes (no handler_type at
+    # all): the walker must skip this trak via the box-end clamp, never
+    # read the handler type out of the NEXT sibling box's bytes — the
+    # sibling here deliberately starts with a size whose ASCII spells
+    # 'vide' nowhere, but a clamped read must not depend on that
+    short_hdlr_trak = _box(
+        b"trak",
+        _box(b"tkhd", b"\0" * 84)
+        + _box(b"mdia", _box(b"hdlr", b"\0" * 8) + _box(b"free", b"vide")),
+    )
     return (
         _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
-        + _box(b"moov", soun_trak + vide_trak)
+        + _box(b"moov", soun_trak + short_hdlr_trak + vide_trak)
     )
 
 

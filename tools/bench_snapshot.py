@@ -31,6 +31,10 @@ import time
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RESULTS = os.path.join(HERE, "bench_results.json")
 
+sys.path.insert(0, HERE)
+
+from bench import family_subtotals, stable_subtotal  # noqa: E402
+
 
 def run_round(idx: int) -> dict:
     env = dict(os.environ, TZ="UTC")
@@ -67,20 +71,24 @@ def main() -> None:
     names = sorted(runs[0]["queries"])
     per_round = {n: [r["queries"][n] for r in runs] for n in names}
     merged = dict(runs[-1])  # structure/keys from the newest run
+    # per-RUN diagnostics must not masquerade as properties of the
+    # min-merged artifact: every derived field is recomputed below,
+    # and the fields that only make sense for one run are dropped
+    # (evictions) or replaced by the all-rounds window (host_load) —
+    # per-round values live under "snapshot"
+    merged.pop("evictions", None)
     merged["queries"] = {n: min(v) for n, v in per_round.items()}
     merged["value"] = round(sum(merged["queries"].values()), 4)
     merged["metric"] = "declared_suite_total_sec_min_over_rounds"
-    families: dict[str, float] = {}
-    for n, sec in merged["queries"].items():
-        families[n[0]] = families.get(n[0], 0.0) + sec
-    merged["family_sec"] = {k: round(v, 3) for k, v in sorted(families.items())}
-    merged["stable_q01_q28_sec"] = round(
-        sum(
-            sec for n, sec in merged["queries"].items()
-            if n[0] == "q" and n[1:3].isdigit() and int(n[1:3]) <= 28
-        ),
-        4,
-    )
+    merged["mean_sec"] = round(merged["value"] / max(1, len(names)), 4)
+    merged["family_sec"] = family_subtotals(merged["queries"])
+    merged["stable_q01_q28_sec"] = stable_subtotal(merged["queries"])
+    first_load = runs[0].get("host_load") or {}
+    last_load = runs[-1].get("host_load") or {}
+    merged["host_load"] = {
+        "start": first_load.get("start"),
+        "end": last_load.get("end"),
+    }
     # across-ROUNDS band replaces the within-run spread: each round is a
     # fresh process in its own load phase, so this band IS the
     # steal-noise envelope for this code
@@ -91,6 +99,16 @@ def main() -> None:
             "max": round(max(v), 4),
         }
         for n, v in per_round.items()
+    }
+    # the stdout-tail teaser mirrors the file: widest ACROSS-ROUNDS
+    # bands (runs[-1]'s within-run spread_top5 would contradict them)
+    merged["spread_top5"] = {
+        n[:3]: merged["spread"][n]
+        for n in sorted(
+            merged["spread"],
+            key=lambda q: merged["spread"][q]["max"] - merged["spread"][q]["min"],
+            reverse=True,
+        )[:5]
     }
     merged["snapshot"] = {
         "protocol": "min-over-interleaved-rounds",
