@@ -742,6 +742,21 @@ def test_lzw_decode_total_on_garbage(data):
     assert isinstance(out, bytes)
 
 
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=400), st.integers(1, 512))
+def test_lzw_decode_total_on_garbage_with_expectation(data, expected):
+    """Totality with the r10 expected_bytes parameter: arbitrary bytes
+    either decode to AT MOST expected_bytes (the early-stop contract —
+    never an oversized buffer) or raise ValueError."""
+    from aw3d30_parquet_spark.sources.tiff import _lzw_decode
+
+    try:
+        out = _lzw_decode(data, expected_bytes=expected)
+    except ValueError:
+        return
+    assert isinstance(out, bytes) and len(out) <= expected
+
+
 def test_lzw_truncated_stream_raises_at_codec_layer():
     """A stream cut short of its EOI code must raise ValueError in the
     decoder itself — not decode to a short buffer that later fails in
