@@ -457,3 +457,32 @@ def test_p05_small_bench_is_broadcast_probe(spark):
     assert has_node(df, "BroadcastHashJoin"), plan
     for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
         assert "doc_id" in m.group(1), m.group(0)
+
+
+def test_whole_surface_no_cartesian_no_rowwise_python(spark):
+    """Suite-wide plan hygiene (r10): EVERY registered query compiles to
+    a plan with ZERO CartesianProduct and ZERO BatchEvalPython nodes —
+    no exceptions, no allowlist. Even q31 (the declared cross join)
+    plans as a broadcast nested-loop, and every Python kernel in the
+    engine is Arrow-vectorized (ArrowEvalPython / MapInPandas /
+    grouped-map), never row-at-a-time. BroadcastNestedLoopJoin is NOT
+    asserted against: its build side is a broadcast by construction,
+    and the 18 queries that use it all broadcast a bounded relation
+    (1-row corpus stats, capped query sets, k-row centroids) — the
+    sanctioned shape. This is the one test that catches a plan
+    regression in a query no individual pin covers."""
+    import re
+
+    import __spark_entry__ as contract
+
+    offenders = {}
+    for name, fn in contract.queries().items():
+        plan = formatted_plan(fn(spark, SF))
+        hits = [
+            node
+            for node in ("CartesianProduct", "BatchEvalPython")
+            if re.search(rf"\(\d+\) {node}\b", plan)
+        ]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
