@@ -268,3 +268,51 @@ def test_oracle_module_imports_without_pyspark():
     )
     assert out.returncode == 0, out.stderr
     assert "OK" in out.stdout
+
+
+def test_bench_snapshot_merge_is_min_over_rounds():
+    """The committed-snapshot merge (tools/bench_snapshot.merge_runs)
+    takes the per-query MIN across rounds, recomputes every derived
+    field from the merged map (value, mean, family/stable subtotals —
+    shared definitions with bench.py), drops per-run diagnostics
+    (evictions), windows host_load across all rounds, and carries the
+    across-rounds band + per-round record under `snapshot`."""
+    sys.path.insert(0, "/root/repo/tools")
+    from bench_snapshot import merge_runs
+
+    runs = [
+        {
+            "queries": {"q01": 2.0, "d01": 5.0, "q29": 1.0},
+            "value": 8.0,
+            "n_queries": 3,
+            "host_load": {"start": [1, 1, 1], "end": [9, 9, 9]},
+            "ingest": {"sec": 2.0, "tiles": 4},
+            "evictions": {"scratch": 7},
+            "sf": "0.1",
+            "metric": "declared_suite_total_sec",
+            "unit": "sec",
+        },
+        {
+            "queries": {"q01": 1.5, "d01": 6.0, "q29": 0.9},
+            "value": 8.4,
+            "n_queries": 3,
+            "host_load": {"start": [3, 3, 3], "end": [2, 2, 2]},
+            "ingest": {"sec": 1.4, "tiles": 4},
+            "sf": "0.1",
+            "metric": "declared_suite_total_sec",
+            "unit": "sec",
+        },
+    ]
+    m = merge_runs(runs)
+    assert m["queries"] == {"q01": 1.5, "d01": 5.0, "q29": 0.9}
+    assert m["value"] == 7.4
+    assert m["metric"] == "declared_suite_total_sec_min_over_rounds"
+    # stable set counts q01 but NOT q29 (>28); families recomputed
+    assert m["stable_q01_q28_sec"] == 1.5
+    assert m["family_sec"] == {"d": 5.0, "q": 2.4}
+    assert "evictions" not in m
+    assert m["host_load"] == {"start": [1, 1, 1], "end": [2, 2, 2]}
+    assert m["spread"]["d01"] == {"min": 5.0, "med": 5.5, "max": 6.0}
+    assert m["ingest"]["sec"] == 1.4  # fastest round's block
+    assert m["snapshot"]["rounds"] == 2
+    assert m["snapshot"]["round_totals"] == [8.0, 8.4]

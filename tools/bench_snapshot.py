@@ -54,20 +54,9 @@ def run_round(idx: int) -> dict:
         return json.load(fh)
 
 
-def main() -> None:
-    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    label = sys.argv[2] if len(sys.argv) > 2 else None
-    runs: list[dict] = []
-    for i in range(rounds):
-        t0 = time.time()
-        runs.append(run_round(i))
-        print(
-            f"round {i + 1}/{rounds}: value={runs[-1]['value']} "
-            f"host_load={runs[-1].get('host_load')} "
-            f"({round(time.time() - t0, 1)}s wall)",
-            flush=True,
-        )
-
+def merge_runs(runs: list[dict]) -> dict:
+    """Pure merge of N single-run bench artifacts into the committed
+    min-over-rounds snapshot (unit-tested in tests/test_contract.py)."""
     names = sorted(runs[0]["queries"])
     per_round = {n: [r["queries"][n] for r in runs] for n in names}
     merged = dict(runs[-1])  # structure/keys from the newest run
@@ -112,7 +101,7 @@ def main() -> None:
     }
     merged["snapshot"] = {
         "protocol": "min-over-interleaved-rounds",
-        "rounds": rounds,
+        "rounds": len(runs),
         "round_totals": [r["value"] for r in runs],
         "round_host_load": [r.get("host_load") for r in runs],
         "round_ingest_sec": [
@@ -123,6 +112,23 @@ def main() -> None:
     ingests = [r["ingest"] for r in runs if "ingest" in r]
     if ingests:
         merged["ingest"] = min(ingests, key=lambda g: g["sec"])
+    return merged
+
+
+def main() -> None:
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    label = sys.argv[2] if len(sys.argv) > 2 else None
+    runs: list[dict] = []
+    for i in range(rounds):
+        t0 = time.time()
+        runs.append(run_round(i))
+        print(
+            f"round {i + 1}/{rounds}: value={runs[-1]['value']} "
+            f"host_load={runs[-1].get('host_load')} "
+            f"({round(time.time() - t0, 1)}s wall)",
+            flush=True,
+        )
+    merged = merge_runs(runs)
     with open(RESULTS, "w") as fh:
         json.dump(merged, fh, indent=1)
         fh.write("\n")
