@@ -410,8 +410,20 @@ def _bmff_video_meta(payload: bytes) -> dict:
         ):
             continue
         ts, te = trak[b"tkhd"]
-        if te - ts < 8:
-            raise ValueError("corrupt ISO-BMFF: short tkhd")
+        # tkhd is a FullBox with a fixed body: 84 bytes for version 0,
+        # 96 for version 1 (ISO 14496-12 §8.2.2) — any other length is
+        # malformed, and reading "the last 8 bytes" of it would yield
+        # silent garbage dimensions instead of the codec-layer
+        # ValueError every other malformation raises (ADVICE r10)
+        if (
+            te - ts < 1
+            or payload[ts] not in (0, 1)
+            or (te - ts) != (84, 96)[payload[ts]]
+        ):
+            raise ValueError(
+                f"corrupt ISO-BMFF: tkhd body {te - ts} bytes "
+                "(84 for v0 / 96 for v1)"
+            )
         w = int.from_bytes(payload[te - 8 : te - 4], "big") >> 16
         h = int.from_bytes(payload[te - 4 : te], "big") >> 16
         n_frames = None

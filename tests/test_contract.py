@@ -275,8 +275,11 @@ def test_bench_snapshot_merge_is_min_over_rounds():
     takes the per-query MIN across rounds, recomputes every derived
     field from the merged map (value, mean, family/stable subtotals —
     shared definitions with bench.py), drops per-run diagnostics
-    (evictions), windows host_load across all rounds, and carries the
-    across-rounds band + per-round record under `snapshot`."""
+    (evictions AND isolated_top — ADVICE r10: per-run re-measures must
+    not masquerade as merged-artifact properties), windows host_load
+    across all rounds, and carries the across-rounds band + per-round
+    record (incl. per-round isolated_top and the quiet-round index
+    list) under `snapshot`."""
     sys.path.insert(0, "/root/repo/tools")
     from bench_snapshot import merge_runs
 
@@ -298,6 +301,7 @@ def test_bench_snapshot_merge_is_min_over_rounds():
             "n_queries": 3,
             "host_load": {"start": [3, 3, 3], "end": [2, 2, 2]},
             "ingest": {"sec": 1.4, "tiles": 4},
+            "isolated_top": {"d01": 4.2},
             "sf": "0.1",
             "metric": "declared_suite_total_sec",
             "unit": "sec",
@@ -311,8 +315,27 @@ def test_bench_snapshot_merge_is_min_over_rounds():
     assert m["stable_q01_q28_sec"] == 1.5
     assert m["family_sec"] == {"d": 5.0, "q": 2.4}
     assert "evictions" not in m
+    assert "isolated_top" not in m  # per-run diagnostic, not merged
     assert m["host_load"] == {"start": [1, 1, 1], "end": [2, 2, 2]}
     assert m["spread"]["d01"] == {"min": 5.0, "med": 5.5, "max": 6.0}
     assert m["ingest"]["sec"] == 1.4  # fastest round's block
     assert m["snapshot"]["rounds"] == 2
     assert m["snapshot"]["round_totals"] == [8.0, 8.4]
+    assert m["snapshot"]["round_isolated_top"] == [None, {"d01": 4.2}]
+    # round 0 starts quiet (load1m 1) but ends loud (9); round 1 is
+    # loud both ends → neither qualifies as genuinely quiet
+    assert m["snapshot"]["quiet_rounds"] == []
+
+
+def test_bench_snapshot_quiet_round_predicate():
+    sys.path.insert(0, "/root/repo/tools")
+    from bench_snapshot import round_is_quiet
+
+    assert round_is_quiet(
+        {"host_load": {"start": [1.2, 3, 3], "end": [1.9, 2, 2]}}
+    )
+    assert not round_is_quiet(
+        {"host_load": {"start": [1.2, 1, 1], "end": [2.0, 2, 2]}}
+    )
+    assert not round_is_quiet({"host_load": {"start": [], "end": []}})
+    assert not round_is_quiet({})

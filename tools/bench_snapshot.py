@@ -54,6 +54,26 @@ def run_round(idx: int) -> dict:
         return json.load(fh)
 
 
+#: load1m below this on BOTH ends of a round = "genuinely quiet" — the
+#: r10 verdict's watch item asked that every committed snapshot contain
+#: at least one such round so min-over-rounds is anchored by a
+#: steal-free sample, not just the least-bad of three loaded ones
+QUIET_LOAD1M = 2.0
+#: hard cap on extra rounds hunting for a quiet one (wall-clock bound)
+MAX_ROUNDS = 5
+
+
+def round_is_quiet(run: dict) -> bool:
+    hl = run.get("host_load") or {}
+    start, end = hl.get("start") or [], hl.get("end") or []
+    return (
+        bool(start)
+        and bool(end)
+        and start[0] < QUIET_LOAD1M
+        and end[0] < QUIET_LOAD1M
+    )
+
+
 def merge_runs(runs: list[dict]) -> dict:
     """Pure merge of N single-run bench artifacts into the committed
     min-over-rounds snapshot (unit-tested in tests/test_contract.py)."""
@@ -66,6 +86,10 @@ def merge_runs(runs: list[dict]) -> dict:
     # (evictions) or replaced by the all-rounds window (host_load) —
     # per-round values live under "snapshot"
     merged.pop("evictions", None)
+    # isolated_top is bench.py's per-RUN re-measure of eviction-hit
+    # queries — same diagnostic class as evictions; keep it per-round
+    # under "snapshot" below, never as a merged-artifact property
+    merged.pop("isolated_top", None)
     merged["queries"] = {n: min(v) for n, v in per_round.items()}
     merged["value"] = round(sum(merged["queries"].values()), 4)
     merged["metric"] = "declared_suite_total_sec_min_over_rounds"
@@ -107,6 +131,8 @@ def merge_runs(runs: list[dict]) -> dict:
         "round_ingest_sec": [
             r.get("ingest", {}).get("sec") for r in runs
         ],
+        "round_isolated_top": [r.get("isolated_top") for r in runs],
+        "quiet_rounds": [i for i, r in enumerate(runs) if round_is_quiet(r)],
     }
     # ingest: keep the fastest round's block (same steal-proof logic)
     ingests = [r["ingest"] for r in runs if "ingest" in r]
@@ -119,12 +145,21 @@ def main() -> None:
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     label = sys.argv[2] if len(sys.argv) > 2 else None
     runs: list[dict] = []
-    for i in range(rounds):
+    # sample the requested rounds, then keep going (≤ MAX_ROUNDS total)
+    # until at least one round is genuinely quiet (load1m < QUIET_LOAD1M
+    # at both ends) — the anchor the r10 verdict's outlier watch item
+    # requires; if the host never quiets down within the cap, the
+    # snapshot says so via an empty quiet_rounds list
+    while len(runs) < rounds or (
+        len(runs) < MAX_ROUNDS and not any(round_is_quiet(r) for r in runs)
+    ):
         t0 = time.time()
-        runs.append(run_round(i))
+        runs.append(run_round(len(runs)))
         print(
-            f"round {i + 1}/{rounds}: value={runs[-1]['value']} "
+            f"round {len(runs)}/{rounds} (cap {MAX_ROUNDS}): "
+            f"value={runs[-1]['value']} "
             f"host_load={runs[-1].get('host_load')} "
+            f"quiet={round_is_quiet(runs[-1])} "
             f"({round(time.time() - t0, 1)}s wall)",
             flush=True,
         )
@@ -145,7 +180,7 @@ def main() -> None:
         json.dumps(
             {
                 "value": merged["value"],
-                "rounds": rounds,
+                "rounds": len(runs),
                 "round_totals": merged["snapshot"]["round_totals"],
             }
         ),
