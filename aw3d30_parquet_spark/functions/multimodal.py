@@ -257,6 +257,208 @@ _JPEG_SIG = b"\xff\xd8\xff"
 #: PNG color type → sample count (IHDR byte 25; PLTE counts as 1)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+#: sample count → PNG color type (the encoder's inverse of
+#: _PNG_CHANNELS; palette type 3 is decode-only so the map is 1:1)
+_PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + tag
+        + body
+        + zlib.crc32(tag + body).to_bytes(4, "big")
+    )
+
+
+def _png_encode(arr: np.ndarray, filters) -> bytes:
+    """Encode an ``(h, w, ch)`` uint8 array as a REAL bit-depth-8 PNG
+    with stdlib zlib + numpy only — no Pillow.
+
+    ``filters[r]`` picks the per-row filter type (0 None / 1 Sub /
+    2 Up / 3 Average / 4 Paeth). Forward filtering reads only RAW
+    neighbor bytes (the sequential data dependency is in the DECODE
+    direction), so every row vectorizes here. The IDAT stream is a
+    single hand-framed deflate STORED block (zlib level-0 framing:
+    2-byte header, 5-byte block header, raw scanlines, 4-byte adler32)
+    — that makes the container size a pure function of the dimensions,
+    ``len = h*(w*ch+1) + 68``, which is the framing arithmetic m08's
+    oracle pins (a silent reroute through the RAW arm or a mis-framed
+    chunk walk breaks the driver hash, not just a pytest)."""
+    import zlib
+
+    h, w, ch = arr.shape
+    sl = w * ch
+    raw = arr.reshape(h, sl).astype(np.int16)
+    prev = np.zeros(sl, np.int16)
+    lines = []
+    for r in range(h):
+        cur = raw[r]
+        left = np.concatenate([np.zeros(ch, np.int16), cur[:-ch]])
+        f = int(filters[r])
+        if f == 0:
+            out = cur
+        elif f == 1:
+            out = cur - left
+        elif f == 2:
+            out = cur - prev
+        elif f == 3:
+            out = cur - (left + prev) // 2
+        elif f == 4:
+            upleft = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]])
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prev, upleft),
+            )
+            out = cur - pred
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        lines.append(bytes([f]) + (out % 256).astype(np.uint8).tobytes())
+        prev = cur
+    data = b"".join(lines)
+    if len(data) > 0xFFFF:
+        raise ValueError(
+            "encoder frames one stored block: scanline stream "
+            f"{len(data)} bytes > 65535"
+        )
+    zdata = (
+        b"\x78\x01\x01"  # zlib CMF/FLG + BFINAL|stored block header
+        + len(data).to_bytes(2, "little")
+        + (len(data) ^ 0xFFFF).to_bytes(2, "little")
+        + data
+        + zlib.adler32(data).to_bytes(4, "big")
+    )
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, _PNG_COLOR_TYPE[ch], 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zdata)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(data: np.ndarray, h: int, sl: int, bpp: int) -> np.ndarray:
+    """Reconstruct ``h`` scanlines of ``sl`` bytes from the inflated
+    filtered stream (PNG spec §9 Recon): None/Up are pure vector ops,
+    Sub is a per-channel-offset cumsum (the left-neighbor recurrence IS
+    a prefix sum mod 256), Average/Paeth carry a genuine sequential
+    left dependency and run per byte — rows here are tiny (≤ a few
+    hundred bytes) and the kernel is inside an Arrow-batched
+    mapInPandas stage, so the loop never touches the driver."""
+    rows = data.reshape(h, sl + 1)
+    out = np.zeros((h, sl), np.int64)
+    prev = np.zeros(sl, np.int64)
+    for r in range(h):
+        f = int(rows[r, 0])
+        raw = rows[r, 1:].astype(np.int64)
+        if f == 0:
+            cur = raw
+        elif f == 1:
+            cur = raw.copy()
+            for c in range(bpp):
+                cur[c::bpp] = np.cumsum(cur[c::bpp]) % 256
+        elif f == 2:
+            cur = (raw + prev) % 256
+        elif f in (3, 4):
+            cur = np.zeros(sl, np.int64)
+            for i in range(sl):
+                left = cur[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                if f == 3:
+                    cur[i] = (raw[i] + (left + up) // 2) % 256
+                else:
+                    ul = prev[i - bpp] if i >= bpp else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = (
+                        left
+                        if pa <= pb and pa <= pc
+                        else (up if pb <= pc else ul)
+                    )
+                    cur[i] = (raw[i] + pred) % 256
+        else:
+            raise ValueError(f"corrupt PNG: filter type {f}")
+        out[r] = cur
+        prev = cur
+    return out.astype(np.uint8)
+
+
+def _png_decode_pure(payload: bytes) -> tuple[dict, np.ndarray]:
+    """Full pure-python PNG decode — stdlib zlib + numpy, no Pillow:
+    chunk walk with CRC verification, IDAT concatenation + inflate,
+    scanline unfiltering for all five filter types. Covers bit depth 8,
+    color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA), non-interlaced —
+    the same effort class as the any-layout TIFF LZW codec
+    (sources/tiff.py). Palette / 16-bit / Adam7 raise
+    NotImplementedError (the caller falls through to Pillow where
+    installed); malformed bytes raise ValueError per the codec-layer
+    error contract."""
+    import zlib
+
+    pos, n = 8, len(payload)
+    meta: dict | None = None
+    depth = ctype = interlace = -1
+    idat: list[bytes] = []
+    seen_iend = False
+    while pos + 12 <= n:
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        tag = payload[pos + 4 : pos + 8]
+        end = pos + 8 + ln
+        if end + 4 > n:
+            raise ValueError(f"corrupt PNG: truncated {tag!r} chunk")
+        body = payload[pos + 8 : end]
+        if zlib.crc32(tag + body) != int.from_bytes(
+            payload[end : end + 4], "big"
+        ):
+            raise ValueError(f"corrupt PNG: bad {tag!r} CRC")
+        if tag == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("corrupt PNG: IHDR body != 13 bytes")
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, ctype, interlace = body[8], body[9], body[12]
+            ch = _PNG_CHANNELS.get(ctype)
+            if ch is None:
+                raise ValueError(f"corrupt PNG payload: color type {ctype}")
+            meta = {"width": w, "height": h, "channels": ch}
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            seen_iend = True
+            break
+        pos = end + 4
+    if meta is None or not seen_iend or not idat:
+        raise ValueError("corrupt PNG: missing IHDR/IDAT/IEND")
+    if ctype == 3 or depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"no pure decoder for PNG depth={depth} color_type={ctype} "
+            f"interlace={interlace}: only 8-bit non-interlaced "
+            "gray/RGB/gray+alpha/RGBA are wired Pillow-free"
+        )
+    w, h, ch = meta["width"], meta["height"], meta["channels"]
+    try:
+        stream = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG: IDAT inflate failed: {exc}") from exc
+    if len(stream) != h * (w * ch + 1):
+        raise ValueError(
+            f"corrupt PNG: scanline stream {len(stream)} bytes, "
+            f"expected {h * (w * ch + 1)}"
+        )
+    pixels = _png_unfilter(
+        np.frombuffer(stream, np.uint8), h, w * ch, ch
+    ).reshape(h, w, ch)
+    return meta, pixels
+
 
 def _decode_image_real(
     payload: bytes, metadata_only: bool = False
@@ -279,11 +481,27 @@ def _decode_image_real(
                 f"corrupt PNG payload: color type {payload[25]}"
             )
         return "image", {"width": w, "height": h, "channels": ch}, None
+    if payload.startswith(_PNG_SIG):
+        # full PNG decode is Pillow-free for the common shape (8-bit,
+        # non-interlaced, non-palette): stdlib zlib inflate + numpy
+        # scanline unfiltering — this is the arm m08's driver hash
+        # exercises on REAL container bytes. Exotic variants fall
+        # through to Pillow where installed.
+        try:
+            meta, arr = _png_decode_pure(payload)
+            return "image", meta, arr
+        except NotImplementedError as pure_exc:
+            try:
+                from PIL import Image  # noqa: F401 — presence probe
+            except ImportError:
+                raise NotImplementedError(
+                    f"{pure_exc} — install Pillow for this PNG variant"
+                ) from pure_exc
     try:
         from PIL import Image  # conditional: absent in this container
     except ImportError as exc:
         raise NotImplementedError(
-            "no decoder for PNG/JPEG payload: install Pillow — the "
+            "no decoder for JPEG payload: install Pillow — the "
             "dispatch is wired (decode_payload), only the library is "
             "absent"
         ) from exc
@@ -476,8 +694,10 @@ def decode_payload(
 
     The RAW container family (synthetic corpus) decodes inline and
     vectorized; standard formats dispatch by signature (see _PNG_SIG
-    block comment) — WAV decodes for real everywhere, PNG/JPEG/video
-    light up when Pillow/PyAV are installed, with no code change.
+    block comment) — WAV and 8-bit non-interlaced PNG decode for real
+    everywhere (stdlib zlib/wave + numpy), exotic PNG variants, JPEG
+    and video frame bodies light up when Pillow/PyAV are installed,
+    with no code change.
 
     ``metadata_only=True`` returns (kind, metadata, None) without
     touching the body — WAV reads chunk headers only, PNG parses the
@@ -521,8 +741,9 @@ def decode_payload(
         return "video", meta, arr
     raise NotImplementedError(
         f"no decoder for magic {magic!r}: known formats are the RAW "
-        "container family plus WAV (stdlib), PNG/JPEG (Pillow), and "
-        "ISO-BMFF video (PyAV)"
+        "container family plus WAV (stdlib), PNG (stdlib zlib; exotic "
+        "variants and JPEG via Pillow), and ISO-BMFF video (header "
+        "walk; frame bodies via PyAV)"
     )
 
 
@@ -1193,6 +1414,229 @@ FROM per_doc GROUP BY sr ORDER BY sample_rate
 """
 
 
+def png_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-container PNG corpus: the image documents re-encoded as
+    bit-depth-8 PNG through the pure-stdlib encoder (``_png_encode`` —
+    no Pillow, present everywhere). Same pixel law as the RAW corpus
+    (``media_params``: value k = (seed + k) % 256 row-major), gray for
+    ch=1 / gray+alpha for ch=2, and row ``r`` carries filter type
+    ``(doc_id + r) % 5`` — every image exercises ALL FIVE PNG filters,
+    so the m08 content hash certifies the unfiltering math, not just
+    the inflate."""
+    register_views(spark, sf_dir)
+    from aw3d30_parquet_spark.session import spread
+
+    ids = spread(
+        spark.table("documents").select(F.col("doc_id").alias("media_id"))
+    ).filter(F.pmod("media_id", F.lit(3)) == _KIND_MOD["image"])
+
+    def fabricate(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "payload": []}
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                p = media_params(mid)
+                w, h, ch = p["width"], p["height"], p["channels"]
+                arr = (
+                    ((p["seed"] + np.arange(w * h * ch)) % 256)
+                    .astype(np.uint8)
+                    .reshape(h, w, ch)
+                )
+                out["media_id"].append(mid)
+                out["kind"].append("image")
+                out["payload"].append(
+                    _png_encode(arr, [(mid + r) % 5 for r in range(h)])
+                )
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(fabricate, schema=MEDIA_SCHEMA)
+
+
+def m08_png_ingest_intensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m08: REAL-format image ingest — PNG containers through the
+    signature dispatch into a full PURE-PYTHON decode (zlib IDAT
+    inflate + numpy scanline unfiltering, all five filter types), the
+    image twin of m07's WAV row (r10 verdict item 2).
+
+    ``total_pixel_sum`` pins the decoded CONTENT exactly —
+    floor(mean·n + 0.5) recovers the integer pixel sum, and any
+    unfiltering error in any of the five per-row filter types shifts
+    it. ``total_payload_bytes`` pins the CONTAINER framing (sig 8 +
+    IHDR 25 + IDAT 12+(L+11) + IEND 12 = L+68 for a stored-block
+    stream of L = h·(w·ch+1) scanline bytes), so a silent reroute
+    through the RAW arm or a mis-walked chunk table breaks the hash."""
+    feats = extract_features(png_media_table(spark, sf_dir))
+    n_px = (
+        F.col("width") * F.col("height") * F.col("channels")
+    ).cast("bigint")
+    pixel_sum = F.floor(F.col("intensity") * n_px + 0.5).cast("bigint")
+    return (
+        feats.groupBy("channels")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(n_px).alias("total_pixels"),
+            F.sum("payload_bytes").alias("total_payload_bytes"),
+            F.sum(pixel_sum).alias("total_pixel_sum"),
+        )
+        .orderBy("channels")
+    )
+
+
+#: PNG framing: 8-byte signature + 25-byte IHDR chunk + IDAT chunk of
+#: 12 + (L + 11) bytes (hand-framed single stored block: 2-byte zlib
+#: header + 5-byte block header + L scanline bytes + 4-byte adler) +
+#: 12-byte IEND = L + 68, with L = h*(w*ch + 1) (one filter byte per
+#: row). Pixel law shared with the RAW corpus: (seed + k) % 256.
+_M08_ORACLE = """
+WITH params AS (
+  SELECT doc_id, doc_id % 256 AS s,
+         16 + (doc_id % 8) * 4 AS w,
+         12 + (doc_id % 5) * 4 AS h,
+         1 + (doc_id % 2) AS ch
+  FROM documents WHERE doc_id % 3 = 0
+), px AS (
+  SELECT doc_id, ch, w * h * ch AS n, h * (w * ch + 1) AS sl,
+         (s + unnest(range(w * h * ch))) % 256 AS v
+  FROM params
+), per_doc AS (
+  SELECT doc_id, ch, n, sl, sum(v) AS pix_sum
+  FROM px GROUP BY doc_id, ch, n, sl
+)
+SELECT CAST(ch AS INTEGER) AS channels, count(*) AS cnt,
+       CAST(sum(n) AS BIGINT) AS total_pixels,
+       CAST(sum(sl + 68) AS BIGINT) AS total_payload_bytes,
+       CAST(sum(pix_sum) AS BIGINT) AS total_pixel_sum
+FROM per_doc GROUP BY ch ORDER BY channels
+"""
+
+
+def _bmff_box(tag: bytes, body: bytes) -> bytes:
+    return (len(body) + 8).to_bytes(4, "big") + tag + body
+
+
+def _bmff_encode(w: int, h: int, n_frames: int, frames: bytes) -> bytes:
+    """Minimal REAL ISO-BMFF container (ISO/IEC 14496-12): ftyp + a
+    moov/trak/mdia/minf/stbl skeleton carrying exactly the boxes the
+    header walk reads — tkhd v0 (84-byte body, width/height 16.16
+    fixed in the last 8), hdlr 'vide', uniform-size stsz (sample_size
+    = w·h, sample_count = n_frames, no entry table) — then an mdat
+    with the frame bytes. Every box size is fixed arithmetic: total =
+    209 + len(frames), the framing pin m09's oracle relies on."""
+    tkhd = (
+        bytes(4)  # version 0 + flags
+        + bytes(4 * 3)  # creation, modification, track_ID
+        + bytes(4)  # reserved
+        + n_frames.to_bytes(4, "big")  # duration (frames at 1 tick)
+        + bytes(8)  # reserved
+        + bytes(2 * 4)  # layer, alternate_group, volume, reserved
+        + bytes(36)  # identity matrix slot (all-zero is fine here)
+        + (w << 16).to_bytes(4, "big")
+        + (h << 16).to_bytes(4, "big")
+    )
+    hdlr = bytes(4) + bytes(4) + b"vide" + bytes(12) + b"\x00"
+    stsz = (
+        bytes(4)
+        + (w * h).to_bytes(4, "big")  # uniform sample_size
+        + n_frames.to_bytes(4, "big")  # sample_count
+    )
+    stbl = _bmff_box(b"stbl", _bmff_box(b"stsz", stsz))
+    minf = _bmff_box(b"minf", stbl)
+    mdia = _bmff_box(b"mdia", _bmff_box(b"hdlr", hdlr) + minf)
+    trak = _bmff_box(b"trak", _bmff_box(b"tkhd", tkhd) + mdia)
+    return (
+        _bmff_box(b"ftyp", b"isom" + (0x200).to_bytes(4, "big"))
+        + _bmff_box(b"moov", trak)
+        + _bmff_box(b"mdat", frames)
+    )
+
+
+def bmff_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-container video corpus: the video documents re-encoded as
+    minimal ISO-BMFF (``_bmff_encode`` — pure arithmetic, zero
+    dependencies). The mdat carries the RAW corpus' pixel ramp so the
+    container is a faithful re-encoding, but m09 reads it
+    ``metadata_only`` — the moov walk must never touch frame bodies."""
+    register_views(spark, sf_dir)
+    from aw3d30_parquet_spark.session import spread
+
+    ids = spread(
+        spark.table("documents").select(F.col("doc_id").alias("media_id"))
+    ).filter(F.pmod("media_id", F.lit(3)) == _KIND_MOD["video"])
+
+    def fabricate(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "payload": []}
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                p = media_params(mid)
+                w, h, nf = p["width"], p["height"], p["n_frames"]
+                frames = (
+                    ((p["seed"] + np.arange(w * h * nf)) % 256)
+                    .astype(np.uint8)
+                    .tobytes()
+                )
+                out["media_id"].append(mid)
+                out["kind"].append("video")
+                out["payload"].append(_bmff_encode(w, h, nf, frames))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(fabricate, schema=MEDIA_SCHEMA)
+
+
+def m09_bmff_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m09: REAL-format video metadata — ISO-BMFF containers through
+    the signature dispatch into the header-only moov walk
+    (``_bmff_video_meta``), driver-checked (r10 verdict item 3: the
+    third modality's real-container row; pytest-only until now).
+
+    Runs ``metadata_only`` by contract: the walk reads tkhd/hdlr/stsz
+    and never the mdat — a regression that started decoding frame
+    bodies would raise (PyAV absent), so a green hash IS the
+    header-only proof. ``total_payload_bytes`` pins the box framing
+    (fixed 209-byte skeleton + w·h·n_frames mdat bytes);
+    ``total_frames``/``total_frame_bytes`` pin the parsed tkhd/stsz
+    fields against the fabrication arithmetic."""
+    feats = extract_features(
+        bmff_media_table(spark, sf_dir), metadata_only=True
+    )
+    frame_bytes = (
+        F.col("width") * F.col("height") * F.col("n_frames")
+    ).cast("bigint")
+    return (
+        feats.groupBy("width")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.max("height").alias("max_height"),
+            F.sum("n_frames").alias("total_frames"),
+            F.sum(frame_bytes).alias("total_frame_bytes"),
+            F.sum("payload_bytes").alias("total_payload_bytes"),
+        )
+        .orderBy("width")
+    )
+
+
+#: BMFF framing: ftyp 16 + moov 185 (trak 177 = tkhd 92 + mdia 77
+#: [hdlr 33 + minf 36 {stbl 28 (stsz 20)}]) + mdat header 8 = 209
+#: fixed bytes, then w*h*n_frames frame bytes in the mdat body.
+_M09_ORACLE = """
+WITH params AS (
+  SELECT doc_id, 16 + (doc_id % 4) * 8 AS w, 16 AS h,
+         4 + doc_id % 6 AS nf
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT CAST(w AS INTEGER) AS width, count(*) AS cnt,
+       CAST(max(h) AS INTEGER) AS max_height,
+       CAST(sum(nf) AS BIGINT) AS total_frames,
+       CAST(sum(w * h * nf) AS BIGINT) AS total_frame_bytes,
+       CAST(sum(209 + w * h * nf) AS BIGINT) AS total_payload_bytes
+FROM params GROUP BY w ORDER BY width
+"""
+
+
 QUERIES = {
     "m01_media_metadata": m01_media_metadata,
     "m02_image_resize_stats": m02_image_resize_stats,
@@ -1201,6 +1645,8 @@ QUERIES = {
     "m05_audio_decimate_stats": m05_audio_decimate_stats,
     "m06_frame_dedup_audit": m06_frame_dedup_audit,
     "m07_wav_ingest_energy": m07_wav_ingest_energy,
+    "m08_png_ingest_intensity": m08_png_ingest_intensity,
+    "m09_bmff_video_metadata": m09_bmff_video_metadata,
 }
 ORACLE_SQL = {
     "m01_media_metadata": _M01_ORACLE,
@@ -1210,4 +1656,6 @@ ORACLE_SQL = {
     "m05_audio_decimate_stats": _M05_ORACLE,
     "m06_frame_dedup_audit": _M06_ORACLE,
     "m07_wav_ingest_energy": _M07_ORACLE,
+    "m08_png_ingest_intensity": _M08_ORACLE,
+    "m09_bmff_video_metadata": _M09_ORACLE,
 }

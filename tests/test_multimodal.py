@@ -116,11 +116,32 @@ def test_decode_png_with_pillow_present():
 
 @pytest.mark.skipif(HAS_PIL, reason="Pillow installed: absent-branch n/a")
 def test_decode_png_without_pillow_raises_naming_library():
-    """Real-codec branch when Pillow is NOT installed: the conditional
-    import fails loudly, naming the exact library to install."""
-    png = mm._PNG_SIG + b"\0" * 32
+    """Real-codec branch when Pillow is NOT installed: common PNG now
+    decodes fully Pillow-free (r11 — see test_png_pure_codec_*), so
+    only EXOTIC variants (palette here) name Pillow; corrupt PNG bytes
+    raise ValueError from the pure chunk walk, and ISO-BMFF full
+    decode still names PyAV."""
+    import struct as _struct
+    import zlib
+
+    ihdr = _struct.pack(">II", 4, 4) + bytes([8, 3, 0, 0, 0])  # palette
+    chunk = b"IHDR" + ihdr
+    idat_body = zlib.compress(b"\0" * (4 * (4 + 1)))
+    idat = b"IDAT" + idat_body
+    iend = b"IEND"
+    png = (
+        mm._PNG_SIG
+        + _struct.pack(">I", len(ihdr)) + chunk
+        + _struct.pack(">I", zlib.crc32(chunk))
+        + _struct.pack(">I", len(idat_body)) + idat
+        + _struct.pack(">I", zlib.crc32(idat))
+        + _struct.pack(">I", 0) + iend
+        + _struct.pack(">I", zlib.crc32(iend))
+    )
     with pytest.raises(NotImplementedError, match="Pillow"):
         mm.decode_payload(png)
+    with pytest.raises(ValueError, match="corrupt PNG"):
+        mm.decode_payload(mm._PNG_SIG + b"\0" * 32)
     mp4_ish = b"\0\0\0\x18ftypisom" + b"\0" * 32
     with pytest.raises(NotImplementedError, match="PyAV"):
         mm.decode_payload(mp4_ish)
@@ -505,4 +526,194 @@ def test_m07_oracle(spark, duck_t2):
 
     df = mm.m07_wav_ingest_energy(spark, "/root/testdata/sf0.01")
     ok, h1, h2 = compare(df, duck_t2, mm.ORACLE_SQL["m07_wav_ingest_energy"])
+    assert ok, (h1, h2)
+
+
+# ---------------------------------------------------------------------------
+# r11: pure-python PNG codec (m08) + real ISO-BMFF containers (m09)
+# ---------------------------------------------------------------------------
+
+
+def test_png_pure_codec_roundtrip_all_filters_and_channels():
+    """The stdlib-only PNG codec round-trips exact pixels for every
+    filter type (0-4, incl. mixed per-row) across gray / gray+alpha /
+    RGB / RGBA, and the stored-block framing is the m08 oracle's
+    arithmetic: len == h*(w*ch+1) + 68."""
+    rng = np.random.default_rng(7)
+    for (h, w, ch) in [(12, 16, 1), (28, 44, 2), (5, 7, 3), (9, 4, 4), (1, 1, 1)]:
+        arr = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        for filt in (
+            [0] * h, [1] * h, [2] * h, [3] * h, [4] * h,
+            [(r * 3 + 1) % 5 for r in range(h)],
+        ):
+            payload = mm._png_encode(arr, filt)
+            assert len(payload) == h * (w * ch + 1) + 68
+            meta, out = mm._png_decode_pure(payload)
+            assert meta == {"width": w, "height": h, "channels": ch}
+            np.testing.assert_array_equal(out, arr)
+            # and through the public signature dispatch
+            kind, m2, a2 = mm.decode_payload(payload)
+            assert kind == "image" and m2 == meta
+            np.testing.assert_array_equal(a2, arr)
+
+
+def test_png_pure_codec_error_contract():
+    """Malformed PNG raises ValueError at the codec layer (bad CRC,
+    truncated chunk, lying scanline stream); valid-but-unwired shapes
+    (palette / 16-bit / Adam7) raise NotImplementedError so the
+    dispatch can fall through to Pillow where installed."""
+    import zlib
+
+    arr = (np.arange(6 * 8 * 1) % 256).astype(np.uint8).reshape(6, 8, 1)
+    good = mm._png_encode(arr, [0] * 6)
+    # flip one byte inside the IDAT body -> CRC mismatch
+    bad = bytearray(good)
+    bad[8 + 25 + 8 + 3] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        mm._png_decode_pure(bytes(bad))
+    # two truncation classes: mid-chunk (walk spots the overrun) and
+    # between chunk headers (walk runs out before IEND)
+    with pytest.raises(ValueError, match="truncated"):
+        mm._png_decode_pure(good[:50])
+    with pytest.raises(ValueError, match="corrupt PNG"):
+        mm._png_decode_pure(good[:40])
+    # IDAT stream inflates to the wrong scanline length
+    wrong = zlib.compress(b"\0" * 5)
+    png = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", (8).to_bytes(4, "big") + (6).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0]))
+        + mm._png_chunk(b"IDAT", wrong)
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="scanline stream"):
+        mm._png_decode_pure(png)
+    # 16-bit and interlaced: NotImplementedError naming the gap
+    for hdr in (bytes([16, 0, 0, 0, 0]), bytes([8, 0, 0, 0, 1])):
+        png = (
+            mm._PNG_SIG
+            + mm._png_chunk(b"IHDR", (8).to_bytes(4, "big") + (6).to_bytes(4, "big") + hdr)
+            + mm._png_chunk(b"IDAT", zlib.compress(b"\0" * 54))
+            + mm._png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError, match="pure decoder"):
+            mm._png_decode_pure(png)
+
+
+def test_png_unfilter_totality_fuzz():
+    """Arbitrary filtered streams either reconstruct or raise
+    ValueError (unknown filter type) — never an IndexError or a
+    silent wrap: the unfilter is fed by inflate output whose length
+    is already validated, so shape is the only invariant left."""
+    rng = np.random.default_rng(29)
+    for _ in range(25):
+        h, w, ch = int(rng.integers(1, 9)), int(rng.integers(1, 9)), int(rng.integers(1, 5))
+        sl = w * ch
+        data = rng.integers(0, 256, h * (sl + 1), dtype=np.uint8)
+        try:
+            out = mm._png_unfilter(data, h, sl, ch)
+        except ValueError:
+            continue
+        assert out.shape == (h, sl) and out.dtype == np.uint8
+
+
+def test_m08_png_corpus_goes_through_png_arm(spark):
+    """Every m08 payload is a genuine PNG container (signature routes
+    through the pure decoder, never the RAW arm), the stored-block
+    framing holds, each image's rows exercise all five filter types
+    as doc_id varies, and the decoded pixels are the shared corpus
+    law (seed + k) % 256."""
+    rows = mm.png_media_table(spark, SF).limit(20).collect()
+    assert rows
+    filters_seen = set()
+    for r in rows:
+        payload = bytes(r.payload)
+        assert payload.startswith(mm._PNG_SIG)
+        p = mm.media_params(r.media_id)
+        w, h, ch = p["width"], p["height"], p["channels"]
+        assert len(payload) == h * (w * ch + 1) + 68
+        filters_seen |= {(r.media_id + rr) % 5 for rr in range(h)}
+        kind, meta, arr = mm.decode_payload(payload)
+        assert kind == "image"
+        assert meta == {"width": w, "height": h, "channels": ch}
+        np.testing.assert_array_equal(
+            arr.ravel(), (p["seed"] + np.arange(w * h * ch)) % 256
+        )
+    assert filters_seen == {0, 1, 2, 3, 4}
+
+
+def test_m08_oracle(spark, duck_t2):
+    from aw3d30_parquet_spark.oracle import compare
+
+    df = mm.m08_png_ingest_intensity(spark, "/root/testdata/sf0.01")
+    ok, h1, h2 = compare(df, duck_t2, mm.ORACLE_SQL["m08_png_ingest_intensity"])
+    assert ok, (h1, h2)
+
+
+def test_bmff_encode_walk_roundtrip_and_framing():
+    """The minimal ISO-BMFF encoder's boxes parse back through the
+    header walk (width/height/n_frames exact) with the fixed
+    209-byte skeleton the m09 oracle pins; tkhd bodies of any length
+    other than 84 (v0) / 96 (v1) raise ValueError instead of yielding
+    garbage dimensions (ADVICE r10)."""
+    for (w, h, nf) in [(16, 16, 4), (40, 16, 9), (24, 18, 1)]:
+        frames = bytes(w * h * nf)
+        payload = mm._bmff_encode(w, h, nf, frames)
+        assert len(payload) == 209 + w * h * nf
+        assert payload[4:8] == b"ftyp"
+        assert mm._bmff_video_meta(payload) == {
+            "width": w, "height": h, "n_frames": nf,
+        }
+    # malformed tkhd: right version byte, wrong body length
+    bad_trak = _box(
+        b"trak",
+        _box(b"tkhd", b"\0" * 60)  # v0 but only 60 bytes
+        + _box(
+            b"mdia",
+            _box(b"hdlr", b"\0" * 8 + b"vide" + b"\0" * 12)
+            + _box(b"minf", _box(b"stbl", _box(b"stsz", struct.pack(">III", 0, 0, 3)))),
+        ),
+    )
+    bad = _box(b"ftyp", b"isom") + _box(b"moov", bad_trak)
+    with pytest.raises(ValueError, match="tkhd body"):
+        mm._bmff_video_meta(bad)
+    # v1 tkhd (96-byte body) parses; v1 body with v0 length raises
+    tkhd_v1 = b"\x01" + b"\0" * 87 + struct.pack(">II", 32 << 16, 16 << 16)
+    ok_trak = _box(
+        b"trak",
+        _box(b"tkhd", tkhd_v1)
+        + _box(
+            b"mdia",
+            _box(b"hdlr", b"\0" * 8 + b"vide" + b"\0" * 12)
+            + _box(b"minf", _box(b"stbl", _box(b"stsz", struct.pack(">III", 0, 0, 5)))),
+        ),
+    )
+    ok = _box(b"ftyp", b"isom") + _box(b"moov", ok_trak)
+    assert mm._bmff_video_meta(ok) == {"width": 32, "height": 16, "n_frames": 5}
+
+
+def test_m09_metadata_only_never_touches_frame_bodies(spark):
+    """m09 runs the BMFF corpus metadata_only: a full decode would
+    raise (PyAV absent in this container), so the query completing at
+    all proves the moov walk never reads the mdat. The plan carries
+    exactly the Python stages (fabricate + extract), no
+    BatchEvalPython."""
+    df = mm.m09_bmff_video_metadata(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    rows = df.collect()
+    assert rows and all(r.max_height == 16 for r in rows)
+    # full (non-metadata) decode of the same corpus names PyAV
+    payload = bytes(
+        mm.bmff_media_table(spark, SF).limit(1).collect()[0].payload
+    )
+    if not __import__("importlib").util.find_spec("av"):
+        with pytest.raises(NotImplementedError, match="PyAV"):
+            mm.decode_payload(payload)
+
+
+def test_m09_oracle(spark, duck_t2):
+    from aw3d30_parquet_spark.oracle import compare
+
+    df = mm.m09_bmff_video_metadata(spark, "/root/testdata/sf0.01")
+    ok, h1, h2 = compare(df, duck_t2, mm.ORACLE_SQL["m09_bmff_video_metadata"])
     assert ok, (h1, h2)
