@@ -131,19 +131,73 @@ qterms AS (
 SELECT count(*) FROM qterms q JOIN tf p USING (term)
 WHERE p.doc_id <> q.q_id""",
     )
+    # r11 (verdict item 4): index-size + per-step counters so the
+    # retrieval family's 100×-fixed-density row carries the full
+    # volume decomposition, not just the end-to-end candidate count —
+    # postings rows (the maintained index, corpus-linear by
+    # definition), Σ df over the pruned query terms (the t09 candidate
+    # BOUND: candidates = Σdf − self-matches), and the positional
+    # chain's survivors at every join step (selectivity must multiply
+    # — a step whose survivors grow super-linearly in the corpus is
+    # the d13-class smell).
     put(
-        "t10_anchors",
+        "t08_index_rows",
+        BASE.format(d=d) + "SELECT count(*) FROM sh",
+    )
+    put(
+        "t09_postings",
+        BASE.format(d=d)
+        + "SELECT count(*) FROM (SELECT doc_id, term FROM toks GROUP BY 1, 2)",
+    )
+    put(
+        "t09_qterm_df_sum",
         BASE.format(d=d)
         + f"""
+, tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+qterms AS (
+  SELECT q.doc_id AS q_id, q.term, df.df FROM (
+    SELECT DISTINCT t.doc_id, t.term FROM toks t
+    WHERE t.doc_id % {SIMILAR_QUERY_MOD} = 0
+      AND t.doc_id < {BM25_QUERY_CAP}
+  ) q JOIN df USING (term)
+  QUALIFY row_number() OVER (PARTITION BY q.doc_id
+                             ORDER BY df.df, q.term)
+          <= {BM25_QUERY_TERMS}
+)
+SELECT sum(df) FROM qterms""",
+    )
+    put(
+        "t10_postings",
+        BASE.format(d=d) + "SELECT count(*) FROM toks",
+    )
+
+    def t10_chain(steps: int) -> str:
+        """Survivor count after joining the first ``steps`` phrase
+        words (steps=1 reproduces the anchor count; 3 = full PHRASE_LEN
+        matches) — mirrors text.phrase_search's positional-join chain."""
+        sql = (
+            BASE.format(d=d)
+            + f"""
 , phr AS (
-  SELECT doc_id AS q_id, w[1] AS w0
+  SELECT doc_id AS q_id, w[1] AS w0, w[2] AS w1, w[3] AS w2
   FROM words
   WHERE doc_id % {SIMILAR_QUERY_MOD} = 0
     AND doc_id < {BM25_QUERY_CAP} AND len(w) >= 3
 )
-SELECT count(*) FROM phr JOIN toks t
-ON t.term = phr.w0 AND t.doc_id <> phr.q_id""",
-    )
+SELECT count(*) FROM phr
+JOIN toks t0 ON t0.term = phr.w0 AND t0.doc_id <> phr.q_id"""
+        )
+        for i in range(1, steps):
+            sql += (
+                f"\nJOIN toks t{i} ON t{i}.doc_id = t0.doc_id"
+                f" AND t{i}.pos = t0.pos + {i} AND t{i}.term = phr.w{i}"
+            )
+        return sql
+
+    put("t10_anchors", t10_chain(1))
+    put("t10_step2_survivors", t10_chain(2))
+    put("t10_step3_matches", t10_chain(3))
     # p13 hashes every unigram + bigram occurrence (map-side): volume =
     # sum(n_tokens) + sum(greatest(n_tokens - 1, 0)) over docs
     put(
