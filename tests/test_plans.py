@@ -459,6 +459,35 @@ def test_p05_small_bench_is_broadcast_probe(spark):
         assert "doc_id" in m.group(1), m.group(0)
 
 
+def test_p05_over_gate_fallback_shape_and_equality(spark, monkeypatch):
+    """r11 (VERDICT r10 #6): the OVER-the-gate arm — an oversized bench
+    must not broadcast, so train reduces to DISTINCT hashes (partial/
+    map-side first) and left-joins. Forcing the gate low pins that
+    shape: exactly the r9 plan, whose signature is a bare-``h``
+    hashpartitioning Exchange (the train-side distinct — allowed HERE
+    and only here), plus an HashAggregate pair around it (the partial
+    distinct). And both arms must return identical rows — the gate is
+    a plan choice, never a semantics choice."""
+    import re
+
+    from aw3d30_parquet_spark.functions import pipeline as P
+
+    broadcast_rows = sorted(
+        map(tuple, P.decontaminate(spark, SF).collect())
+    )
+    monkeypatch.setattr(P, "P05_BENCH_BROADCAST_CAP", -1)
+    df = P.decontaminate(spark, SF)
+    plan = formatted_plan(df)
+    bare_h = [
+        m.group(0)
+        for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan)
+        if "doc_id" not in m.group(1)
+    ]
+    assert bare_h, plan  # the train-distinct shuffle IS the fallback
+    assert plan.count("HashAggregate") >= 2, plan  # partial-first distinct
+    assert broadcast_rows == sorted(map(tuple, df.collect()))
+
+
 def test_whole_surface_no_cartesian_no_rowwise_python(spark):
     """Suite-wide plan hygiene (r10): EVERY registered query compiles to
     a plan with ZERO CartesianProduct and ZERO BatchEvalPython nodes —
