@@ -460,15 +460,65 @@ def _png_decode_pure(payload: bytes) -> tuple[dict, np.ndarray]:
     return meta, pixels
 
 
+def _jpeg_meta(payload: bytes) -> dict:
+    """Header-only JPEG metadata: a pure marker-segment walk (ITU-T
+    T.81 §B): skip APPn/DQT/DHT/... segments by their 2-byte lengths
+    until the frame header (SOF₀–SOF₁₅, minus the non-frame 0xC4 DHT /
+    0xC8 JPG / 0xCC DAC codes), whose payload carries precision,
+    height, width, component count — so ``metadata_only`` needs no
+    Pillow for JPEG either, completing the header-only contract for
+    every real format (r11; the JPEG twin of the PNG IHDR read and the
+    BMFF moov walk). Entropy-coded data is never reached: SOF precedes
+    SOS in every legal stream. Malformed streams raise ValueError."""
+    n = len(payload)
+    pos = 2  # past the 0xFFD8 SOI the dispatch already matched
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError(
+                f"corrupt JPEG: expected marker at {pos}, "
+                f"got 0x{payload[pos]:02x}"
+            )
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte, marker continues
+            pos += 1
+            continue
+        if marker in (0x01, *range(0xD0, 0xD8)):  # standalone: TEM/RSTn
+            pos += 2
+            continue
+        if marker in (0xD8, 0xD9):  # SOI/EOI before any SOF
+            raise ValueError("corrupt JPEG: no SOF before SOI/EOI")
+        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        if seg_len < 2 or pos + 2 + seg_len > n:
+            raise ValueError(
+                f"corrupt JPEG: segment 0x{marker:02x} length {seg_len} "
+                "overruns"
+            )
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            body = payload[pos + 4 : pos + 2 + seg_len]
+            if len(body) < 6:
+                raise ValueError("corrupt JPEG: truncated SOF payload")
+            return {
+                "width": int.from_bytes(body[3:5], "big"),
+                "height": int.from_bytes(body[1:3], "big"),
+                "channels": body[5],
+            }
+        if marker == 0xDA:  # SOS: entropy data follows — SOF never did
+            raise ValueError("corrupt JPEG: SOS before any SOF marker")
+        pos += 2 + seg_len
+    raise ValueError("corrupt JPEG: no SOF marker in stream")
+
+
 def _decode_image_real(
     payload: bytes, metadata_only: bool = False
 ) -> tuple[str, dict, np.ndarray | None]:
+    if metadata_only and payload[:3] == _JPEG_SIG:
+        # header-only JPEG: SOF marker walk, no Pillow, no entropy data
+        return "image", _jpeg_meta(payload), None
     if metadata_only and payload.startswith(_PNG_SIG):
         # header-only PNG: width/height/channels live in the fixed-
         # position IHDR chunk — no pixel decode, no Pillow needed, so
         # the metadata_only contract holds even where the library is
-        # absent (JPEG metadata needs a SOF marker walk — that path
-        # still goes through Pillow below)
+        # absent
         if len(payload) < 26:
             raise ValueError(
                 f"corrupt PNG payload: {len(payload)} bytes, no IHDR"
@@ -701,7 +751,8 @@ def decode_payload(
 
     ``metadata_only=True`` returns (kind, metadata, None) without
     touching the body — WAV reads chunk headers only, PNG parses the
-    IHDR directly (no Pillow required), the RAW family skips the
+    IHDR directly, JPEG walks marker segments to the SOF, ISO-BMFF
+    walks the moov tree (all library-free), the RAW family skips the
     buffer view. Error contract: unknown-but-plausible formats raise
     NotImplementedError naming the missing library; malformed bytes
     (too short, corrupt container) raise ValueError at this layer —

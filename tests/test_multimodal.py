@@ -717,3 +717,84 @@ def test_m09_oracle(spark, duck_t2):
     df = mm.m09_bmff_video_metadata(spark, "/root/testdata/sf0.01")
     ok, h1, h2 = compare(df, duck_t2, mm.ORACLE_SQL["m09_bmff_video_metadata"])
     assert ok, (h1, h2)
+
+
+def _mini_jpeg(width=31, height=17, channels=3, sof=0xC0) -> bytes:
+    """Minimal JPEG marker stream: SOI, APP0/JFIF, a fill byte, an RST
+    standalone, DQT junk, then the SOF — everything a real encoder
+    emits before the frame header, none of the entropy data."""
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\0" * 9
+    dqt = b"\xff\xdb" + (67).to_bytes(2, "big") + b"\0" * 65
+    sof_body = (
+        bytes([8])
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([channels])
+        + b"\0" * (3 * channels)
+    )
+    sof_seg = bytes([0xFF, sof]) + (2 + len(sof_body)).to_bytes(2, "big") + sof_body
+    return b"\xff\xd8" + app0 + b"\xff" + b"\xff\xd0" + dqt + sof_seg
+
+
+def test_jpeg_metadata_only_sof_walk():
+    """metadata_only JPEG: a pure marker-segment walk (no Pillow)
+    returns width/height/channels from the SOF — the header-only
+    contract now holds library-free for all four real formats (WAV
+    chunk headers, PNG IHDR, JPEG SOF, BMFF moov). Full decode still
+    names Pillow; malformed streams raise ValueError."""
+    for sof in (0xC0, 0xC1, 0xC2, 0xCF):  # baseline/ext/progressive/...
+        kind, meta, none = mm.decode_payload(
+            _mini_jpeg(31, 17, 3, sof), metadata_only=True
+        )
+        assert kind == "image" and none is None
+        assert meta == {"width": 31, "height": 17, "channels": 3}
+    kind, meta, _ = mm.decode_payload(
+        _mini_jpeg(8, 8, 1), metadata_only=True
+    )
+    assert meta == {"width": 8, "height": 8, "channels": 1}
+    if not HAS_PIL:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            mm.decode_payload(_mini_jpeg())  # full decode: library-gated
+    for bad in (
+        b"\xff\xd8\xff\xd9",  # EOI before any SOF
+        b"\xff\xd8" + b"\xff\xda\x00\x04\0\0",  # SOS before SOF
+        b"\xff\xd8" + b"\xff\xe0\xff\xff",  # segment length overruns
+        # valid APP0, then a non-marker byte where a marker must start
+        b"\xff\xd8" + b"\xff\xe0\x00\x04\0\0" + b"\x00\x00\x00\x00",
+        _mini_jpeg()[:20],  # truncated mid-segment
+    ):
+        with pytest.raises(ValueError, match="corrupt JPEG"):
+            mm.decode_payload(bad, metadata_only=True)
+    # DHT (0xC4) must be skipped, not read as a frame header
+    dht = b"\xff\xc4" + (5).to_bytes(2, "big") + b"\0\0\0"
+    payload = b"\xff\xd8" + dht + _mini_jpeg(9, 5, 3)[2:]
+    _, meta, _ = mm.decode_payload(payload, metadata_only=True)
+    assert meta == {"width": 9, "height": 5, "channels": 3}
+
+
+def test_png_codec_roundtrip_property():
+    """Hypothesis property: ANY uint8 array with ANY per-row filter
+    assignment round-trips bit-exactly through the pure codec, and the
+    framing formula holds — the PNG twin of the LZW totality fuzz."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 12),  # h
+        st.integers(1, 12),  # w
+        st.sampled_from([1, 2, 3, 4]),  # ch
+        st.integers(0, 2**32 - 1),  # pixel seed
+        st.integers(0, 2**32 - 1),  # filter seed
+    )
+    def roundtrip(h, w, ch, pix_seed, filt_seed):
+        rng = np.random.default_rng(pix_seed)
+        arr = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        filters = np.random.default_rng(filt_seed).integers(0, 5, h)
+        payload = mm._png_encode(arr, filters)
+        assert len(payload) == h * (w * ch + 1) + 68
+        meta, out = mm._png_decode_pure(payload)
+        assert meta == {"width": w, "height": h, "channels": ch}
+        np.testing.assert_array_equal(out, arr)
+
+    roundtrip()
