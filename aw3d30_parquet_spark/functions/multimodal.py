@@ -1306,21 +1306,8 @@ def m06_frame_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sampled"),
         F.count_distinct("h").alias("n_distinct"),
     )
-    dist = fh.distinct()
-    a, b = dist.alias("a"), dist.alias("b")
-    sharing = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.media_id") != F.col("b.media_id")),
-        )
-        .groupBy(F.col("a.media_id").alias("media_id"))
-        .agg(
-            F.count_distinct(F.col("b.media_id")).alias(
-                "n_videos_sharing"
-            )
-        )
-    )
+    dist = _scratch_persist("m06.dist", fh.distinct())
+    sharing = _sharing_counts(dist, per_video)
     return (
         per_video.join(sharing, "media_id", "left")
         .select(
@@ -1333,6 +1320,58 @@ def m06_frame_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+def _sharing_counts(dist: DataFrame, per_video: DataFrame) -> DataFrame:
+    """``n_videos_sharing`` per video from the distinct (media_id, h)
+    relation — the r11 HYBRID plan (byte-identical output to the plain
+    digest self-join, pinned by pytest against a brute-force twin):
+
+    - **single-digest videos take a closed form.** A video whose
+      frames all hash to ONE digest h shares with exactly the other
+      ``c_h − 1`` videos carrying h, where ``c_h`` is the digest's
+      video frequency — one linear groupBy + one digest-keyed join,
+      no pairwise enumeration. This matters because hot digests are
+      precisely where the pairwise join blows up: candidate volume is
+      Σ_h c_h², and the r11 dens100 probe measured it QUADRATIC on
+      the fixture (9.2 k → 1.11 M → 112.8 M candidates for
+      1×/10×/100× docs; every fixture video is single-digest, digest
+      space saturates at 256 keys — SCALING.md round-11).
+    - **multi-digest videos keep the exact pairwise join** (a-side
+      restricted to THEIR rows; b-side the full relation), because
+      their partner set is a union across digests that has no linear
+      decomposition. On real content per-digest density is small and
+      this side IS d04's inverted-index posture (candidates = actual
+      collisions); on the fixture it is empty, so the quadratic term
+      is gone entirely.
+
+    At 100 TB the closed form also carries the production reading: a
+    digest with c_h in the thousands is shared b-roll/boilerplate
+    (p11's class) — its partner COUNT is what curation needs, and
+    that count never requires materializing the c_h² pair relation."""
+    freq = dist.groupBy("h").agg(F.count("*").alias("c"))
+    n_dist = per_video.select("media_id", "n_distinct")
+    single = (
+        dist.join(n_dist, "media_id")
+        .filter(F.col("n_distinct") == 1)
+        .join(freq, "h")
+        .select(
+            "media_id", (F.col("c") - 1).cast("bigint").alias("n_videos_sharing")
+        )
+        .filter(F.col("n_videos_sharing") > 0)
+    )
+    multi = dist.join(n_dist, "media_id").filter(F.col("n_distinct") > 1)
+    a, b = multi.alias("a"), dist.alias("b")
+    multi_sharing = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.media_id") != F.col("b.media_id")),
+        )
+        .groupBy(F.col("a.media_id").alias("media_id"))
+        .agg(F.count_distinct(F.col("b.media_id")).alias("n_videos_sharing"))
+    )
+    return single.unionByName(multi_sharing)
 
 
 _M06_ORACLE = f"""

@@ -798,3 +798,88 @@ def test_png_codec_roundtrip_property():
         np.testing.assert_array_equal(out, arr)
 
     roundtrip()
+
+
+def test_sharing_counts_hybrid_equals_bruteforce(spark):
+    """The r11 hybrid sharing plan (closed form for single-digest
+    videos + pairwise join for multi-digest ones) is row-identical to
+    a brute-force pandas recomputation on a synthetic corpus that has
+    BOTH classes: hot single-digest videos, multi-digest videos with
+    overlapping partner sets (the union-across-digests case the
+    closed form cannot express), and a no-partner video."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rows = [
+        # hot digest H0: videos 1,2,3 are single-digest sharers
+        (1, "H0"), (2, "H0"), (3, "H0"),
+        # video 4: multi-digest, partners via H0 and H1
+        (4, "H0"), (4, "H1"),
+        # video 5: multi-digest sharing BOTH digests with video 6 —
+        # the double-count trap the count_distinct must dedup
+        (5, "H1"), (5, "H2"), (6, "H1"), (6, "H2"),
+        # video 7: lonely digest, no partners
+        (7, "H3"),
+    ]
+    dist = spark.createDataFrame(rows, "media_id long, h string")
+    per_video = dist.groupBy("media_id").agg(
+        F.count("*").alias("n_sampled"),
+        F.count_distinct("h").alias("n_distinct"),
+    )
+    got = {
+        r.media_id: r.n_videos_sharing
+        for r in mm._sharing_counts(dist, per_video).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["media_id", "h"])
+    want = {}
+    for v, grp in pdf.groupby("media_id"):
+        partners = set(
+            pdf[pdf["h"].isin(grp["h"])]["media_id"]
+        ) - {v}
+        if partners:
+            want[int(v)] = len(partners)
+    assert got == want
+    # and 4 is genuinely multi-digest with partners from two digests
+    # ({1,2,3} via H0 plus {5,6} via H1), 5's double-shared partner 6
+    # counts once ({4,6} — the count_distinct dedup), 7 is absent
+    assert want[4] == 5 and want[5] == 2 and 7 not in want
+
+
+def test_m06_hybrid_plan_shape(spark):
+    """The r11 hybrid keeps hot digests OFF the pairwise join: on a
+    synthetic corpus of 2 000 single-digest videos over 8 digests (the
+    saturated-digest-space shape the dens100 probe measured at 112.8 M
+    candidates) the old all-pairs plan would materialize
+    Σ c·(c−1) ≈ 500 k join rows; the hybrid's executed plan must move
+    no more than a few corpus-sized relations through ANY join — the
+    closed-form lane answers everything, the pairwise lane gets zero
+    a-side rows."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from aw3d30_parquet_spark.plans.analyze import analyze
+
+    n = 2000
+    dist = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.concat(F.lit("H"), (F.col("id") % 8).cast("string")).alias("h"),
+    )
+    per_video = dist.groupBy("media_id").agg(
+        F.count("*").alias("n_sampled"),
+        F.count_distinct("h").alias("n_distinct"),
+    )
+    out = mm._sharing_counts(dist, per_video)
+    txt = analyze(out)
+    worst = 0
+    for line in txt.splitlines():
+        if "Join" in line and "numOutputRows" in line:
+            m = re.search(r"numOutputRows=([\d,]+)", line)
+            worst = max(worst, int(m.group(1).replace(",", "")))
+    # every join stays corpus-sized (the dist⋈n_dist feed runs once
+    # per lane → ≤ 2n); the old shape's Σc(c−1) here is ~499 000
+    assert worst <= 2 * n, (worst, txt[:2000])
+    # and the answer itself is the closed form: c − 1 partners each
+    rows = out.collect()
+    assert len(rows) == n
+    assert all(r.n_videos_sharing == n // 8 - 1 for r in rows)

@@ -198,6 +198,38 @@ JOIN toks t0 ON t0.term = phr.w0 AND t0.doc_id <> phr.q_id"""
     put("t10_anchors", t10_chain(1))
     put("t10_step2_survivors", t10_chain(2))
     put("t10_step3_matches", t10_chain(3))
+
+    # r11: m06 frame-dedup volume drivers, mirroring the m06 oracle's
+    # own CTEs (frame identity ⇔ (width, start mod 256) by the
+    # generator law). The digest self-join's candidate volume is
+    # Σ_h c_h·(c_h−1) — linear in corpus at FIXED per-digest density
+    # (real content: unbounded digest space), but this FIXTURE's
+    # digest space saturates at ≤ 4·256 keys, so c_h grows with the
+    # corpus and candidates go quadratic — the adversarial-density
+    # case, counted here so SCALING.md can say so with numbers.
+    m06_base = f"""
+WITH params AS (
+  SELECT doc_id, 16 + (doc_id % 4) * 8 AS w,
+         4 + doc_id % 6 AS nf, doc_id % 256 AS s
+  FROM read_parquet('{d}/documents.parquet') WHERE doc_id % 3 = 2
+), frames AS (
+  SELECT doc_id, w, (s + k.k * w * 16) % 256 AS start
+  FROM params
+  CROSS JOIN (SELECT unnest(range(0, 9)) AS k) k
+  WHERE k.k < nf AND k.k % 2 = 0
+), dist AS (
+  SELECT DISTINCT doc_id, w, start FROM frames
+), freq AS (
+  SELECT w, start, count(*) AS c FROM dist GROUP BY 1, 2
+)
+"""
+    put("m06_dist_rows", m06_base + "SELECT count(*) FROM dist")
+    put("m06_digest_space", m06_base + "SELECT count(*) FROM freq")
+    put("m06_max_digest_freq", m06_base + "SELECT max(c) FROM freq")
+    put(
+        "m06_candidates",
+        m06_base + "SELECT sum(c * (c - 1)) FROM freq",
+    )
     # p13 hashes every unigram + bigram occurrence (map-side): volume =
     # sum(n_tokens) + sum(greatest(n_tokens - 1, 0)) over docs
     put(
