@@ -1307,7 +1307,18 @@ def m06_frame_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("h").alias("n_distinct"),
     )
     dist = _scratch_persist("m06.dist", fh.distinct())
-    sharing = _sharing_counts(dist, per_video)
+    n_dist, cand = _m06_gate(spark, sf_dir, dist)
+    if cand <= M06_PAIRWISE_RATIO_CAP * n_dist:
+        # cold digests (the sf0.1 shape: Σc(c−1) within a few × of the
+        # relation itself): ONE pairwise join beats the hybrid's extra
+        # stages — interleaved A/B measured the hybrid at med 2.41 s vs
+        # 1.94 s here, pure stage overhead at a 9 240-candidate volume
+        sharing = _sharing_pairwise(dist)
+    else:
+        # hot digests (saturated digest space): candidates are
+        # quadratic in the corpus — the dens100 probe measured 112.8 M
+        # vs the hybrid's 340 k join rows (SCALING.md round-11)
+        sharing = _sharing_counts(dist, per_video)
     return (
         per_video.join(sharing, "media_id", "left")
         .select(
@@ -1319,6 +1330,65 @@ def m06_frame_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("media_id")
+    )
+
+
+#: m06 plan-choice gate: the pairwise sharing join is KEPT while its
+#: measured candidate volume Σ_h c_h·(c_h−1) stays within this factor
+#: of the distinct (video, digest) relation itself — i.e. while the
+#: join is effectively linear and one join beats the hybrid's extra
+#: stage overhead (interleaved A/B at sf0.1: pairwise med 1.94 s vs
+#: hybrid 2.41 s at a 9 240-candidate volume). Above it, digests are
+#: hot and the closed-form hybrid takes over (340 k vs 112.8 M join
+#: rows at dens100). The same measured-scalar discipline as p05's
+#: broadcast gate and d08's edge-count gate.
+M06_PAIRWISE_RATIO_CAP = 8.0
+
+#: (applicationId, sf_dir) → (dist rows, Σ c·(c−1)) — memoized like
+#: p05's gate count so repeated plan compilations (the suite-wide
+#: plan-hygiene walk) don't re-materialize the frame-digest relation
+#: for the same immutable input dir (ADVICE r10's p05 finding applies
+#: verbatim here).
+_M06_GATE_MEMO: dict[tuple[str, str], tuple[int, int]] = {}
+
+
+def _m06_gate(
+    spark: SparkSession, sf_dir: str, dist: DataFrame
+) -> tuple[int, int]:
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect: no sparkContext — the Python
+        app = f"connect_{id(spark):x}"  # session object is the session
+    key = (app, sf_dir)
+    if key not in _M06_GATE_MEMO:
+        row = (
+            dist.groupBy("h")
+            .agg(F.count("*").alias("c"))
+            .agg(
+                F.coalesce(F.sum("c"), F.lit(0)).alias("rows"),
+                F.coalesce(
+                    F.sum(F.col("c") * (F.col("c") - 1)), F.lit(0)
+                ).alias("cand"),
+            )
+            .first()
+        )
+        _M06_GATE_MEMO[key] = (int(row["rows"]), int(row["cand"]))
+    return _M06_GATE_MEMO[key]
+
+
+def _sharing_pairwise(dist: DataFrame) -> DataFrame:
+    """The direct digest-keyed self-join (d04's inverted-index
+    posture): candidates are actual hash collisions. The right plan
+    while per-digest density is small — the gate proves it is."""
+    a, b = dist.alias("a"), dist.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.media_id") != F.col("b.media_id")),
+        )
+        .groupBy(F.col("a.media_id").alias("media_id"))
+        .agg(F.count_distinct(F.col("b.media_id")).alias("n_videos_sharing"))
     )
 
 

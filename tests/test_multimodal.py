@@ -830,6 +830,10 @@ def test_sharing_counts_hybrid_equals_bruteforce(spark):
         r.media_id: r.n_videos_sharing
         for r in mm._sharing_counts(dist, per_video).collect()
     }
+    got_pairwise = {
+        r.media_id: r.n_videos_sharing
+        for r in mm._sharing_pairwise(dist).collect()
+    }
     pdf = pd.DataFrame(rows, columns=["media_id", "h"])
     want = {}
     for v, grp in pdf.groupby("media_id"):
@@ -839,6 +843,7 @@ def test_sharing_counts_hybrid_equals_bruteforce(spark):
         if partners:
             want[int(v)] = len(partners)
     assert got == want
+    assert got_pairwise == want  # both gate arms agree with brute force
     # and 4 is genuinely multi-digest with partners from two digests
     # ({1,2,3} via H0 plus {5,6} via H1), 5's double-shared partner 6
     # counts once ({4,6} — the count_distinct dedup), 7 is absent
@@ -883,3 +888,22 @@ def test_m06_hybrid_plan_shape(spark):
     rows = out.collect()
     assert len(rows) == n
     assert all(r.n_videos_sharing == n // 8 - 1 for r in rows)
+
+
+def test_m06_gate_picks_pairwise_on_cold_digests(spark):
+    """The m06 plan-choice gate (p05/d08's measured-scalar class): on
+    the sf fixture the candidate volume is within M06_PAIRWISE_RATIO_CAP
+    of the relation itself, so the registered query compiles to the
+    single pairwise join — no Union of sharing lanes — while the gate
+    scalar is memoized per (app, sf_dir) so repeated compilations
+    don't re-materialize the frame-digest relation."""
+    mm._M06_GATE_MEMO.clear()
+    df = mm.m06_frame_dedup_audit(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan, plan[:1500]
+    assert len(mm._M06_GATE_MEMO) == 1
+    (rows, cand), = mm._M06_GATE_MEMO.values()
+    assert cand <= mm.M06_PAIRWISE_RATIO_CAP * rows
+    # second construction reuses the memo (no new key, same values)
+    mm.m06_frame_dedup_audit(spark, SF)
+    assert len(mm._M06_GATE_MEMO) == 1
