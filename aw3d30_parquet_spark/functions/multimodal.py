@@ -351,9 +351,17 @@ def _png_unfilter(data: np.ndarray, h: int, sl: int, bpp: int) -> np.ndarray:
     filtered stream (PNG spec §9 Recon): None/Up are pure vector ops,
     Sub is a per-channel-offset cumsum (the left-neighbor recurrence IS
     a prefix sum mod 256), Average/Paeth carry a genuine sequential
-    left dependency and run per byte — rows here are tiny (≤ a few
-    hundred bytes) and the kernel is inside an Arrow-batched
-    mapInPandas stage, so the loop never touches the driver."""
+    left dependency and run per byte IN PYTHON — acceptable for the
+    fabricated fixture corpus this container exercises (rows ≤ a few
+    hundred bytes; whole-suite cost ~1 s) but interpreter-speed
+    O(h·w·ch) on arbitrary real images: a single 4K RGBA row is
+    ~16 KB, so a corpus of large real PNGs should not route through
+    this arm — deployments with such data install Pillow and flip the
+    dispatch preference in ``_decode_image_real`` (one branch swap;
+    the exotic-variant fallback already lands there). Correctness
+    holds at any size; only speed is scoped. The kernel runs inside
+    an Arrow-batched mapInPandas stage, so the loop never touches the
+    driver."""
     rows = data.reshape(h, sl + 1)
     out = np.zeros((h, sl), np.int64)
     prev = np.zeros(sl, np.int64)
@@ -445,14 +453,26 @@ def _png_decode_pure(payload: bytes) -> tuple[dict, np.ndarray]:
             "gray/RGB/gray+alpha/RGBA are wired Pillow-free"
         )
     w, h, ch = meta["width"], meta["height"], meta["channels"]
+    expected = h * (w * ch + 1)
+    # bounded inflate: cap output at the IHDR-declared scanline-stream
+    # size + 1 so a decompression-bomb IDAT (tiny compressed bytes
+    # declaring a huge inflate) can allocate at most expected+1 bytes
+    # in the executor before the corrupt-PNG error fires (ADVICE r11 —
+    # a bare zlib.decompress would materialize the whole bomb first)
+    dec = zlib.decompressobj()
     try:
-        stream = zlib.decompress(b"".join(idat))
+        stream = dec.decompress(b"".join(idat), expected + 1)
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG: IDAT inflate failed: {exc}") from exc
-    if len(stream) != h * (w * ch + 1):
+    if len(stream) > expected or dec.unconsumed_tail:
         raise ValueError(
-            f"corrupt PNG: scanline stream {len(stream)} bytes, "
-            f"expected {h * (w * ch + 1)}"
+            f"corrupt PNG: IDAT inflates past the IHDR-declared "
+            f"{expected}-byte scanline stream"
+        )
+    if len(stream) != expected or not dec.eof:
+        raise ValueError(
+            f"corrupt PNG: scanline stream {len(stream)} bytes "
+            f"(complete={dec.eof}), expected {expected}"
         )
     pixels = _png_unfilter(
         np.frombuffer(stream, np.uint8), h, w * ch, ch
@@ -482,9 +502,16 @@ def _jpeg_meta(payload: bytes) -> dict:
         if marker == 0xFF:  # fill byte, marker continues
             pos += 1
             continue
-        if marker in (0x01, *range(0xD0, 0xD8)):  # standalone: TEM/RSTn
-            pos += 2
-            continue
+        if marker in (0x01, *range(0xD0, 0xD8)):
+            # standalone TEM/RSTn are only legal INSIDE entropy-coded
+            # data (T.81 §B.1.1.3), which starts after SOS — in the
+            # header segment area this walk covers they mark a
+            # malformed stream, so reject rather than skip (ADVICE r11:
+            # the old leniency parsed some broken streams as valid)
+            raise ValueError(
+                f"corrupt JPEG: standalone marker 0x{marker:02x} "
+                "before SOS (TEM/RSTn are entropy-data-only)"
+            )
         if marker in (0xD8, 0xD9):  # SOI/EOI before any SOF
             raise ValueError("corrupt JPEG: no SOF before SOI/EOI")
         seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
@@ -1355,11 +1382,9 @@ _M06_GATE_MEMO: dict[tuple[str, str], tuple[int, int]] = {}
 def _m06_gate(
     spark: SparkSession, sf_dir: str, dist: DataFrame
 ) -> tuple[int, int]:
-    try:
-        app = spark.sparkContext.applicationId
-    except Exception:  # Spark Connect: no sparkContext — the Python
-        app = f"connect_{id(spark):x}"  # session object is the session
-    key = (app, sf_dir)
+    from aw3d30_parquet_spark.session import session_token
+
+    key = (session_token(spark), sf_dir)
     if key not in _M06_GATE_MEMO:
         row = (
             dist.groupBy("h")

@@ -150,11 +150,9 @@ _P05_GATE_MEMO: dict[tuple[str, str], int] = {}
 
 
 def _p05_bench_count(spark: SparkSession, sf_dir: str, bench: DataFrame) -> int:
-    try:
-        app = spark.sparkContext.applicationId
-    except Exception:  # Spark Connect: no sparkContext — the Python
-        app = f"connect_{id(spark):x}"  # session object is the session
-    key = (app, sf_dir)
+    from aw3d30_parquet_spark.session import session_token
+
+    key = (session_token(spark), sf_dir)
     if key not in _P05_GATE_MEMO:
         _P05_GATE_MEMO[key] = bench.count()
     return _P05_GATE_MEMO[key]

@@ -13,7 +13,9 @@ paths, shuffle partitions sized for local test scale but overridable.
 
 from __future__ import annotations
 
+import itertools
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -192,6 +194,33 @@ def spread(df, min_partitions: int | None = None):
 #: the strong reference also prevents the id-recycling hazard a bare
 #: id() key would have.
 _REGISTERED: dict[SparkSession, str] = {}
+
+#: live session object → assigned token (see session_token). A weak
+#: mapping: the entry dies WITH the session, so a recycled id() can
+#: never resurrect a dead session's token (ADVICE r11 — the old
+#: f"connect_{id(spark):x}" fallback could serve a stale memo entry to
+#: a brand-new session whose object landed on a freed address).
+_SESSION_TOKENS: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
+_TOKEN_SEQ = itertools.count()
+
+
+def session_token(spark: SparkSession) -> str:
+    """Stable identifier for (session, input-dir) memo keys — the p05
+    broadcast gate and the m06 candidate-volume gate cache one measured
+    scalar per session over an immutable sf_dir. Classic Spark: the
+    applicationId. Spark Connect (no sparkContext): a monotonically
+    assigned token held weakly against the session object, unique for
+    the object's lifetime and never reused after collection."""
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:
+        tok = _SESSION_TOKENS.get(spark)
+        if tok is None:
+            tok = f"connect_{next(_TOKEN_SEQ)}"
+            _SESSION_TOKENS[spark] = tok
+        return tok
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:

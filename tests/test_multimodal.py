@@ -587,6 +587,31 @@ def test_png_pure_codec_error_contract():
     )
     with pytest.raises(ValueError, match="scanline stream"):
         mm._png_decode_pure(png)
+    # decompression bomb: a ~16 KB IDAT declaring a tiny IHDR must be
+    # rejected WITHOUT inflating its ~16 MB payload — the bounded
+    # decompressobj caps output at the IHDR-declared size + 1
+    # (ADVICE r11), so the error fires after at most 55 bytes here
+    bomb = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", (8).to_bytes(4, "big") + (6).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0]))
+        + mm._png_chunk(b"IDAT", zlib.compress(b"\0" * (16 << 20), 9))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflates past"):
+        mm._png_decode_pure(bomb)
+    # truncated deflate stream that happens to yield EXACTLY the
+    # declared byte count before running out: complete=False → corrupt
+    full = zlib.compress(bytes(6 * 9), 0)  # level 0: stored blocks
+    cut = full[: 7 + 54]  # zlib hdr 2 + block hdr 5 + 54 of 54 bytes,
+    # no final-block flag consumed → eof stays False
+    png_trunc = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", (8).to_bytes(4, "big") + (6).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0]))
+        + mm._png_chunk(b"IDAT", cut)
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="corrupt PNG"):
+        mm._png_decode_pure(png_trunc)
     # 16-bit and interlaced: NotImplementedError naming the gap
     for hdr in (bytes([16, 0, 0, 0, 0]), bytes([8, 0, 0, 0, 1])):
         png = (
@@ -720,9 +745,12 @@ def test_m09_oracle(spark, duck_t2):
 
 
 def _mini_jpeg(width=31, height=17, channels=3, sof=0xC0) -> bytes:
-    """Minimal JPEG marker stream: SOI, APP0/JFIF, a fill byte, an RST
-    standalone, DQT junk, then the SOF — everything a real encoder
-    emits before the frame header, none of the entropy data."""
+    """Minimal spec-legal JPEG marker stream: SOI, APP0/JFIF, a fill
+    byte (any number of 0xFF pad bytes may precede a marker — T.81
+    §B.1.1.2), DQT junk, then the SOF — everything a real encoder
+    emits before the frame header, none of the entropy data. No bare
+    RST: standalone TEM/RSTn are entropy-data-only and the walk now
+    rejects them in the header area (ADVICE r11)."""
     app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\0" * 9
     dqt = b"\xff\xdb" + (67).to_bytes(2, "big") + b"\0" * 65
     sof_body = (
@@ -733,7 +761,7 @@ def _mini_jpeg(width=31, height=17, channels=3, sof=0xC0) -> bytes:
         + b"\0" * (3 * channels)
     )
     sof_seg = bytes([0xFF, sof]) + (2 + len(sof_body)).to_bytes(2, "big") + sof_body
-    return b"\xff\xd8" + app0 + b"\xff" + b"\xff\xd0" + dqt + sof_seg
+    return b"\xff\xd8" + app0 + b"\xff" + dqt + sof_seg
 
 
 def test_jpeg_metadata_only_sof_walk():
@@ -762,6 +790,10 @@ def test_jpeg_metadata_only_sof_walk():
         # valid APP0, then a non-marker byte where a marker must start
         b"\xff\xd8" + b"\xff\xe0\x00\x04\0\0" + b"\x00\x00\x00\x00",
         _mini_jpeg()[:20],  # truncated mid-segment
+        # standalone RST0 / TEM in the header area: entropy-data-only
+        # markers, illegal before SOS (T.81) — strict since r12
+        b"\xff\xd8" + b"\xff\xd0" + _mini_jpeg(9, 5, 3)[2:],
+        b"\xff\xd8" + b"\xff\x01" + _mini_jpeg(9, 5, 3)[2:],
     ):
         with pytest.raises(ValueError, match="corrupt JPEG"):
             mm.decode_payload(bad, metadata_only=True)

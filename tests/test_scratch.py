@@ -195,3 +195,37 @@ def test_memo_age_expiry(spark):
     scratch.begin_query("z00_noop")
     assert released == [1]  # one past the cap: expired
     scratch.release_all()
+
+
+def test_session_token_stable_and_gc_safe(spark):
+    """session_token: applicationId on classic Spark; on sessions with
+    no sparkContext (the Connect shape) a weakly-held token that (a) is
+    stable across calls for the same live object and (b) can never be
+    served to a DIFFERENT object that lands on a recycled id() after
+    the first is garbage-collected (ADVICE r11 — the old id()-keyed
+    fallback could)."""
+    import gc
+
+    from aw3d30_parquet_spark.session import session_token
+
+    assert session_token(spark) == spark.sparkContext.applicationId
+
+    class FakeConnectSession:
+        @property
+        def sparkContext(self):  # Connect: attribute access raises
+            raise AttributeError("sparkContext is not available")
+
+    a = FakeConnectSession()
+    tok_a = session_token(a)
+    assert tok_a == session_token(a)  # stable for the live object
+    assert tok_a.startswith("connect_")
+    seen = {tok_a}
+    # churn allocations so a fresh session object reuses a's address
+    del a
+    gc.collect()
+    for _ in range(50):
+        b = FakeConnectSession()
+        tok_b = session_token(b)
+        assert tok_b not in seen  # never a dead session's token
+        seen.add(tok_b)
+        del b
