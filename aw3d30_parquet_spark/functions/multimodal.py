@@ -1822,6 +1822,142 @@ FROM params GROUP BY w ORDER BY width
 """
 
 
+def _jpeg_encode_headers(
+    w: int, h: int, ch: int, comment: bytes
+) -> bytes:
+    """Minimal spec-legal baseline-JPEG header stream (ITU-T T.81
+    §B.2): SOI, APP0/JFIF, COM carrying ``comment``, DQT (ramp table),
+    SOF0, EOI — every marker segment a real encoder emits before the
+    frame header and none of the entropy data, which ``_jpeg_meta``
+    never reads (it returns at SOF). A pure-python entropy ENCODE
+    (Huffman + DCT) is the forsworn library-reimplementation class
+    (SURVEY §7.4), and the header walk m10 certifies stops at SOF by
+    contract — so header-only fabrication exercises exactly the code
+    under test. Framing is fixed arithmetic: total = 2 (SOI)
+    + 18 (APP0) + 4+len(comment) (COM) + 69 (DQT) + 10+3·ch (SOF0)
+    + 2 (EOI) = 105 + 3·ch + len(comment) — the m10 oracle's
+    ``total_payload_bytes`` pin."""
+    app0 = (
+        b"\xff\xe0"
+        + (16).to_bytes(2, "big")
+        + b"JFIF\x00"
+        + bytes([1, 1])  # version 1.1
+        + bytes([0])  # density units: none
+        + (1).to_bytes(2, "big")  # Xdensity
+        + (1).to_bytes(2, "big")  # Ydensity
+        + bytes([0, 0])  # no thumbnail
+    )
+    com = b"\xff\xfe" + (2 + len(comment)).to_bytes(2, "big") + comment
+    dqt = (
+        b"\xff\xdb"
+        + (67).to_bytes(2, "big")
+        + bytes([0])  # Pq=0 (8-bit), Tq=0
+        + bytes(range(1, 65))  # ramp quant table (all-nonzero: legal)
+    )
+    sof_body = (
+        bytes([8])  # precision
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([ch])
+    )
+    for cid in range(1, ch + 1):  # id, 1×1 sampling, quant table 0
+        sof_body += bytes([cid, 0x11, 0])
+    sof0 = b"\xff\xc0" + (2 + len(sof_body)).to_bytes(2, "big") + sof_body
+    return b"\xff\xd8" + app0 + com + dqt + sof0 + b"\xff\xd9"
+
+
+def jpeg_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-container JPEG corpus: the image documents re-framed as
+    baseline-JPEG header streams (``_jpeg_encode_headers`` — pure
+    arithmetic, zero dependencies). Width/height follow the image law
+    (``media_params``); component count maps the RAW 1/2-channel law
+    onto JPEG-legal 1 (grayscale) / 3 (YCbCr); each stream carries a
+    ``doc_id % 13``-byte COM segment so the walk's length-skip logic
+    is load-bearing in the framing pin, not just pass-through."""
+    register_views(spark, sf_dir)
+    from aw3d30_parquet_spark.session import spread
+
+    ids = spread(
+        spark.table("documents").select(F.col("doc_id").alias("media_id"))
+    ).filter(F.pmod("media_id", F.lit(3)) == _KIND_MOD["image"])
+
+    def fabricate(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "payload": []}
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                p = media_params(mid)
+                ch = 2 * p["channels"] - 1  # RAW 1/2 → JPEG 1/3
+                comment = bytes((mid + i) % 256 for i in range(mid % 13))
+                out["media_id"].append(mid)
+                out["kind"].append("image")
+                out["payload"].append(
+                    _jpeg_encode_headers(
+                        p["width"], p["height"], ch, comment
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(fabricate, schema=MEDIA_SCHEMA)
+
+
+def m10_jpeg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m10: REAL-format JPEG metadata — baseline-JPEG containers
+    through the signature dispatch into the header-only SOF marker
+    walk (``_jpeg_meta``), driver-checked (r11 verdict item 2: the
+    fourth and last real container format without a driver hash row;
+    the JPEG twin of m09's BMFF moov walk).
+
+    Runs ``metadata_only`` by contract: the walk skips APP0/COM/DQT by
+    their 2-byte lengths and returns at SOF0 — Pillow is absent in
+    this container, so a green hash proves the walk alone produced
+    every parsed field. ``total_pixels`` pins the parsed SOF
+    width/height/components against the fabrication law;
+    ``total_payload_bytes`` pins the marker-segment framing (105 +
+    3·ch + doc_id%13 per stream — a mis-skipped segment or a reroute
+    through Pillow-gated full decode breaks it)."""
+    feats = extract_features(
+        jpeg_media_table(spark, sf_dir), metadata_only=True
+    )
+    n_px = (
+        F.col("width") * F.col("height") * F.col("channels")
+    ).cast("bigint")
+    return (
+        feats.groupBy("channels")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("width").alias("total_width"),
+            F.max("height").alias("max_height"),
+            F.sum(n_px).alias("total_pixels"),
+            F.sum("payload_bytes").alias("total_payload_bytes"),
+        )
+        .orderBy("channels")
+    )
+
+
+#: JPEG framing: SOI 2 + APP0 18 + COM (4 + doc_id%13) + DQT 69 +
+#: SOF0 (10 + 3·ch) + EOI 2 = 105 + 3·ch + doc_id%13 bytes, with the
+#: image-law w/h and ch = 1 + (doc_id % 2)·2 (RAW 1/2 → JPEG 1/3).
+_M10_ORACLE = """
+WITH params AS (
+  SELECT doc_id,
+         16 + (doc_id % 8) * 4 AS w,
+         12 + (doc_id % 5) * 4 AS h,
+         1 + (doc_id % 2) * 2 AS ch,
+         doc_id % 13 AS k
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT CAST(ch AS INTEGER) AS channels, count(*) AS cnt,
+       CAST(sum(w) AS BIGINT) AS total_width,
+       CAST(max(h) AS INTEGER) AS max_height,
+       CAST(sum(w * h * ch) AS BIGINT) AS total_pixels,
+       CAST(sum(105 + 3 * ch + k) AS BIGINT) AS total_payload_bytes
+FROM params GROUP BY ch ORDER BY channels
+"""
+
+
 QUERIES = {
     "m01_media_metadata": m01_media_metadata,
     "m02_image_resize_stats": m02_image_resize_stats,
@@ -1832,6 +1968,7 @@ QUERIES = {
     "m07_wav_ingest_energy": m07_wav_ingest_energy,
     "m08_png_ingest_intensity": m08_png_ingest_intensity,
     "m09_bmff_video_metadata": m09_bmff_video_metadata,
+    "m10_jpeg_metadata": m10_jpeg_metadata,
 }
 ORACLE_SQL = {
     "m01_media_metadata": _M01_ORACLE,
@@ -1843,4 +1980,5 @@ ORACLE_SQL = {
     "m07_wav_ingest_energy": _M07_ORACLE,
     "m08_png_ingest_intensity": _M08_ORACLE,
     "m09_bmff_video_metadata": _M09_ORACLE,
+    "m10_jpeg_metadata": _M10_ORACLE,
 }

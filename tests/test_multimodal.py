@@ -744,6 +744,39 @@ def test_m09_oracle(spark, duck_t2):
     assert ok, (h1, h2)
 
 
+def test_m10_jpeg_corpus_walks_headers_only(spark):
+    """m10 runs the baseline-JPEG corpus metadata_only: the full
+    decode path names Pillow (absent here), so the query completing
+    proves the SOF marker walk alone produced every field. Fabricated
+    streams carry the documented framing (105 + 3·ch + doc_id%13) and
+    parse back exactly; no BatchEvalPython in the plan."""
+    df = mm.m10_jpeg_metadata(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    rows = df.collect()
+    assert {r.channels for r in rows} <= {1, 3} and rows
+    for r in mm.jpeg_media_table(spark, SF).limit(12).collect():
+        payload = bytes(r.payload)
+        assert payload[:3] == mm._JPEG_SIG and payload[-2:] == b"\xff\xd9"
+        p = mm.media_params(r.media_id)
+        ch = 2 * p["channels"] - 1
+        assert len(payload) == 105 + 3 * ch + r.media_id % 13
+        assert mm._jpeg_meta(payload) == {
+            "width": p["width"], "height": p["height"], "channels": ch,
+        }
+        if not HAS_PIL:
+            with pytest.raises(NotImplementedError, match="Pillow"):
+                mm.decode_payload(payload)  # full decode: library-gated
+
+
+def test_m10_oracle(spark, duck_t2):
+    from aw3d30_parquet_spark.oracle import compare
+
+    df = mm.m10_jpeg_metadata(spark, "/root/testdata/sf0.01")
+    ok, h1, h2 = compare(df, duck_t2, mm.ORACLE_SQL["m10_jpeg_metadata"])
+    assert ok, (h1, h2)
+
+
 def _mini_jpeg(width=31, height=17, channels=3, sof=0xC0) -> bytes:
     """Minimal spec-legal JPEG marker stream: SOI, APP0/JFIF, a fill
     byte (any number of 0xFF pad bytes may precede a marker — T.81
