@@ -728,6 +728,19 @@ def semantic_dedup(
     vector's own in-cluster matches. Ranking compares the ROUNDED
     cosine (floor-half-up, shared numeric contract) with an id
     tie-break, so both engines agree on the keeper.
+
+    r12 (the m06 lesson applied here — SCALING.md round-12): the
+    dens100 probe measured the within-cluster pairwise join going
+    SUPER-linear on an exact-replica corpus (124.7 k → 877 k → 19.9 M
+    candidates for 1×/10×/100×; 22.6× for the last 10×). The
+    mean-occupancy law fails there because k cannot exceed the sign
+    diversity of the DISTINCT vectors — every replica lands in an
+    existing bucket, so Σ n_c² grows ∝ replicas². Above a measured
+    candidate-volume gate the GROUP-COLLAPSED plan runs instead
+    (:func:`_v07_group_collapsed`): pairwise only between distinct
+    vectors, closed-form keepers inside exact-duplicate groups —
+    byte-identical output (pytest-pinned vs brute force), candidate
+    volume back to the distinct-vector relation's own Σ r_c².
     """
     emb = _emb(spark, sf_dir)
     if bits is None:
@@ -742,22 +755,33 @@ def semantic_dedup(
         for i in range(bits)
     )
     v = emb.select("vec_id", e.alias("e"), cid.alias("cluster_id"))
-    a, b = v.alias("a"), v.alias("b")
-    cos = round_half_up(cosine(F.col("a.e"), F.col("b.e")), 4)
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    n, pair_cand, grp_cand = _v07_gate(spark, sf_dir, bits, v)
+    if pair_cand <= V07_PAIRWISE_RATIO_CAP * (grp_cand + n):
+        # duplicate-light corpus (every fixture sf; any corpus whose
+        # growth adds DISTINCT vectors): the direct pairwise join's
+        # volume is within a stage-overhead factor of the collapsed
+        # plan's, and one join beats three
+        a, b = v.alias("a"), v.alias("b")
+        cos = round_half_up(cosine(F.col("a.e"), F.col("b.e")), 4)
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.cluster_id") == F.col("b.cluster_id"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.cluster_id").alias("cluster_id"),
+                F.col("a.vec_id").alias("keeper_id"),
+                F.col("b.vec_id").alias("dropped_id"),
+                cos.alias("cos"),
+            )
+            .filter(F.col("cos") >= tau)
         )
-        .select(
-            F.col("a.cluster_id").alias("cluster_id"),
-            F.col("a.vec_id").alias("keeper_id"),
-            F.col("b.vec_id").alias("dropped_id"),
-            cos.alias("cos"),
-        )
-        .filter(F.col("cos") >= tau)
-    )
+    else:
+        # duplicate-saturated corpus: collapse exact-duplicate vectors
+        # first; the quadratic term shrinks to the DISTINCT-vector
+        # relation (19.9 M → ~205 k candidate rows at dens100)
+        pairs = _v07_group_collapsed(v, tau)
     w = Window.partitionBy("dropped_id").orderBy(
         F.col("cos").desc(), F.col("keeper_id")
     )
@@ -767,6 +791,125 @@ def semantic_dedup(
         .select("cluster_id", "dropped_id", "keeper_id", "cos")
         .orderBy("dropped_id")
     )
+
+
+#: v07 plan-choice gate (r12 — m06's measured-scalar discipline): the
+#: direct within-cluster pairwise join is KEPT while its measured
+#: candidate volume Σ_c n_c·(n_c−1)/2 stays within this factor of the
+#: group-collapsed plan's volume (distinct-vector rep pairs + the
+#: member-sized join inputs). On duplicate-free corpora the two
+#: volumes are equal, so the gate resolves to "pairwise unless
+#: collapsing actually removes ≥ CAP× of the work". Interleaved A/B
+#: (min-over-3, SCALING.md round-12): at ratio ≈ 1 (sf0.1, no exact
+#: dups) pairwise wins 1.09 vs 1.92 s — the collapsed plan's groupBy +
+#: two member joins are pure overhead there; at ratio 31 (10×
+#: replicas) collapsed wins 2.41 vs 3.34 s; at ratio 712 (dens100)
+#: collapsed wins 23.3 vs 68.8 s. CAP = 8 sits inside the measured
+#: bracket, the same stage-overhead factor m06's gate uses.
+V07_PAIRWISE_RATIO_CAP = 8.0
+
+#: (session, sf_dir, bits) → (n, Σ n_c·(n_c−1)/2, Σ r_c·(r_c−1)/2),
+#: memoized like the p05/m06 gates so plan compilations (the
+#: suite-wide hygiene walk) don't re-aggregate the corpus.
+_V07_GATE_MEMO: dict[tuple[str, str, int], tuple[int, int, int]] = {}
+
+
+def _v07_gate(
+    spark: SparkSession, sf_dir: str, bits: int, v: DataFrame
+) -> tuple[int, int, int]:
+    from aw3d30_parquet_spark.session import session_token
+
+    key = (session_token(spark), sf_dir, bits)
+    if key not in _V07_GATE_MEMO:
+        occ = (
+            v.groupBy("cluster_id", "e")
+            .agg(F.count("*").alias("n_g"))
+            .groupBy("cluster_id")
+            .agg(F.sum("n_g").alias("n_c"), F.count("*").alias("r_c"))
+        )
+        row = occ.agg(
+            F.coalesce(F.sum("n_c"), F.lit(0)).alias("n"),
+            F.coalesce(
+                F.sum(F.col("n_c") * (F.col("n_c") - 1) / 2), F.lit(0)
+            ).alias("pair_cand"),
+            F.coalesce(
+                F.sum(F.col("r_c") * (F.col("r_c") - 1) / 2), F.lit(0)
+            ).alias("grp_cand"),
+        ).first()
+        _V07_GATE_MEMO[key] = (
+            int(row["n"]),
+            int(row["pair_cand"]),
+            int(row["grp_cand"]),
+        )
+    return _V07_GATE_MEMO[key]
+
+
+def _v07_group_collapsed(v: DataFrame, tau: float) -> DataFrame:
+    """The duplicate-saturated arm: candidates from DISTINCT vectors
+    only, exactly reproducing the pairwise arm's best-keeper choice.
+
+    Correctness argument (the byte-identical contract): for a dropped
+    vector m, the pairwise arm ranks every in-cluster k < m with
+    rounded cos ≥ τ by (cos desc, id asc). All members of an
+    exact-duplicate group share one vector, hence ONE cosine to m — so
+    within any candidate group only its minimum id can win the
+    tie-break, and that minimum is ≤ every other member (a smaller-id
+    member of a group cannot exist below its min). The collapsed
+    candidate set {(cos(g', m), min_id(g')) for partner groups g'} ∪
+    {(cos(m, m), own-group min) if min < m} therefore contains the
+    pairwise arm's winner for every m, and nothing that could outrank
+    it — and a candidate exists here iff one exists there (any k < m
+    implies its group min < m at the same cosine). Cosine symmetry is
+    bit-exact (same index-order multiply/accumulate on both operands),
+    and the within-group cosine is COMPUTED (cosine(e, e), rounded),
+    not assumed 1.0, so float behavior matches the pairwise arm's."""
+    from aw3d30_parquet_spark.scratch import scratch_persist
+
+    grp = scratch_persist(
+        "v07.grp",
+        v.groupBy("cluster_id", "e").agg(F.min("vec_id").alias("rep_id")),
+    )
+    ga, gb = grp.alias("ga"), grp.alias("gb")
+    rep_cos = round_half_up(cosine(F.col("ga.e"), F.col("gb.e")), 4)
+    # both directions kept: ga is the DROPPED side's group, gb the
+    # partner whose min id is the keeper candidate
+    rep_pairs = (
+        ga.join(
+            gb,
+            (F.col("ga.cluster_id") == F.col("gb.cluster_id"))
+            & (F.col("ga.rep_id") != F.col("gb.rep_id")),
+        )
+        .select(
+            F.col("ga.cluster_id").alias("cluster_id"),
+            F.col("ga.e").alias("e"),
+            F.col("gb.rep_id").alias("partner_min"),
+            rep_cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= tau)
+    )
+    cross = (
+        v.join(rep_pairs, ["cluster_id", "e"])
+        .filter(F.col("partner_min") < F.col("vec_id"))
+        .select(
+            "cluster_id",
+            F.col("partner_min").alias("keeper_id"),
+            F.col("vec_id").alias("dropped_id"),
+            "cos",
+        )
+    )
+    self_cos = round_half_up(cosine(F.col("e"), F.col("e")), 4)
+    within = (
+        v.join(grp, ["cluster_id", "e"])
+        .filter(F.col("rep_id") < F.col("vec_id"))
+        .select(
+            "cluster_id",
+            F.col("rep_id").alias("keeper_id"),
+            F.col("vec_id").alias("dropped_id"),
+            self_cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= tau)
+    )
+    return cross.unionByName(within)
 
 
 #: v08 radius: rounded-cosine threshold for range search (fixture max

@@ -145,6 +145,41 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _external_busy_frac(interval: float = 0.5) -> float | None:
+    """Fraction of host CPU busy with OTHER work, measured from a
+    /proc/stat delta while THIS process sleeps (r12 — why the quiet
+    hunt kept failing): loadavg remembers our own 32-thread burst for
+    ~a minute, so ``host_load.end`` after a ~100 s suite reads 8–15
+    even on an externally idle host and a "load1m < 2 at both ends"
+    quiet test can never pass. Sampling /proc/stat across a sleep
+    counts only cycles we are NOT consuming (the JVM is idle or gone
+    at both sample points), so this is a true external-load bracket.
+    Includes steal time — exactly the contention the bench cares
+    about. Returns None where /proc/stat is unavailable."""
+    import time as _time
+
+    def snap() -> tuple[int, int] | None:
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()
+        except OSError:
+            return None
+        if parts[:1] != ["cpu"]:
+            return None
+        vals = [int(v) for v in parts[1:]]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle+iowait
+        return sum(vals), idle
+    a = snap()
+    if a is None:
+        return None
+    _time.sleep(interval)
+    b = snap()
+    if b is None or b[0] <= a[0]:
+        return None
+    total = b[0] - a[0]
+    return round(1.0 - (b[1] - a[1]) / total, 4)
+
+
 def main() -> None:
     os.environ.setdefault("TZ", "UTC")
     from aw3d30_parquet_spark.session import get_spark
@@ -152,6 +187,7 @@ def main() -> None:
     import __spark_entry__ as contract
 
     load_start = _loadavg()
+    cpu_start = _external_busy_frac()
     spark = get_spark(app_name="aw3d30-bench")
     qs = contract.queries()
 
@@ -277,6 +313,13 @@ def main() -> None:
     # bench so the window brackets every timed measurement: lets any
     # reader adjudicate "steal phase vs quiet" from the artifact alone
     result["host_load"] = {"start": load_start, "end": _loadavg()}
+    # external-CPU bracket (r12): /proc/stat busy fraction across a
+    # sleep at each end — unlike loadavg it carries no memory of OUR
+    # own burst, so it is the field the quiet-round test should read
+    result["host_cpu"] = {
+        "start": cpu_start,
+        "end": _external_busy_frac(),
+    }
     result_file = dict(result, spread=spread)
     if isolated:
         result_file["isolated_top"] = isolated  # full names on disk

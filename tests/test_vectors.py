@@ -457,3 +457,100 @@ def test_kmeans_argmin_kernel_exact_and_guarded():
         _kmeans_argmin_kernel(
             cids, np.full((k, dim), KMEANS_UDF_ABS_MAX, np.int64)
         )
+
+
+def test_v7_group_collapsed_equals_pairwise_and_numpy(spark, tmp_path):
+    """r12: the duplicate-saturated arm (_v07_group_collapsed) is
+    byte-identical to the direct pairwise arm AND to a numpy brute
+    force, on a corpus built to hit every tricky branch: exact
+    replicas (closed-form within-group keepers), a scaled twin pair
+    (two DISTINCT vectors with rounded cos 1.0 — the cross-group
+    keeper must beat the own-group min by id at equal cosine), and
+    sign-colliding base vectors (multi-group clusters). The gate must
+    pick the collapsed arm here (pair volume >> collapsed volume) and
+    the pairwise arm on the duplicate-free smoke fixture."""
+    import shutil
+
+    import pandas as pd
+
+    from aw3d30_parquet_spark.functions import vectors as vv
+
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents"
+    ).split():
+        shutil.copy(f"{SF_SMOKE}/{t}.parquet", tmp_path / f"{t}.parquet")
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(16, 64)).astype(np.float64)
+    base[3] = base[1] * 3.0  # distinct vector, same direction: the
+    # rounded cross-group cosine is 1.0, tying the within-group 1.0
+    reps = 40
+    ids, mat = [], []
+    for i in range(16):
+        for r in range(reps):
+            ids.append(i * 10 + r * 1000)  # interleave ids across groups
+            mat.append(base[i])
+    ids = np.array(ids, dtype=np.int64)
+    mat = np.array(mat)
+    pd.DataFrame(
+        {
+            "vec_id": ids,
+            "embedding": [row.astype(np.float32) for row in mat],
+            "label": "x",
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+
+    sf = str(tmp_path)
+    got_collapsed = vv.semantic_dedup(spark, sf).collect()
+    n, pair_cand, grp_cand = vv._V07_GATE_MEMO[
+        next(k for k in vv._V07_GATE_MEMO if k[1] == sf)
+    ]
+    assert n == 16 * reps
+    assert pair_cand > vv.V07_PAIRWISE_RATIO_CAP * (grp_cand + n), (
+        "fixture must exercise the collapsed arm"
+    )
+    old_cap = vv.V07_PAIRWISE_RATIO_CAP
+    try:
+        vv.V07_PAIRWISE_RATIO_CAP = float("inf")
+        got_pairwise = vv.semantic_dedup(spark, sf).collect()
+    finally:
+        vv.V07_PAIRWISE_RATIO_CAP = old_cap
+    assert got_collapsed == got_pairwise  # byte-identical arms
+
+    # independent numpy truth (the v07 semantics from first principles)
+    bits = vv.semdedup_bits(len(ids))
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    signs = (mat[:, :bits] > 0).astype(int)
+    cids = signs @ (2 ** np.arange(bits - 1, -1, -1))
+    want = {}
+    for j in range(len(ids)):
+        best = None
+        for i in range(len(ids)):
+            if ids[i] >= ids[j] or cids[i] != cids[j]:
+                continue
+            cos = np.floor(float(unit[i] @ unit[j]) * 10000 + 0.5) / 10000
+            if cos < vv.SEMDEDUP_TAU:
+                continue
+            key = (-cos, int(ids[i]))
+            if best is None or key < best:
+                best = key
+        if best is not None:
+            want[int(ids[j])] = (int(cids[j]), best[1], -best[0])
+    got = {
+        r.dropped_id: (r.cluster_id, r.keeper_id, r.cos)
+        for r in got_collapsed
+    }
+    assert set(got) == set(want)
+    for d, (cid, kid, cos) in want.items():
+        gcid, gkid, gcos = got[d]
+        assert (gcid, gkid) == (cid, kid), (d, got[d], want[d])
+        assert abs(gcos - cos) < 1e-9, (d, gcos, cos)
+    # the scaled-twin tie: members of base[3]'s group (min id 30) must
+    # keep base[1]'s group min (id 10) — equal rounded cos 1.0, lower id
+    assert got[30][1] == 10
+
+    # duplicate-free fixture: the gate must keep the pairwise arm
+    vv.semantic_dedup(spark, SF_SMOKE)  # compile populates the memo
+    key = next(k for k in vv._V07_GATE_MEMO if k[1] == SF_SMOKE)
+    n2, p2, g2 = vv._V07_GATE_MEMO[key]
+    assert p2 <= vv.V07_PAIRWISE_RATIO_CAP * (g2 + n2)

@@ -613,6 +613,52 @@ JOIN edp pa ON pa.doc_id = cand.id_new
 JOIN edp pb ON pb.doc_id = cand.id_old
 WHERE levenshtein(pa.p, pb.p) <= {EDIT_D}""",
     )
+    # ------------------------------------------------ v07 SemDeDup
+    # VERDICT r11 #3: v07's Σ n_c² within-cluster cost is argued from
+    # the SemDeDup k ∝ n rule (semdedup_bits keeps MEAN occupancy
+    # ≤ 128) but was never probed at 100× — and the m06 lesson is that
+    # a SATURATED key space (adversarial replicas landing in the same
+    # sign bucket by construction) turns "Σ within-cluster pairs"
+    # quadratic regardless of any mean-occupancy law, because the MAX
+    # occupancy grows ∝ n while the mean stays flat. Counters mirror
+    # the operator's own plan: the adaptive bits, occupied clusters,
+    # the hottest cluster's n_c, and the exact pair volume
+    # Σ n_c·(n_c−1)/2 the cluster-keyed self-join materializes.
+    if wanted("v07"):
+        from aw3d30_parquet_spark.functions.vectors import semdedup_bits
+
+        n_vec = con.execute(
+            f"SELECT count(*) FROM read_parquet('{d}/embeddings.parquet')"
+        ).fetchone()[0]
+        bits = semdedup_bits(n_vec)
+        sign_expr = " + ".join(
+            f"(CASE WHEN CAST(embedding[{i + 1}] AS DOUBLE) > 0 "
+            f"THEN {1 << (bits - 1 - i)} ELSE 0 END)"
+            for i in range(bits)
+        )
+        V07 = f"""
+WITH cid AS (
+  SELECT ({sign_expr}) AS cluster_id
+  FROM read_parquet('{d}/embeddings.parquet')
+), occ AS (
+  SELECT cluster_id, count(*) AS n_c FROM cid GROUP BY 1
+)
+"""
+        out["v07_vectors"] = n_vec
+        out["v07_bits"] = bits
+        out["v07_clusters"] = con.execute(
+            V07 + "SELECT count(*) FROM occ"
+        ).fetchone()[0]
+        out["v07_max_cluster"] = con.execute(
+            V07 + "SELECT max(n_c) FROM occ"
+        ).fetchone()[0]
+        out["v07_cand_pairs"] = int(
+            con.execute(
+                V07
+                + "SELECT CAST(coalesce(sum(n_c * (n_c - 1) / 2), 0) "
+                "AS BIGINT) FROM occ"
+            ).fetchone()[0]
+        )
     return out
 
 
