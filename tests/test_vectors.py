@@ -501,7 +501,14 @@ def test_v7_group_collapsed_equals_pairwise_and_numpy(spark, tmp_path):
     ).to_parquet(tmp_path / "embeddings.parquet")
 
     sf = str(tmp_path)
-    got_collapsed = vv.semantic_dedup(spark, sf).collect()
+    df_collapsed = vv.semantic_dedup(spark, sf)
+    # the collapsed arm only compiles on duplicate-saturated corpora,
+    # so the suite-wide hygiene walk (which runs at sf0.01, pairwise)
+    # never sees it — pin its plan hygiene here
+    plan = df_collapsed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    got_collapsed = df_collapsed.collect()
     n, pair_cand, grp_cand = vv._V07_GATE_MEMO[
         next(k for k in vv._V07_GATE_MEMO if k[1] == sf)
     ]
