@@ -158,26 +158,45 @@ def _external_busy_frac(interval: float = 0.5) -> float | None:
     about. Returns None where /proc/stat is unavailable."""
     import time as _time
 
-    def snap() -> tuple[int, int] | None:
-        try:
-            with open("/proc/stat") as fh:
-                parts = fh.readline().split()
-        except OSError:
-            return None
-        if parts[:1] != ["cpu"]:
-            return None
-        vals = [int(v) for v in parts[1:]]
-        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle+iowait
-        return sum(vals), idle
-    a = snap()
+    a = _proc_stat_snap()
     if a is None:
         return None
     _time.sleep(interval)
-    b = snap()
+    b = _proc_stat_snap()
     if b is None or b[0] <= a[0]:
         return None
     total = b[0] - a[0]
     return round(1.0 - (b[1] - a[1]) / total, 4)
+
+
+def _proc_stat_snap() -> tuple[int, int, int] | None:
+    """(total, idle+iowait, steal) ticks from /proc/stat's cpu line."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+    except OSError:
+        return None
+    if parts[:1] != ["cpu"]:
+        return None
+    vals = [int(v) for v in parts[1:]]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    steal = vals[7] if len(vals) > 7 else 0
+    return sum(vals), idle, steal
+
+
+def _run_steal_frac(
+    start: tuple[int, int, int] | None,
+) -> float | None:
+    """Hypervisor-steal fraction across the WHOLE run, from the
+    cumulative /proc/stat steal counter (r12 — the round-1 lesson:
+    both endpoint brackets read externally quiet while the run itself
+    lost 56% wall to a mid-run steal wave; instantaneous sampling
+    cannot see contention BETWEEN its samples, a cumulative counter
+    by construction can)."""
+    end = _proc_stat_snap()
+    if start is None or end is None or end[0] <= start[0]:
+        return None
+    return round((end[2] - start[2]) / (end[0] - start[0]), 4)
 
 
 def main() -> None:
@@ -188,6 +207,7 @@ def main() -> None:
 
     load_start = _loadavg()
     cpu_start = _external_busy_frac()
+    stat_start = _proc_stat_snap()
     spark = get_spark(app_name="aw3d30-bench")
     qs = contract.queries()
 
@@ -319,6 +339,9 @@ def main() -> None:
     result["host_cpu"] = {
         "start": cpu_start,
         "end": _external_busy_frac(),
+        # cumulative steal over the whole run — catches the mid-run
+        # waves the endpoint brackets cannot see
+        "steal_frac_run": _run_steal_frac(stat_start),
     }
     result_file = dict(result, spread=spread)
     if isolated:

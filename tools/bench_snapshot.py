@@ -79,6 +79,12 @@ QUIET_LOAD1M = 2.0
 #: load1m<2-at-both-ends test was unsatisfiable by construction (the
 #: real reason two r11 snapshots ran to cap with quiet_rounds=[]).
 QUIET_EXT_BUSY = 0.10
+#: cumulative hypervisor-steal fraction across the whole run below
+#: this = no mid-run wave (r12 — spread round 1 read externally quiet
+#: at BOTH endpoint brackets yet ran 56% slow: the wave hit between
+#: the samples; the /proc/stat steal counter is cumulative, so a
+#: run-spanning delta cannot miss it)
+QUIET_RUN_STEAL = 0.02
 #: hard cap on extra rounds hunting for a quiet one (wall-clock bound)
 MAX_ROUNDS = 5
 
@@ -86,9 +92,11 @@ MAX_ROUNDS = 5
 def round_is_quiet(run: dict) -> bool:
     hc = run.get("host_cpu") or {}
     if hc.get("start") is not None and hc.get("end") is not None:
-        return (
+        ends_quiet = (
             hc["start"] < QUIET_EXT_BUSY and hc["end"] < QUIET_EXT_BUSY
         )
+        steal = hc.get("steal_frac_run")
+        return ends_quiet and (steal is None or steal < QUIET_RUN_STEAL)
     hl = run.get("host_load") or {}
     start, end = hl.get("start") or [], hl.get("end") or []
     return (
