@@ -92,11 +92,17 @@ MAX_ROUNDS = 5
 def round_is_quiet(run: dict) -> bool:
     hc = run.get("host_cpu") or {}
     if hc.get("start") is not None and hc.get("end") is not None:
-        ends_quiet = (
-            hc["start"] < QUIET_EXT_BUSY and hc["end"] < QUIET_EXT_BUSY
-        )
+        # a host_cpu record WITHOUT steal_frac_run cannot certify quiet:
+        # the round that motivated the field read 0.0/0.0006 at both
+        # ends yet lost 56% wall to a mid-run wave — ends-quiet alone
+        # is proven insufficient evidence
         steal = hc.get("steal_frac_run")
-        return ends_quiet and (steal is None or steal < QUIET_RUN_STEAL)
+        return (
+            steal is not None
+            and steal < QUIET_RUN_STEAL
+            and hc["start"] < QUIET_EXT_BUSY
+            and hc["end"] < QUIET_EXT_BUSY
+        )
     hl = run.get("host_load") or {}
     start, end = hl.get("start") or [], hl.get("end") or []
     return (
