@@ -624,7 +624,7 @@ WHERE levenshtein(pa.p, pb.p) <= {EDIT_D}""",
     # the operator's own plan: the adaptive bits, occupied clusters,
     # the hottest cluster's n_c, and the exact pair volume
     # Σ n_c·(n_c−1)/2 the cluster-keyed self-join materializes.
-    if wanted("v07"):
+    if wanted("v07") and os.path.exists(f"{d}/embeddings.parquet"):
         from aw3d30_parquet_spark.functions.vectors import semdedup_bits
 
         n_vec = con.execute(
