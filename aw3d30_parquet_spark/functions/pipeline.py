@@ -700,20 +700,40 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_buckets = doc_grams.groupBy(
         "doc_id", "source", "lang", "bucket"
     ).agg(F.count("*").alias("n_db"))
-    raw = doc_buckets.groupBy("bucket").agg(
-        F.sum("n_db").alias("r_b")
+    # r12 optimization (§2.3 shuffle/compute less): the λ-table build
+    # used to compile FIVE full explode→md5→partial-agg gram pipelines
+    # into one plan (raw + tgt under both the totals and lam
+    # broadcasts, plus the final weight agg — plans/r12/
+    # p13_dsir_select_before.txt shows five parquet scans). Two
+    # algebraic collapses get it to TWO without any persist barrier
+    # (an interleaved A/B showed a persisted doc_buckets LOSES wall
+    # time here — the cache fill serializes what were concurrent
+    # broadcast builds):
+    # 1. raw/tgt fold into ONE conditional aggregate — the target-side
+    #    bucket count is sum(n_db) over target-lang rows of the SAME
+    #    relation, so the left join + coalesce(t_b, 0) is sum(CASE
+    #    WHEN) exactly.
+    # 2. the totals broadcast needs no gram pipeline at all: Σ_b r_b
+    #    is the corpus gram count = Σ_docs size(grams), and Σ_b t_b
+    #    its target-lang restriction — one cheap size() aggregate over
+    #    the raw scan, identical BIGINTs (every gram lands in exactly
+    #    one bucket).
+    lam_rel = doc_buckets.groupBy("bucket").agg(
+        F.sum("n_db").alias("r_b"),
+        F.sum(
+            F.when(
+                F.col("lang") == DSIR_TARGET_LANG, F.col("n_db")
+            ).otherwise(F.lit(0))
+        ).alias("t_b"),
     )
-    tgt = (
-        doc_buckets.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("bucket")
-        .agg(F.sum("n_db").alias("t_b"))
-    )
-    lam_rel = (
-        raw.join(tgt, "bucket", "left")
-        .select("bucket", "r_b", F.coalesce("t_b", F.lit(0)).alias("t_b"))
-    )
-    totals = lam_rel.agg(
-        F.sum("r_b").alias("r_total"), F.sum("t_b").alias("t_total")
+    n_grams = F.size(grams).cast("long")
+    totals = docs.agg(
+        F.sum(n_grams).alias("r_total"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, n_grams).otherwise(
+                F.lit(0)
+            )
+        ).alias("t_total"),
     )
     lam = (
         lam_rel.crossJoin(F.broadcast(totals))

@@ -225,7 +225,16 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
     )
     tf = toks.groupBy("term").agg(F.count("*").alias("tf"))
-    total = tf.agg(F.sum("tf").cast("double").alias("n_total"))
+    # r12 (§2.3 "don't compute things you throw away"): Σ tf over the
+    # vocabulary IS the total token count, so the broadcast total no
+    # longer re-runs the scan→explode→agg pipeline a third time
+    # (plans/r12/t07_*_before.txt) — one cheap size() aggregate over
+    # the raw scan computes the identical BIGINT before the cast.
+    total = docs.agg(
+        F.sum(F.size(_tokens(F.col("text"))))
+        .cast("double")
+        .alias("n_total")
+    )
     nll = -F.log(F.col("tf").cast("double") / F.col("n_total"))
     surprisal = round_half_up(F.avg(nll), 2)
     return (

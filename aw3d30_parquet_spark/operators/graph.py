@@ -46,6 +46,29 @@ PR_SUPP_OFFSET = 10_000_000
 PR_TOP_K = 50
 
 
+def _undirect(pairs: DataFrame) -> DataFrame:
+    """Both directions of the undirected edge set in ONE pass over
+    ``pairs`` — explode a 2-array of (src,dst)/(dst,src) structs
+    instead of a self-union (r12 optimization): the union's two
+    branches each carried the full lineitem⋈orders⋈distinct subtree,
+    so materializing the edge persist ran that join TWICE (the DuckDB
+    oracle MATERIALIZEs ``pairs`` for exactly this reason; the Spark
+    plan never did). The explode is a narrow map — same rows, same
+    bag semantics, half the joins, no extra shuffle."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s").alias("src"), F.col("c").alias("dst")
+                ),
+                F.struct(
+                    F.col("c").alias("src"), F.col("s").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
 def pagerank_supplier_customer(
     spark: SparkSession, sf_dir: str, iters: int = PR_ITERS
 ) -> DataFrame:
@@ -99,13 +122,7 @@ def pagerank_supplier_customer(
         par = 32
     edges = _scratch_persist(
         "l01_edges",
-        pairs.select(
-            F.col("s").alias("src"), F.col("c").alias("dst")
-        )
-        .unionByName(
-            pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        )
-        .coalesce(par),
+        _undirect(pairs).coalesce(par),
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # |nodes| rides the plan as a persisted 1-row consts relation
@@ -123,18 +140,27 @@ def pagerank_supplier_customer(
             ).alias("tele"),
         ),
     )
-    ranks = _scratch_persist(
-        "l01_ranks",
-        deg.crossJoin(F.broadcast(consts))
-        .select(
-            F.col("src").alias("node"),
-            F.expr(f"{PR_SCALE} div n").cast("long").alias("r"),
-        )
-        .coalesce(par),
+    # ranks0 has exactly ONE consumer now (the first lazy iteration) —
+    # no persist, no repartition; it rides the chained plan
+    ranks = deg.crossJoin(F.broadcast(consts)).select(
+        F.col("src").alias("node"),
+        F.expr(f"{PR_SCALE} div n").cast("long").alias("r"),
     )
     edge_deg = _scratch_persist(
         "l01_edge_deg", edges.join(deg, "src").coalesce(par)
     )
+    # r12 optimization: the loop is LAZY — no per-iteration persist /
+    # count() materialization. At a FIXED small iteration count the
+    # chained plan (3 nested join→agg steps over the one cached
+    # edge_deg relation) executes as a single job: the old form paid 2
+    # actions per iteration (cache fill + count) plus scratch-registry
+    # churn, and froze each interim at a fixed partition count —
+    # lazily, AQE right-sizes every exchange inside one query instead
+    # (the sf0.01 sim's 200-partition hazard the old coalesce(par)
+    # existed for is now handled by AQE coalescing, which is on).
+    # At tens of iterations lineage growth would bring back the
+    # checkpoint-every-k form (DEPLOY row 13) — PR_ITERS is 3 and the
+    # oracle unrolls the same 3 steps.
     for _ in range(iters):
         contrib = (
             edge_deg.join(ranks, edge_deg.src == ranks.node)
@@ -145,26 +171,13 @@ def pagerank_supplier_customer(
             .groupBy("dst")
             .agg(F.sum("share").alias("contrib"))
         )
-        new_ranks = (
-            contrib.crossJoin(F.broadcast(consts))
-            .select(
-                F.col("dst").alias("node"),
-                (
-                    F.col("tele")
-                    + F.expr(
-                        f"({PR_DAMP_NUM} * contrib) div {PR_DAMP_DEN}"
-                    )
-                ).alias("r"),
-            )
-            .coalesce(par)
-            .persist()
+        ranks = contrib.crossJoin(F.broadcast(consts)).select(
+            F.col("dst").alias("node"),
+            (
+                F.col("tele")
+                + F.expr(f"({PR_DAMP_NUM} * contrib) div {PR_DAMP_DEN}")
+            ).alias("r"),
         )
-        # materialize WHILE the parent ranks is still cached (each
-        # iteration must read one fixed input, not a lineage re-run),
-        # THEN hand to the scratch registry — which releases the old
-        # ranks, now safely no longer needed
-        new_ranks.count()
-        ranks = _scratch_persist("l01_ranks", new_ranks)
     return (
         ranks.select("node", F.col("r").alias("rank_e12"))
         .orderBy(F.col("rank_e12").desc(), "node")
@@ -220,11 +233,7 @@ def _bucketed_edge_deg(spark: SparkSession, sf_dir: str) -> str:
         )
         .distinct()
     )
-    edges = pairs.select(
-        F.col("s").alias("src"), F.col("c").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-    ).persist()
+    edges = _undirect(pairs).persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     write_bucketed(edges.join(deg, "src"), tbl, "src", buckets=PR_BUCKETS)
     edges.unpersist()
@@ -275,10 +284,6 @@ def pagerank_bucketed(
 
     tbl = _bucketed_edge_deg(spark, sf_dir)
     edge_deg = spark.table(tbl)
-    try:
-        par = max(8, spark.sparkContext.defaultParallelism)
-    except Exception:  # Spark Connect: no sparkContext
-        par = 32
     # deg/consts/ranks0 re-derive from the bucketed table: groupBy(src)
     # rides the bucket layout (no Exchange) and every row of a src
     # group carries the same deg, so max(deg) IS the out-degree
@@ -290,37 +295,25 @@ def pagerank_bucketed(
             F.expr(f"{(3 * PR_SCALE) // PR_DAMP_DEN} div n").alias("tele"),
         ),
     )
-    ranks = _scratch_persist(
-        "l02_ranks",
-        deg.crossJoin(F.broadcast(consts))
-        .select(
-            F.col("src").alias("node"),
-            F.expr(f"{PR_SCALE} div n").cast("long").alias("r"),
-        )
-        .coalesce(par),
+    ranks = deg.crossJoin(F.broadcast(consts)).select(
+        F.col("src").alias("node"),
+        F.expr(f"{PR_SCALE} div n").cast("long").alias("r"),
     )
+    # lazy loop — same r12 optimization (and rationale) as l01's: one
+    # chained job, AQE-sized exchanges, no per-iteration persist/count
     for _ in range(iters):
         contrib = (
             _l02_iteration_join(edge_deg, ranks)
             .groupBy("dst")
             .agg(F.sum("share").alias("contrib"))
         )
-        new_ranks = (
-            contrib.crossJoin(F.broadcast(consts))
-            .select(
-                F.col("dst").alias("node"),
-                (
-                    F.col("tele")
-                    + F.expr(
-                        f"({PR_DAMP_NUM} * contrib) div {PR_DAMP_DEN}"
-                    )
-                ).alias("r"),
-            )
-            .coalesce(par)
-            .persist()
+        ranks = contrib.crossJoin(F.broadcast(consts)).select(
+            F.col("dst").alias("node"),
+            (
+                F.col("tele")
+                + F.expr(f"({PR_DAMP_NUM} * contrib) div {PR_DAMP_DEN}")
+            ).alias("r"),
         )
-        new_ranks.count()
-        ranks = _scratch_persist("l02_ranks", new_ranks)
     return (
         ranks.select("node", F.col("r").alias("rank_e12"))
         .orderBy(F.col("rank_e12").desc(), "node")
