@@ -1323,17 +1323,28 @@ def m06_frame_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = sample_frames(
         media_table(spark, sf_dir, kind="video"), every_k=2
     )
-    # two consumers with different partitionings (per-video agg + the
-    # digest self-join): persist the hashed relation or the Python
-    # fabricate→decode→md5 kernel — m06's dominant cost — runs twice
-    fh = _scratch_persist(
-        "m06", frames.select("media_id", F.md5("frame").alias("h"))
+    # r12 optimization: ONE persisted (media_id, digest, count)
+    # aggregate replaces the two-tier fh/dist persist pair. The old
+    # shape cached the raw hashed-frame stream and had AQE launch its
+    # two consumers (per-video agg + distinct) as CONCURRENT jobs that
+    # raced the unmaterialized cache — profile_jobs showed both 32-task
+    # stages spanning the whole Python fabricate→decode→md5 pass, the
+    # losers blocked on cache locks while holding task slots. The
+    # grouped relation gives the Python kernel exactly one consumer
+    # (its exchange), and both audit relations fall out for free:
+    # n_sampled = Σc, n_distinct = group count, dist = the group keys.
+    # Byte-identical output (same oracle).
+    g = _scratch_persist(
+        "m06",
+        frames.select("media_id", F.md5("frame").alias("h"))
+        .groupBy("media_id", "h")
+        .agg(F.count("*").alias("c")),
     )
-    per_video = fh.groupBy("media_id").agg(
-        F.count("*").alias("n_sampled"),
-        F.count_distinct("h").alias("n_distinct"),
+    per_video = g.groupBy("media_id").agg(
+        F.sum("c").alias("n_sampled"),
+        F.count("*").alias("n_distinct"),
     )
-    dist = _scratch_persist("m06.dist", fh.distinct())
+    dist = g.select("media_id", "h")
     n_dist, cand = _m06_gate(spark, sf_dir, dist)
     if cand <= M06_PAIRWISE_RATIO_CAP * n_dist:
         # cold digests (the sf0.1 shape: Σc(c−1) within a few × of the

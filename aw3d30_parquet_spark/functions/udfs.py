@@ -131,10 +131,17 @@ def scalar_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = np.stack(col.to_numpy()).astype(np.float64)
         return pd.Series((m @ q) / (np.sqrt((m * m).sum(axis=1)) * qn))
 
+    # r12: sort FIRST, evaluate the UDF above the range exchange. With
+    # the UDF below the orderBy, the range partitioner's boundary-
+    # sampling pass re-executed the whole child subtree — the pandas
+    # UDF ran TWICE per invocation (profile_jobs: two ~equal stages
+    # reading the same shuffle). The sort key is vec_id, which never
+    # depends on the UDF, so ordering and rows are identical.
     return (
         emb.filter(F.col("vec_id") != 0)
-        .select("vec_id", round_half_up(cos("embedding"), 4).alias("cos"))
+        .select("vec_id", "embedding")
         .orderBy("vec_id")
+        .select("vec_id", round_half_up(cos("embedding"), 4).alias("cos"))
     )
 
 

@@ -1723,9 +1723,9 @@ def a07_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT corpus heavy hitters (tokens with count ≥ n/``HH_K``) via
     merged Misra–Gries candidate summaries + an exact verify pass —
     the candidate/verify pattern that never shuffles the full
-    distinct-token relation (three token-stream scans total:
-    summaries, the n_toks count, verify — each shuffling at most K
-    rows or one long).
+    distinct-token relation (two token-stream explode passes —
+    summaries, verify — plus one explode-free ``size()`` scan for
+    n_toks since r12; each shuffles at most K rows or one long).
 
     Why not a plain groupBy: at 100 TB the token relation's distinct
     shuffle IS the cost (billions of keys, nearly all far below the
@@ -1808,7 +1808,17 @@ def a07_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = spark.createDataFrame(
         [(t,) for t in cand_toks], "tok string"
     )
-    total = toks.agg(F.count("*").alias("n_toks"))
+    # r12: n_toks = Σ size(token array) straight off the scan — the
+    # same BIGINT as count(*) over the exploded stream (split never
+    # yields an empty array) without paying a third explode pass
+    total = (
+        spread(_t(spark, sf_dir, "documents"))
+        .agg(
+            F.sum(
+                F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            ).alias("n_toks")
+        )
+    )
     return (
         toks.join(F.broadcast(cands), "tok")
         .groupBy("tok")
