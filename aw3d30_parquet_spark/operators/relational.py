@@ -785,6 +785,12 @@ def q41_stat_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _cents(F.col("l_extendedprice"))
     d = _cents(F.col("l_discount"))
     dec = "decimal(38,0)"
+    # r12 note: the eight DECIMAL(38,0) partial sums run on the scan's
+    # 3 local splits (~0.6 s of the query). A spread() fan-out was
+    # A/B-tested and LOST (+0.13 med): the keyless repartition's
+    # sort-before-repartition plus the 4-column exchange costs more
+    # than the extra parallelism saves. At any real scale the scan has
+    # ≥ parallelism splits and the question disappears.
     sums = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
@@ -2213,8 +2219,8 @@ def q75_rolling_distinct_users(
     from aw3d30_parquet_spark.functions.dedup import _scratch_persist
 
     ev = _t(spark, sf_dir, "events")
-    # three consumers (span, contribution explode, dau): persist the
-    # daily activity relation or the events scan + distinct runs thrice
+    # two consumers (contribution explode, dau): persist the daily
+    # activity relation or the events scan + distinct runs twice
     try:
         par = max(8, spark.sparkContext.defaultParallelism)
     except Exception:  # Spark Connect: no sparkContext
@@ -2228,7 +2234,14 @@ def q75_rolling_distinct_users(
         .distinct()
         .coalesce(par),  # cached-index right-sizing (l01's fix)
     )
-    span = daily.agg(F.max("day").alias("max_day"))
+    # r12: max(day) doesn't need the distinct — computing the span off
+    # the raw scan keeps this broadcast build a parallel partial agg
+    # instead of a single-task final-distinct pass over the daily
+    # relation (profiled: a 0.53 s one-task stage). Identical value:
+    # a day appears in `daily` iff it appears in the raw events.
+    span = ev.agg(
+        F.max(F.date_trunc("day", "ts").cast("date")).alias("max_day")
+    )
     contrib = (
         daily.withColumn(
             "k", F.explode(F.sequence(F.lit(0), F.lit(days - 1)))

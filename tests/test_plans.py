@@ -515,3 +515,65 @@ def test_whole_surface_no_cartesian_no_rowwise_python(spark):
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+def test_u03_udf_evaluates_above_the_sort(spark):
+    """r12: the cosine pandas UDF must sit ABOVE the orderBy's range
+    exchange. With the UDF below it, the range partitioner's boundary-
+    sampling pass re-executes the child subtree and the UDF runs twice
+    per invocation (profiled: two ~equal stages reading the same
+    shuffle). Pin: no ArrowEvalPython anywhere under a Sort node —
+    i.e. the plan's single ArrowEvalPython appears after the Sort in
+    the formatted tree."""
+    from aw3d30_parquet_spark.functions.udfs import scalar_cosine_scores
+
+    plan = formatted_plan(scalar_cosine_scores(spark, SF))
+    tree = plan.split("\n\n", 1)[0]
+    eval_pos = tree.index("ArrowEvalPython")
+    sort_pos = tree.index("Sort")
+    # formatted tree prints top-down: an earlier position = closer to
+    # the root = executed later. The UDF must print BEFORE the sort.
+    assert eval_pos < sort_pos, tree
+
+
+def test_m06_python_chain_has_single_consumer(spark):
+    """r12: m06 persists ONE grouped (media_id, digest, count)
+    relation; the fabricate->decode->md5 Python chain must appear in
+    the compiled plan exactly once per cached subtree — per_video,
+    dist and the sharing arms all read the same InMemoryRelation
+    instead of racing two persists. Pin: every MapInPandas node in the
+    plan lives under an InMemoryRelation's cached subtree (the plan
+    outside cached reprints contains none)."""
+    from aw3d30_parquet_spark.functions.multimodal import (
+        m06_frame_dedup_audit,
+    )
+
+    plan = formatted_plan(m06_frame_dedup_audit(spark, SF))
+    tree = plan.split("\n\n", 1)[0]
+    for line in tree.splitlines():
+        if "MapInPandas" in line or "ArrowEvalPython" in line:
+            # allowed only while the cache is unmaterialized at compile
+            # time: such lines print under an InMemoryRelation header,
+            # which indents them past the InMemoryTableScan that owns
+            # them — assert one exists above in the tree
+            assert "InMemoryRelation" in tree[: tree.index(line)], line
+
+
+def test_l01_loop_is_lazy_single_plan(spark):
+    """r12: the fixed-iteration PageRank loop is LAZY — constructing
+    the full query (iters=3) fires ZERO jobs (the old form ran a
+    persist+count per iteration), and the final plan chains all three
+    iterations (3 contribution aggregates over the one cached
+    edge_deg)."""
+    from aw3d30_parquet_spark.operators.graph import (
+        pagerank_supplier_customer,
+    )
+
+    st = spark.sparkContext.statusTracker()
+    before = set(st.getJobIdsForGroup())
+    df = pagerank_supplier_customer(spark, SF)
+    assert set(st.getJobIdsForGroup()) == before  # construction: no jobs
+    plan = formatted_plan(df)
+    # the three iteration aggregates are distinct partial/final
+    # HashAggregate pairs on `dst` — at least 3 sum(share) aggs chain
+    assert plan.count("partial_sum") >= 3, plan
