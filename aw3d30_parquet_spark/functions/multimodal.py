@@ -985,27 +985,105 @@ def extract_features(media: DataFrame, metadata_only: bool = False) -> DataFrame
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+#: RAW0-family 16-byte header layout (magic + three <u4 fields) — the
+#: vectorized kernels' one-pass header scan (same layout extract_features
+#: parses inline).
+_RAW_HEAD_DTYPE = np.dtype(
+    [("magic", "S4"), ("a", "<u4"), ("b", "<u4"), ("c", "<u4")]
+)
+
+
+def _raw_heads(payloads: list) -> "np.ndarray":
+    """Vectorized header parse of a payload batch (short rows padded —
+    they route through the per-row slow path, which re-checks lengths)."""
+    return np.frombuffer(
+        b"".join(
+            p[:_HEADER_SIZE].ljust(_HEADER_SIZE, b"\0") for p in payloads
+        ),
+        dtype=_RAW_HEAD_DTYPE,
+    )
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Nearest-neighbor resize of image payloads (non-images dropped).
-    Real numpy implementation — index-map resampling, re-encoded RAW0."""
+    Real numpy implementation — index-map resampling, re-encoded RAW0.
+
+    r12 optimization (guide §4.2): RAW0 images batch-decode per
+    (w, h, c) shape group — one ``frombuffer`` + two fancy-index
+    gathers resample EVERY image of that shape at once (the corpus has
+    ≤80 distinct shapes by the fabrication law), replacing the
+    per-row decode→index→resample Python loop. Non-RAW payloads (real
+    PNG/JPEG) and short rows keep the per-row ``decode_payload`` slow
+    path; outputs are byte-identical either way (same index-map
+    arithmetic, pinned by tests)."""
 
     def kernel(batches: Iterable) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            rows = {"media_id": [], "kind": [], "payload": []}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                kind, meta, arr = decode_payload(bytes(payload))
+            payloads = [bytes(p) for p in pdf["payload"]]
+            n = len(payloads)
+            if n == 0:
+                continue
+            heads = _raw_heads(payloads)
+            a = heads["a"].astype(np.int64)
+            b = heads["b"].astype(np.int64)
+            c = heads["c"].astype(np.int64)
+            lens = np.array([len(p) for p in payloads], np.int64)
+            fast = (heads["magic"] == _MAGIC_IMAGE) & (
+                lens >= _HEADER_SIZE + a * b * c
+            )
+            out: list = [None] * n
+            for i in np.nonzero(~fast)[0]:
+                kind, meta, arr = decode_payload(payloads[int(i)])
                 if kind != "image":
                     continue
-                ys = (np.arange(height) * meta["height"] // height).astype(np.intp)
-                xs = (np.arange(width) * meta["width"] // width).astype(np.intp)
-                resized = arr[ys][:, xs]
-                head = _pack_header(_MAGIC_IMAGE, width, height, meta["channels"])
-                rows["media_id"].append(int(mid))
-                rows["kind"].append("image")
-                rows["payload"].append(head + resized.tobytes())
-            yield pd.DataFrame(rows)
+                ys = (np.arange(height) * meta["height"] // height).astype(
+                    np.intp
+                )
+                xs = (np.arange(width) * meta["width"] // width).astype(
+                    np.intp
+                )
+                head = _pack_header(
+                    _MAGIC_IMAGE, width, height, meta["channels"]
+                )
+                out[int(i)] = head + np.ascontiguousarray(
+                    arr[ys][:, xs]
+                ).tobytes()
+            if fast.any():
+                shapes = np.stack([a, b, c], axis=1)
+                fi = np.nonzero(fast)[0]
+                for key in np.unique(shapes[fi], axis=0):
+                    w0, h0, c0 = (int(v) for v in key)
+                    idx = fi[np.all(shapes[fi] == key, axis=1)]
+                    body = w0 * h0 * c0
+                    big = np.frombuffer(
+                        b"".join(
+                            payloads[int(i)][
+                                _HEADER_SIZE : _HEADER_SIZE + body
+                            ]
+                            for i in idx
+                        ),
+                        np.uint8,
+                    ).reshape(len(idx), h0, w0, c0)
+                    ys = (np.arange(height) * h0 // height).astype(np.intp)
+                    xs = (np.arange(width) * w0 // width).astype(np.intp)
+                    res = np.ascontiguousarray(big[:, ys][:, :, xs]).reshape(
+                        len(idx), -1
+                    )
+                    head = _pack_header(_MAGIC_IMAGE, width, height, c0)
+                    for j, i in enumerate(idx):
+                        out[int(i)] = head + res[j].tobytes()
+            keep = [i for i in range(n) if out[i] is not None]
+            yield pd.DataFrame(
+                {
+                    "media_id": [
+                        int(pdf["media_id"].iloc[i]) for i in keep
+                    ],
+                    "kind": ["image"] * len(keep),
+                    "payload": [out[i] for i in keep],
+                }
+            )
 
     return media.mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
@@ -1016,15 +1094,33 @@ def decimate_audio(media: DataFrame, factor: int = 2) -> DataFrame:
     index-map resampling. Non-audio rows are dropped; output is
     re-encoded PCM0. (Real resampling would low-pass first — with
     soundfile/scipy absent this is the honest index-map core, and the
-    arithmetic stays exactly oracle-reproducible.)"""
+    arithmetic stays exactly oracle-reproducible.)
+
+    r12 optimization (guide §4.2): RAW0 (mono PCM0) rows batch-decode
+    per sample-count group — one ``frombuffer`` + one strided slice
+    decimates every same-length clip at once (≤10 distinct lengths by
+    the fabrication law). Multi-channel WAV and other real formats
+    keep the per-row slow path (frame-axis decimation, interleaved
+    re-flatten); outputs byte-identical either way."""
 
     def kernel(batches: Iterable) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            rows = {"media_id": [], "kind": [], "payload": []}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                kind, meta, arr = decode_payload(bytes(payload))
+            payloads = [bytes(p) for p in pdf["payload"]]
+            n = len(payloads)
+            if n == 0:
+                continue
+            heads = _raw_heads(payloads)
+            a = heads["a"].astype(np.int64)
+            b = heads["b"].astype(np.int64)
+            lens = np.array([len(p) for p in payloads], np.int64)
+            fast = (heads["magic"] == _MAGIC_AUDIO) & (
+                lens >= _HEADER_SIZE + 2 * b
+            )
+            out: list = [None] * n
+            for i in np.nonzero(~fast)[0]:
+                kind, meta, arr = decode_payload(payloads[int(i)])
                 if kind != "audio":
                     continue
                 # arr is (n,) mono or (n, ch) for multi-channel WAV
@@ -1037,10 +1133,38 @@ def decimate_audio(media: DataFrame, factor: int = 2) -> DataFrame:
                 head = _pack_header(
                     _MAGIC_AUDIO, meta["sample_rate"] // factor, dec.size, 0
                 )
-                rows["media_id"].append(int(mid))
-                rows["kind"].append("audio")
-                rows["payload"].append(head + dec.astype("<i2").tobytes())
-            yield pd.DataFrame(rows)
+                out[int(i)] = head + dec.astype("<i2").tobytes()
+            if fast.any():
+                fi = np.nonzero(fast)[0]
+                for n0 in np.unique(b[fi]):
+                    idx = fi[b[fi] == n0]
+                    n0 = int(n0)
+                    big = np.frombuffer(
+                        b"".join(
+                            payloads[int(i)][
+                                _HEADER_SIZE : _HEADER_SIZE + 2 * n0
+                            ]
+                            for i in idx
+                        ),
+                        "<i2",
+                    ).reshape(len(idx), n0)
+                    dec = np.ascontiguousarray(big[:, ::factor])
+                    n_dec = dec.shape[1]
+                    for j, i in enumerate(idx):
+                        head = _pack_header(
+                            _MAGIC_AUDIO, int(a[i]) // factor, n_dec, 0
+                        )
+                        out[int(i)] = head + dec[j].tobytes()
+            keep = [i for i in range(n) if out[i] is not None]
+            yield pd.DataFrame(
+                {
+                    "media_id": [
+                        int(pdf["media_id"].iloc[i]) for i in keep
+                    ],
+                    "kind": ["audio"] * len(keep),
+                    "payload": [out[i] for i in keep],
+                }
+            )
 
     return media.mapInPandas(kernel, schema=MEDIA_SCHEMA)
 

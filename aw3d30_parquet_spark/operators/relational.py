@@ -2298,6 +2298,24 @@ def a09_kmv_bottomk_rollup(
     (16 salt buckets per week, so no single task ever sorts a whole
     week's digest set); everything after phase 1 is ≤16k rows per
     scope and the merge input is kilobytes regardless of corpus size.
+
+    r12 optimization (guide §1.2/§2.4): the original form compiled the
+    (scope, h) distinct subtree FOUR times — weekly chain, ALL-merge
+    (via ``weekly ∪ allsk(weekly)``), per-scope exact counts, ALL
+    exact count — four full events scans and ~10 exchanges per run.
+    Now ONE chain: the per-(scope, salt) window carries the bucket
+    count alongside the rank (same exchange, same sort), the ≤512
+    phase-1 survivor rows per scope explode into their own scope AND
+    an ''ALL'' copy, and a single dense_rank + grouped conditional
+    aggregate produces every sketch row — the k smallest distinct
+    digests over the survivors are provably the weekly/merged bottom-k
+    (each is within its bucket's and its scope's bottom-k; when the
+    global distinct count is under k every survivor IS a weekly
+    member, so the undersampled ALL row agrees too). Per-scope exact
+    counts fall out of the carried bucket counts (Σ over rn=1 rows);
+    only the ALL exact count needs a second corpus pass, a plain
+    countDistinct off the raw scan (partial map-side distinct — no
+    (scope, h) shuffle). 2 scans / ~6 exchanges, identical rows.
     """
     from aw3d30_parquet_spark.functions.dedup import _md5_60
 
@@ -2315,50 +2333,56 @@ def a09_kmv_bottomk_rollup(
     # two-phase bottom-k: a single per-scope rank window would sort a
     # whole week's digest set on ONE task (scope is a handful of keys
     # — the hot-key shape k01 exists to kill). Phase 1 takes the local
-    # bottom-k per (scope, salt) over 16 balanced salt buckets; phase
-    # 2 re-ranks the ≤16k survivors per scope — provably the same
-    # global bottom-k (any of the k smallest per scope is within its
-    # own bucket's bottom-k), with the corpus-sized sort spread across
-    # salts and the per-scope sort bounded at 16k rows.
+    # bottom-k per (scope, salt) over 16 balanced salt buckets; the
+    # full-partition count rides the SAME exchange and sort (a second
+    # window function over the identical partitioning), so the exact
+    # per-scope cardinality costs no extra pass.
     n_salts = 16
     w_local = Window.partitionBy("scope", "salt").orderBy("h")
-    local = (
+    w_cnt = Window.partitionBy("scope", "salt")
+    surv = (
         dig.withColumn("salt", F.pmod("h", F.lit(n_salts)))
         .withColumn("rn", F.row_number().over(w_local))
+        .withColumn("bucket_cnt", F.count("*").over(w_cnt))
         .filter(F.col("rn") <= k)
-        .select("scope", "h")
     )
-    wk = Window.partitionBy("scope").orderBy("h")
-    weekly = (
-        local.withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") <= k)
-        .select("scope", "h")
+    # survivors are ≤ k·n_salts rows per scope (kilobytes at any
+    # corpus size): explode each into its own scope plus the ALL
+    # merge's copy, then one dense_rank per group — for per-scope
+    # groups h is already distinct so dense_rank ≡ row_number; for
+    # the ALL group it deduplicates cross-week repeats exactly as the
+    # old distinct-then-rank merge did.
+    dup = surv.select(
+        F.explode(F.array(F.col("scope"), F.lit("ALL"))).alias("gscope"),
+        "h",
+        "rn",
+        "bucket_cnt",
     )
-    # merge: global bottom-k FROM the weekly sketches, never raw data.
-    # The unpartitioned window is safe HERE only because its input is
-    # the sketch union — ≤ k·n_weeks rows by construction (kilobytes
-    # at any corpus size), the same bounded-relation exception as
-    # a07's ≤K-row collect; raw digests never flow through it.
-    allsk = (
-        weekly.select("h")
-        .distinct()
-        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
-        .filter(F.col("rn") <= k)
-        .select(F.lit("ALL").alias("scope"), "h")
+    ranked = dup.withColumn(
+        "dr", F.dense_rank().over(Window.partitionBy("gscope").orderBy("h"))
     )
-    sk = weekly.unionByName(allsk)
-    exact = (
-        dig.groupBy("scope")
-        .agg(F.count("*").alias("exact_distinct"))
-        .unionByName(
-            dig.select("h")
-            .distinct()
-            .agg(
-                F.lit("ALL").alias("scope"),
-                F.count("*").alias("exact_distinct"),
+    per_group = ranked.groupBy("gscope").agg(
+        F.count_distinct(
+            F.when(F.col("dr") <= k, F.col("h"))
+        ).alias("n_sketch"),
+        F.max(F.when(F.col("dr") <= k, F.col("h"))).alias("kth_digest"),
+        # Σ bucket counts, taken once per bucket via its rn=1 carrier
+        # row (every nonempty bucket keeps one) = the scope's exact
+        # distinct; meaningless for the ALL copies, masked out here
+        # and overridden below.
+        F.sum(
+            F.when(
+                (F.col("rn") == 1) & (F.col("gscope") != "ALL"),
+                F.col("bucket_cnt"),
             )
-        )
+        ).alias("exact_scope"),
     )
+    # the one count the survivor rows cannot carry: global distinct
+    # digests. A plain countDistinct over the raw scan — partial
+    # map-side distinct, no (scope, h) shuffle, 1-row broadcast.
+    all_exact = ev.select(
+        _md5_60(F.col("user_id").cast("string")).alias("h")
+    ).agg(F.count_distinct("h").alias("exact_all"))
     est = F.when(F.col("n_sketch") < k, F.col("n_sketch")).otherwise(
         F.floor(
             F.lit(float(k - 1))
@@ -2368,18 +2392,15 @@ def a09_kmv_bottomk_rollup(
         ).cast("long")
     )
     return (
-        sk.groupBy("scope")
-        .agg(
-            F.count("*").alias("n_sketch"),
-            F.max("h").alias("kth_digest"),
-        )
-        .join(exact, "scope")
+        per_group.crossJoin(F.broadcast(all_exact))
         .select(
-            "scope",
+            F.col("gscope").alias("scope"),
             "n_sketch",
             "kth_digest",
             est.cast("long").alias("est_distinct"),
-            "exact_distinct",
+            F.when(F.col("gscope") == "ALL", F.col("exact_all"))
+            .otherwise(F.col("exact_scope"))
+            .alias("exact_distinct"),
         )
         .orderBy("scope")
     )

@@ -972,3 +972,47 @@ def test_m06_gate_picks_pairwise_on_cold_digests(spark):
     # second construction reuses the memo (no new key, same values)
     mm.m06_frame_dedup_audit(spark, SF)
     assert len(mm._M06_GATE_MEMO) == 1
+
+
+def test_resize_vectorized_matches_rowwise_spec(spark, media):
+    """r12: the per-(w,h,c)-group vectorized resize is byte-identical
+    to the one-row spec (decode → index-map → re-encode) over every
+    shape group in the corpus."""
+    out = {
+        int(r.media_id): bytes(r.payload)
+        for r in mm.resize_images(media, 8, 8).collect()
+    }
+    ids = [int(r.media_id) for r in media.select("media_id").collect()]
+    expect = {}
+    for mid in ids:
+        kind, meta, arr = mm.decode_payload(mm._fabricate_payload(mid))
+        if kind != "image":
+            continue
+        ys = (np.arange(8) * meta["height"] // 8).astype(np.intp)
+        xs = (np.arange(8) * meta["width"] // 8).astype(np.intp)
+        head = mm._pack_header(
+            mm._MAGIC_IMAGE, 8, 8, meta["channels"]
+        )
+        expect[mid] = head + np.ascontiguousarray(arr[ys][:, xs]).tobytes()
+    assert out == expect
+
+
+def test_decimate_vectorized_matches_rowwise_spec(spark, media):
+    """r12: the per-length-group vectorized decimation is byte-identical
+    to the one-row spec across every sample-count group."""
+    out = {
+        int(r.media_id): bytes(r.payload)
+        for r in mm.decimate_audio(media, 2).collect()
+    }
+    ids = [int(r.media_id) for r in media.select("media_id").collect()]
+    expect = {}
+    for mid in ids:
+        kind, meta, arr = mm.decode_payload(mm._fabricate_payload(mid))
+        if kind != "audio":
+            continue
+        dec = np.ascontiguousarray(arr[::2]).reshape(-1)
+        head = mm._pack_header(
+            mm._MAGIC_AUDIO, meta["sample_rate"] // 2, dec.size, 0
+        )
+        expect[mid] = head + dec.astype("<i2").tobytes()
+    assert out == expect

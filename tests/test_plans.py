@@ -577,3 +577,18 @@ def test_l01_loop_is_lazy_single_plan(spark):
     # the three iteration aggregates are distinct partial/final
     # HashAggregate pairs on `dst` — at least 3 sum(share) aggs chain
     assert plan.count("partial_sum") >= 3, plan
+
+
+def test_a09_single_chain_two_scans(spark):
+    """r12: a09 compiles exactly TWO events scans — the fused sketch
+    chain (distinct → salt window carrying rank AND bucket count →
+    explode-to-ALL → dense_rank → one grouped aggregate) plus the
+    raw-scan countDistinct for the ALL exact count. The old form
+    compiled the (scope, h) distinct subtree four times (weekly chain,
+    ALL merge, per-scope exact, ALL exact). A third scan appearing
+    here means a branch re-grew a duplicate corpus pass."""
+    df = R.a09_kmv_bottomk_rollup(spark, SF)
+    assert count_node(df, "Scan parquet") == 2, formatted_plan(df)
+    # the ALL exact count arm must stay a broadcast (1-row) cross join,
+    # never a shuffled join against the sketch rows
+    assert has_node(df, "BroadcastNestedLoopJoin")
