@@ -1171,21 +1171,77 @@ def decimate_audio(media: DataFrame, factor: int = 2) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
     """Video frame sampling — a UDTF (1 row → n_frames/k rows), the same
-    generator shape as the GeoTIFF flatten (SURVEY §2.2 R5)."""
+    generator shape as the GeoTIFF flatten (SURVEY §2.2 R5).
+
+    r12 optimization (guide §4.2): RAW0 videos batch-decode per
+    (w, h, n_frames) group (≤24 distinct combos by the fabrication
+    law) — one ``frombuffer`` + one strided frame slice per group
+    replaces the per-row decode→per-frame-copy Python loop; the
+    emitted rows (order, indices, bytes) are identical. Non-RAW
+    payloads keep the per-row ``decode_payload`` slow path (which for
+    real ISO-BMFF raises until PyAV is installed, as before)."""
 
     def kernel(batches: Iterable) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            rows = {"media_id": [], "frame_idx": [], "frame": []}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                kind, meta, arr = decode_payload(bytes(payload))
+            payloads = [bytes(p) for p in pdf["payload"]]
+            n = len(payloads)
+            if n == 0:
+                continue
+            heads = _raw_heads(payloads)
+            a = heads["a"].astype(np.int64)
+            b = heads["b"].astype(np.int64)
+            c = heads["c"].astype(np.int64)
+            lens = np.array([len(p) for p in payloads], np.int64)
+            fast = (heads["magic"] == _MAGIC_VIDEO) & (
+                lens >= _HEADER_SIZE + a * b * c
+            )
+            # (frame_idx list, frame bytes list) per input row, merged
+            # in input order below so the emitted row order matches the
+            # old per-row loop exactly
+            out: list = [None] * n
+            for i in np.nonzero(~fast)[0]:
+                kind, meta, arr = decode_payload(payloads[int(i)])
                 if kind != "video":
                     continue
-                for idx in range(0, meta["n_frames"], every_k):
-                    rows["media_id"].append(int(mid))
-                    rows["frame_idx"].append(idx)
-                    rows["frame"].append(arr[idx].tobytes())
+                idxs = list(range(0, meta["n_frames"], every_k))
+                out[int(i)] = (idxs, [arr[j].tobytes() for j in idxs])
+            if fast.any():
+                shapes = np.stack([a, b, c], axis=1)
+                fi = np.nonzero(fast)[0]
+                for key in np.unique(shapes[fi], axis=0):
+                    w0, h0, f0 = (int(v) for v in key)
+                    idx = fi[np.all(shapes[fi] == key, axis=1)]
+                    body = w0 * h0 * f0
+                    fsize = w0 * h0
+                    sel = np.ascontiguousarray(
+                        np.frombuffer(
+                            b"".join(
+                                payloads[int(i)][
+                                    _HEADER_SIZE : _HEADER_SIZE + body
+                                ]
+                                for i in idx
+                            ),
+                            np.uint8,
+                        )
+                        .reshape(len(idx), f0, fsize)[:, ::every_k]
+                    )
+                    idxs = list(range(0, f0, every_k))
+                    for j, i in enumerate(idx):
+                        out[int(i)] = (
+                            idxs,
+                            [sel[j, q].tobytes() for q in range(len(idxs))],
+                        )
+            rows = {"media_id": [], "frame_idx": [], "frame": []}
+            for i in range(n):
+                if out[i] is None:
+                    continue
+                mid = int(pdf["media_id"].iloc[i])
+                idxs, frames = out[i]
+                rows["media_id"].extend([mid] * len(idxs))
+                rows["frame_idx"].extend(idxs)
+                rows["frame"].extend(frames)
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(kernel, schema=FRAME_SCHEMA)

@@ -1016,3 +1016,22 @@ def test_decimate_vectorized_matches_rowwise_spec(spark, media):
         )
         expect[mid] = head + dec.astype("<i2").tobytes()
     assert out == expect
+
+
+def test_sample_frames_vectorized_matches_rowwise_spec(spark, media):
+    """r12: the per-(w,h,f)-group vectorized frame sampler emits exactly
+    the rows of the one-row spec (decode → every-k frame slices), same
+    indices and bytes."""
+    out = [
+        (int(r.media_id), int(r.frame_idx), bytes(r.frame))
+        for r in mm.sample_frames(media, every_k=2).collect()
+    ]
+    ids = [int(r.media_id) for r in media.select("media_id").collect()]
+    expect = []
+    for mid in ids:
+        kind, meta, arr = mm.decode_payload(mm._fabricate_payload(mid))
+        if kind != "video":
+            continue
+        for idx in range(0, meta["n_frames"], 2):
+            expect.append((mid, idx, arr[idx].tobytes()))
+    assert sorted(out) == sorted(expect)
