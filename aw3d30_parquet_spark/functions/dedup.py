@@ -189,9 +189,24 @@ def bag_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(col):
-    """Distinct word-level 3-gram shingles; short docs yield one shingle."""
-    words = F.split(F.trim(col), r"\s+")
+def _words(col):
+    """Whitespace tokens of a trimmed text column.
+
+    Project this ONCE (its own select) before handing the array to
+    :func:`_shingles_of`: an expression captured inside a higher-order
+    lambda body is re-evaluated per array element (Catalyst does no CSE
+    across LambdaFunction boundaries), so inlining the split makes
+    shingling O(words²) in regex work per doc — measured 0.64 → 0.37 s
+    for the d04 shingle pipeline at sf0.1, and the gap grows
+    quadratically with document length (guide §1.2/§4.2 class)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def _shingles_of(words):
+    """Distinct word-level 3-gram shingles from a pre-projected words
+    ARRAY COLUMN (see :func:`_words`); short docs yield one shingle.
+    ``words`` must be a bound column reference, not the split
+    expression itself — the lambda below reads it per element."""
     n = F.size(words)
     grams = F.transform(
         F.sequence(F.lit(0), n - SHINGLE_WIDTH),
@@ -238,7 +253,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _scratch_persist(
         "d04",
         _docs(spark, sf_dir)
-        .select("doc_id", _shingles(F.col("text")).alias("shs"))
+        .select("doc_id", _words(F.col("text")).alias("w"))
+        .select("doc_id", _shingles_of(F.col("w")).alias("shs"))
         .select(
             "doc_id",
             F.size("shs").alias("n"),
@@ -338,7 +354,8 @@ def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _scratch_persist(
         "d07",
         _docs(spark, sf_dir)
-        .select("doc_id", _shingles(F.col("text")).alias("shs"))
+        .select("doc_id", _words(F.col("text")).alias("w"))
+        .select("doc_id", _shingles_of(F.col("w")).alias("shs"))
         .select(
             "doc_id",
             F.array_sort(
@@ -490,9 +507,9 @@ def _minhash_banded(
     """
     docs = _scratch_persist(
         "d06_docs",
-        _docs(spark, sf_dir).select(
-            "doc_id", _shingles(F.col("text")).alias("shs")
-        ),
+        _docs(spark, sf_dir)
+        .select("doc_id", _words(F.col("text")).alias("w"))
+        .select("doc_id", _shingles_of(F.col("w")).alias("shs")),
     )
     hashed = docs.select(
         "doc_id",
@@ -651,8 +668,10 @@ def minhash_lsh_pairs_mllib(
     native version wins on plan quality (no per-row UDF hashing)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", _shingles(F.col("text")).alias("shingles")
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", _words(F.col("text")).alias("w"))
+        .select("doc_id", _shingles_of(F.col("w")).alias("shingles"))
     )
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18

@@ -200,12 +200,22 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct), so ``leak_frac`` is exact set overlap, not occurrence
     counting; both plans produce byte-identical output.
     """
-    from aw3d30_parquet_spark.functions.dedup import _scratch_persist, _shingles
+    from aw3d30_parquet_spark.functions.dedup import (
+        _scratch_persist,
+        _shingles_of,
+        _words,
+    )
 
-    sh = _docs(spark, sf_dir).select(
-        "doc_id",
-        (F.col("doc_id") % BENCH_MOD == 0).alias("is_bench"),
-        _shingles(F.col("text")).alias("shs"),
+    sh = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % BENCH_MOD == 0).alias("is_bench"),
+            _words(F.col("text")).alias("w"),
+        )
+        .select(
+            "doc_id", "is_bench", _shingles_of(F.col("w")).alias("shs")
+        )
     )
     bench = _scratch_persist(
         "p05",
@@ -545,7 +555,12 @@ def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial distinct per doc so a chunk repeated within one
     doc counts once; the flag join is the same hash stream re-joined.
     """
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    from aw3d30_parquet_spark.functions.dedup import _words
+
+    # toks is projected into its own column before the chunking lambda
+    # references it — an expression inlined into a lambda body is
+    # re-evaluated per element (see _words), turning chunking O(tokens²)
+    toks = F.col("w")
     n_chunks = F.ceil(F.size(toks) / BOILER_CHUNK_TOKENS).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
@@ -555,6 +570,7 @@ def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ch = (
         _docs(spark, sf_dir)
+        .select("doc_id", "source", _words(F.col("text")).alias("w"))
         .select("doc_id", "source", F.explode(chunks).alias("chunk"))
         .select("doc_id", "source", F.xxhash64("chunk").alias("h"))
         .distinct()  # document frequency: one vote per (doc, chunk)
@@ -674,11 +690,15 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     The md5 bucket hash (vs xxhash64) is what the DuckDB oracle can
     recompute — d05/d06's trade, same rationale.
     """
-    from aw3d30_parquet_spark.functions.dedup import _md5_60
+    from aw3d30_parquet_spark.functions.dedup import _md5_60, _words
 
     b = DSIR_BUCKETS
     docs = _docs(spark, sf_dir)
-    words = F.split(F.trim(F.col("text")), r"\s+")
+    # words is projected into its own column before the bigram lambda
+    # references it (element_at(words, i+2)) — an expression inlined
+    # into a lambda body re-evaluates per element (see _words), which
+    # made gram construction O(words²) in regex work per doc
+    words = F.col("w")
     bigrams = F.transform(
         F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
         lambda w, i: F.concat_ws(
@@ -687,6 +707,11 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = F.concat(words, bigrams)
     doc_grams = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        _words(F.col("text")).alias("w"),
+    ).select(
         "doc_id",
         "source",
         "lang",
@@ -726,7 +751,12 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         ).alias("t_b"),
     )
-    n_grams = F.size(grams).cast("long")
+    # gram COUNT needs no gram construction: |words ∪ bigrams| =
+    # n + max(n−1, 0) exactly (slice(words, 1, greatest(n−1, 0)) has
+    # max(n−1, 0) elements) — the totals scan does one split per row
+    # and zero transform/concat work
+    nw = F.size(_words(F.col("text"))).cast("long")
+    n_grams = nw + F.greatest(nw - F.lit(1).cast("long"), F.lit(0).cast("long"))
     totals = docs.agg(
         F.sum(n_grams).alias("r_total"),
         F.sum(
@@ -805,7 +835,8 @@ def bloom_prefilter_decontaminate(
     from aw3d30_parquet_spark.functions.dedup import (
         _md5_60,
         _scratch_persist,
-        _shingles,
+        _shingles_of,
+        _words,
     )
 
     m = BLOOM_WORDS * BLOOM_WORD_BITS
@@ -816,7 +847,13 @@ def bloom_prefilter_decontaminate(
             "doc_id",
             "source",
             (F.col("doc_id") % BENCH_MOD == 0).alias("is_bench"),
-            F.explode(_shingles(F.col("text"))).alias("s"),
+            _words(F.col("text")).alias("w"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "is_bench",
+            F.explode(_shingles_of(F.col("w"))).alias("s"),
         )
         .select(
             "doc_id", "source", "is_bench", _md5_60(F.col("s")).alias("h0")

@@ -289,13 +289,15 @@ def similar_doc_search(
 
     from aw3d30_parquet_spark.functions.dedup import (
         _scratch_persist,
-        _shingles,
+        _shingles_of,
+        _words,
     )
 
     docs = _docs(spark, sf_dir)
     sh = _scratch_persist(
         "t08",
-        docs.select("doc_id", _shingles(F.col("text")).alias("shs"))
+        docs.select("doc_id", _words(F.col("text")).alias("w"))
+        .select("doc_id", _shingles_of(F.col("w")).alias("shs"))
         .select(
             "doc_id",
             F.size("shs").alias("n"),

@@ -222,6 +222,24 @@ def scratch_persist(key: str, df: DataFrame) -> DataFrame:
     return df
 
 
+def scratch_persist_eager(key: str, df: DataFrame) -> DataFrame:
+    """:func:`scratch_persist` + an immediate cheap materializing
+    action. Use when the persisted interim's FIRST consumers are
+    several CONCURRENT jobs (AQE leaf query stages, broadcast builds):
+    each reader of an unmaterialized cache launches its own copy of the
+    child plan, so the expensive subtree executes once per racing
+    consumer (observed r12: t09's explode+agg subtree ran 3× per
+    invocation, d04's shingle fill twice — the m06 pathology). The
+    ``count()`` completes the fill ONCE before any consumer launches;
+    consumers then read InMemoryTableScan. This is a scheduling
+    barrier, not result caching — the relation is recomputed from the
+    parquet inputs on every invocation exactly as with
+    :func:`scratch_persist`."""
+    df = scratch_persist(key, df)
+    df.count()
+    return df
+
+
 def scratch_pin(key: str, df: DataFrame) -> DataFrame:
     """Register an ALREADY-persisted handle under ``key`` (for callers
     that persist mid-loop and hand over the final pinned generation)."""
