@@ -250,7 +250,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: the self-join reads the hashed-shingle stream on both
     # sides; without the persist the shingling+explode evaluates twice
     # (same double-evaluation d06/d07 pay — measured at the 10× probe)
-    sh = _scratch_persist(
+    sh = _scratch_persist_eager(
         "d04",
         _docs(spark, sf_dir)
         .select("doc_id", _words(F.col("text")).alias("w"))
@@ -323,6 +323,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 from aw3d30_parquet_spark.scratch import (  # noqa: E402
     _SCRATCH,
     scratch_persist as _scratch_persist,
+    scratch_persist_eager as _scratch_persist_eager,
     scratch_pin as _scratch_pin,
 )
 
@@ -351,7 +352,7 @@ def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify sides): materialize the shingling once per job instead of
     # re-hashing the corpus 4× (at scale: a checkpointed interim);
     # released on the next d07 call via the scratch registry
-    docs = _scratch_persist(
+    docs = _scratch_persist_eager(
         "d07",
         _docs(spark, sf_dir)
         .select("doc_id", _words(F.col("text")).alias("w"))
@@ -370,7 +371,7 @@ def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BOTH sides, and without the persist its whole subtree (explode →
     # document-frequency join → per-doc rank window) evaluates twice —
     # measured 2× of d07's runtime at the 10× scale probe
-    prefix = _scratch_persist(
+    prefix = _scratch_persist_eager(
         "d07_prefix",
         ex.join(freq, "h")
         .withColumn(
@@ -505,6 +506,12 @@ def _minhash_banded(
     outputs as tables (signatures + the LSH index d15 treats as the
     maintained artifact); the persists are the in-process analogue.
     """
+    # both d06-family persists stay PLAIN: eager fills were A/B'd three
+    # ways (both eager / docs-only eager / both plain) across 16
+    # interleaved rounds — every eager variant read as a 0.2-0.5 s med
+    # LOSS for d06 and neutral for d15, unlike t09/d07/d04/p14 where
+    # the racing duplicate fills dominated; here the banding+verify
+    # consumers overlap the fill productively
     docs = _scratch_persist(
         "d06_docs",
         _docs(spark, sf_dir)
@@ -564,6 +571,11 @@ def _minhash_banded(
     # shingle arrays through the bands·n explode and the candidate join
     # would multiply the corpus text through the shuffle; the verify
     # arrays join back AFTER candidate dedup, once per side.
+    # docs above is an EAGER persist (3+ first-wave consumers raced its
+    # shingle fill); banded stays a plain persist — its fill reads the
+    # already-materialized docs cache, so a racing duplicate costs only
+    # the cheap post-cache banding, while a count() barrier here was
+    # measured LOSING ~0.3-0.5 s med (6-round interleaved A/B, r12)
     banded = _scratch_persist(
         "d06_banded",
         hashed.withColumn("sig", sig).select(

@@ -722,6 +722,12 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.pmod(_md5_60(F.col("g")), F.lit(b)).alias("bucket"),
     )
+    # deliberately UNPERSISTED although the gram pipeline compiles
+    # twice (λ broadcast build + weight agg side): the plain persist
+    # was A/B-rejected at r12 entry, and the r12 EAGER fill
+    # (persist+count) re-measured +0.98 s med over 6 interleaved
+    # rounds — same verdict as t06, opposite of t09/d07/d04/p14 where
+    # ≥2 racing fills of a heavier subtree made the barrier win
     doc_buckets = doc_grams.groupBy(
         "doc_id", "source", "lang", "bucket"
     ).agg(F.count("*").alias("n_db"))
@@ -834,13 +840,13 @@ def bloom_prefilter_decontaminate(
     """
     from aw3d30_parquet_spark.functions.dedup import (
         _md5_60,
-        _scratch_persist,
+        _scratch_persist_eager,
         _shingles_of,
         _words,
     )
 
     m = BLOOM_WORDS * BLOOM_WORD_BITS
-    sh = _scratch_persist(
+    sh = _scratch_persist_eager(
         "p14",
         _docs(spark, sf_dir)
         .select(

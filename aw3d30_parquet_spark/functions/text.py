@@ -176,6 +176,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     terms = docs.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
     )
+    # deliberately UNPERSISTED although the TF subtree compiles twice
+    # (DF broadcast build + scored side): a plain persist was A/B-
+    # rejected at r12 entry, and the r12 EAGER fill (persist+count)
+    # re-measured +0.60 s med over 6 interleaved rounds even at ~15
+    # effective cores — one explode+agg duplicate is cheaper than
+    # serializing the fill ahead of both consumers (contrast t09,
+    # where THREE racing fills made the barrier win −1.2 s)
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     # DF derives from the TF relation — (doc_id, term) is already
     # distinct there, so this is a plain count, not a countDistinct
@@ -288,13 +295,13 @@ def similar_doc_search(
     from pyspark.sql import Window
 
     from aw3d30_parquet_spark.functions.dedup import (
-        _scratch_persist,
+        _scratch_persist_eager,
         _shingles_of,
         _words,
     )
 
     docs = _docs(spark, sf_dir)
-    sh = _scratch_persist(
+    sh = _scratch_persist_eager(
         "t08",
         docs.select("doc_id", _words(F.col("text")).alias("w"))
         .select("doc_id", _shingles_of(F.col("w")).alias("shs"))
@@ -399,7 +406,7 @@ def bm25_search(
     """
     from pyspark.sql import Window
 
-    from aw3d30_parquet_spark.functions.dedup import _scratch_persist
+    from aw3d30_parquet_spark.functions.dedup import _scratch_persist_eager
 
     docs = _docs(spark, sf_dir)
     # right-size the cached index: under the driver's plain session
@@ -410,7 +417,11 @@ def bm25_search(
         par = max(8, spark.sparkContext.defaultParallelism)
     except Exception:  # Spark Connect: no sparkContext
         par = 32
-    tf = _scratch_persist(
+    # eager: the index cache is read by FOUR concurrent first-wave jobs
+    # (the qterms/stats broadcast builds + the candidate and dl sides);
+    # profiled r12, each raced reader re-executed the explode+agg
+    # subtree (3 full fills per invocation, ~55 s task time duplicated)
+    tf = _scratch_persist_eager(
         "t09",
         docs.select(
             "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
