@@ -571,11 +571,12 @@ def _minhash_banded(
     # shingle arrays through the bands·n explode and the candidate join
     # would multiply the corpus text through the shuffle; the verify
     # arrays join back AFTER candidate dedup, once per side.
-    # docs above is an EAGER persist (3+ first-wave consumers raced its
-    # shingle fill); banded stays a plain persist — its fill reads the
-    # already-materialized docs cache, so a racing duplicate costs only
-    # the cheap post-cache banding, while a count() barrier here was
-    # measured LOSING ~0.3-0.5 s med (6-round interleaved A/B, r12)
+    # docs above is a PLAIN persist (the eager count() barrier was
+    # A/B-rejected for the whole d06 family — see the note at the docs
+    # site); banded stays plain for the same reason: its fill reads the
+    # docs cache, so a racing duplicate costs only the cheap post-cache
+    # banding, while a count() barrier here was measured LOSING
+    # ~0.3-0.5 s med (6-round interleaved A/B, r12)
     banded = _scratch_persist(
         "d06_banded",
         hashed.withColumn("sig", sig).select(

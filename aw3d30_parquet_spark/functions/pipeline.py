@@ -757,8 +757,9 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         ).alias("t_b"),
     )
-    # gram COUNT needs no gram construction: |words ∪ bigrams| =
-    # n + max(n−1, 0) exactly (slice(words, 1, greatest(n−1, 0)) has
+    # gram COUNT needs no gram construction: size(concat(words,
+    # bigrams)) = n + max(n−1, 0) exactly — grams is a multiset concat,
+    # duplicates kept (slice(words, 1, greatest(n−1, 0)) has
     # max(n−1, 0) elements) — the totals scan does one split per row
     # and zero transform/concat work
     nw = F.size(_words(F.col("text"))).cast("long")
