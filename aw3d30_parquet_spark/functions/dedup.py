@@ -1618,20 +1618,34 @@ def _pair_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PAIR_GRAPH:
         df = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b").persist()
-        _PAIR_GRAPH[key] = (df, df.count())
+        n = df.count()
+        # right-size consumer reads (r13, guide §2.2): the cache keeps
+        # the BUILD plan's partitioning (32-64 micro-partitions from
+        # the pair join's exchanges), so every consumer stage of
+        # d08/d12/p12 scheduled a full task wave to read a relation of
+        # a few thousand rows — profiled at 32c: p12's symmetrize ran
+        # 64 tasks × ~75 ms for a 19-row graph. The measured count the
+        # memo already carries derives the read parallelism the same
+        # way the broadcast gate uses it; at the 1 M-edge cap this is
+        # ~11 partitions, and coalesce over the cache is a narrow op —
+        # no second fill, no extra exchange.
+        parts = 1 + n // 100_000
+        # keep the PERSISTED handle (slot 2) — unpersist() must target
+        # it, not the coalesced read plan layered above the cache
+        _PAIR_GRAPH[key] = (df.coalesce(parts), n, df)
 
     def _release(k=key):
         entry = _PAIR_GRAPH.pop(k, None)
         if entry is not None:
             try:
-                entry[0].unpersist()
+                entry[2].unpersist()
             except Exception:
                 pass
 
     from aw3d30_parquet_spark.scratch import memo_touch
 
     memo_touch(("pair_graph", *key), _release)
-    return _PAIR_GRAPH[key]
+    return _PAIR_GRAPH[key][:2]
 
 
 #: max member ids listed per cluster row (cluster_size is exact; the

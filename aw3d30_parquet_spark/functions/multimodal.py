@@ -215,7 +215,10 @@ def media_table(
 
     # fabrication + downstream decode are compute-bound Python kernels:
     # fan the single-split scan out to all cores (no-op at real scale)
-    ids = spread(spark.table("documents").select(F.col("doc_id").alias("media_id")))
+    ids = spread(
+        spark.table("documents").select(F.col("doc_id").alias("media_id")),
+        dense=True,  # per-row payload generator: bytes-in is no work proxy
+    )
     if kind is not None:
         ids = ids.filter(F.pmod("media_id", F.lit(3)) == _KIND_MOD[kind])
 
@@ -1498,7 +1501,7 @@ def m06_frame_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical — so the within-video audit is non-vacuous at every sf;
     cross-video sharing needs ids 768 apart and lights up from sf0.1.
     """
-    from aw3d30_parquet_spark.functions.dedup import _scratch_persist
+    from aw3d30_parquet_spark.functions.dedup import _scratch_persist_eager
 
     frames = sample_frames(
         media_table(spark, sf_dir, kind="video"), every_k=2
@@ -1514,7 +1517,16 @@ def m06_frame_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (its exchange), and both audit relations fall out for free:
     # n_sampled = Σc, n_distinct = group count, dist = the group keys.
     # Byte-identical output (same oracle).
-    g = _scratch_persist(
+    #
+    # EAGER (r13): the cache itself still had two concurrent first-wave
+    # readers (the per_video agg and the sharing subtree), and each
+    # racing reader of the UNMATERIALIZED cache executed its own copy
+    # of the Python chain — profiled at 32c: two ~10 s-task-time
+    # fabricate→sample→md5 stages per invocation (stages 67/71,
+    # r13 profile). The count() barrier fills once; both consumers
+    # then read InMemoryTableScan. Same fix class as t09/d04/d07 (r12
+    # change 12); m06 was the one racing-consumer site it missed.
+    g = _scratch_persist_eager(
         "m06",
         frames.select("media_id", F.md5("frame").alias("h"))
         .groupBy("media_id", "h")
@@ -1707,7 +1719,8 @@ def wav_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aw3d30_parquet_spark.session import spread
 
     ids = spread(
-        spark.table("documents").select(F.col("doc_id").alias("media_id"))
+        spark.table("documents").select(F.col("doc_id").alias("media_id")),
+        dense=True,  # per-row codec kernel: bytes-in is no work proxy
     ).filter(F.pmod("media_id", F.lit(3)) == _KIND_MOD["audio"])
 
     def fabricate(batches: Iterable) -> Iterator:
@@ -1803,7 +1816,8 @@ def png_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aw3d30_parquet_spark.session import spread
 
     ids = spread(
-        spark.table("documents").select(F.col("doc_id").alias("media_id"))
+        spark.table("documents").select(F.col("doc_id").alias("media_id")),
+        dense=True,  # per-row codec kernel: bytes-in is no work proxy
     ).filter(F.pmod("media_id", F.lit(3)) == _KIND_MOD["image"])
 
     def fabricate(batches: Iterable) -> Iterator:
@@ -1938,7 +1952,8 @@ def bmff_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aw3d30_parquet_spark.session import spread
 
     ids = spread(
-        spark.table("documents").select(F.col("doc_id").alias("media_id"))
+        spark.table("documents").select(F.col("doc_id").alias("media_id")),
+        dense=True,  # per-row codec kernel: bytes-in is no work proxy
     ).filter(F.pmod("media_id", F.lit(3)) == _KIND_MOD["video"])
 
     def fabricate(batches: Iterable) -> Iterator:
@@ -2069,7 +2084,8 @@ def jpeg_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aw3d30_parquet_spark.session import spread
 
     ids = spread(
-        spark.table("documents").select(F.col("doc_id").alias("media_id"))
+        spark.table("documents").select(F.col("doc_id").alias("media_id")),
+        dense=True,  # per-row codec kernel: bytes-in is no work proxy
     ).filter(F.pmod("media_id", F.lit(3)) == _KIND_MOD["image"])
 
     def fabricate(batches: Iterable) -> Iterator:

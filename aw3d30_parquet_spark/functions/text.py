@@ -414,21 +414,41 @@ def bm25_search(
     # 200-micro-partition cache schedules 200 tasks per stage — pure
     # overhead at index sizes (l01's fix, same rationale)
     try:
-        par = max(8, spark.sparkContext.defaultParallelism)
+        from aw3d30_parquet_spark.session import effective_parallelism
+
+        par = max(
+            8,
+            min(spark.sparkContext.defaultParallelism,
+                effective_parallelism()),
+        )
     except Exception:  # Spark Connect: no sparkContext
         par = 32
     # eager: the index cache is read by FOUR concurrent first-wave jobs
     # (the qterms/stats broadcast builds + the candidate and dl sides);
     # profiled r12, each raced reader re-executed the explode+agg
-    # subtree (3 full fills per invocation, ~55 s task time duplicated)
+    # subtree (3 full fills per invocation, ~55 s task time duplicated).
+    #
+    # Partitioned BY doc_id (r13, guide §2.4): the index is the
+    # streamed side of the broadcast candidate join, so its layout IS
+    # the layout of the candidate stream. Under the old (doc, term)
+    # hash layout each candidate's terms scattered across partitions —
+    # the (q_id, c_id) partial aggregate reduced almost nothing and
+    # the score exchange carried the raw candidate stream (profiled
+    # r13: 48.5 MB, 38 s task time at sf0.1/32c). hash(doc_id)
+    # co-locates every candidate's terms; the aliased c_id carries the
+    # partitioning through the joins, so the score aggregation needs
+    # NO exchange at all — per-(q,c) scores complete where the
+    # candidates sit, and only the WindowGroupLimit-pruned top-k rows
+    # cross the wire. One exchange keyed differently at fill time,
+    # same row volume; dl's groupBy(doc_id) also rides it for free.
     tf = _scratch_persist_eager(
         "t09",
         docs.select(
             "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
         )
+        .repartition(par, "doc_id")
         .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-        .coalesce(par),
+        .agg(F.count("*").alias("tf")),
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(

@@ -153,17 +153,115 @@ def ship_package(spark: SparkSession) -> None:
     _SHIPPED.add(key)
 
 
-def spread(df, min_partitions: int | None = None):
-    """Fan a compute-bound input out to all cores when its scan yields
-    fewer splits than parallelism.
+#: Floor on per-task input bytes for spread()'s fan-out. Fanning a
+#: small input out to defaultParallelism makes every task carry a few
+#: KB: at that size the per-task fixed costs (launch, codegen instance
+#: setup, Arrow stream + Python-worker handshake on kernel stages)
+#: exceed the work itself, and with more concurrent tasks than
+#: effective cores the fixed costs additionally inflate superlinearly
+#: (measured r13: an identical JVM text kernel burned 5.9 s of task
+#: CPU across 32 thin tasks vs 0.42 s across 8 fat ones; the probe
+#: plateau was flat from ~64 KB/task up). Same logic as AQE's
+#: coalescePartitions.minPartitionSize (1 MB), re-derived for these
+#: CPU-dense kernels (~16x denser per byte than a plain aggregate),
+#: and applied here because AQE never coalesces an explicit
+#: repartition(n). Overridable for cluster tuning.
+SPREAD_BYTES_PER_TASK = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_BYTES_PER_TASK", str(64 * 1024))
+)
+
+#: Measured effective core count (memoized per process). None = not
+#: yet probed; 0 = probe failed, fall back to the nominal count.
+_EFFECTIVE_CORES: int | None = None
+
+
+def effective_parallelism() -> int:
+    """MEASURED effective parallelism of this host — not the vCPU
+    count. Virtualized hosts routinely deliver fewer effective cores
+    than they advertise (this sandbox: a 32-process integer-loop probe
+    measures ~15-20× on 32 vCPUs post-reboot, r12/r13), and running
+    more concurrent compute-bound tasks than effective cores does not
+    merely queue them — per-task CPU inflates superlinearly (cache
+    thrash + scheduler churn; r12's driver measured mapInPandas paths
+    5-7× slower at 32 slots than at 8 on ~15 effective cores). The
+    probe: one fixed CPU burn single-process, then the same burn in
+    nominal-count concurrent processes; the scaling ratio IS the
+    effective core count. ~0.3 s, once per process, memoized — query
+    warm-up absorbs it, timed runs never see it. Overridable with
+    SPARK_GRAFT_EFFECTIVE_CORES (a cluster operator pins it; CI keeps
+    determinism).
+    """
+    global _EFFECTIVE_CORES
+    if _EFFECTIVE_CORES is None:
+        env = os.environ.get("SPARK_GRAFT_EFFECTIVE_CORES")
+        if env:
+            _EFFECTIVE_CORES = max(1, int(env))
+            return _EFFECTIVE_CORES
+        nominal = os.cpu_count() or 1
+        try:
+            import multiprocessing as mp
+            import time as _time
+
+            n = 2_000_000
+            # min over two measurements of each phase: transient JVM/GC
+            # activity in the host process inflates a single sample
+            # (observed ±30%); the min of each phase is the quiet-host
+            # estimate, and the quiet/quiet ratio is the stable one
+            singles, pars = [], []
+            ctx = mp.get_context("fork")
+            for _ in range(2):
+                t0 = _time.perf_counter()
+                _burn(n)
+                singles.append(_time.perf_counter() - t0)
+                with ctx.Pool(nominal) as pool:
+                    t0 = _time.perf_counter()
+                    pool.map(_burn, [n] * nominal)
+                    pars.append(_time.perf_counter() - t0)
+            _EFFECTIVE_CORES = max(
+                1,
+                min(nominal, round(nominal * min(singles) / min(pars))),
+            )
+        except Exception:
+            _EFFECTIVE_CORES = 0
+    return _EFFECTIVE_CORES or (os.cpu_count() or 1)
+
+
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def spread(df, min_partitions: int | None = None, dense: bool = False):
+    """Fan a compute-bound input out when its scan yields fewer splits
+    than the work supports.
 
     A small Parquet file arrives as ONE input split, so an expensive
     per-row stage (shingling, minhash, media decode, cosine) would run
     on a single core regardless of cluster size. Round-robin
     repartition costs one tiny shuffle of the (small) input and buys
-    full parallelism. When the input already has >= target partitions —
-    always true for a 100 TB table's thousands of splits — this is a
-    no-op, so the policy is safe to leave on at scale.
+    parallelism. The fan-out target is derived, not the vCPU count
+    (guide §2.2 "scale-adaptive, not a constant tuned for local or
+    cluster"):
+
+    - capped at MEASURED effective parallelism (``effective_
+      parallelism()``): more concurrent compute tasks than effective
+      cores inflates per-task CPU superlinearly — the r12 driver's
+      32-slots-on-~15-cores collapse;
+    - and, unless ``dense=True``, floored at ``SPREAD_BYTES_PER_TASK``
+      input bytes per task: a task under the byte floor pays more in
+      launch/codegen/Arrow-handshake overhead than its work is worth
+      (measured r13: suite-wide, 32 thin tasks lost 20-60% wall vs
+      size-derived counts at sf0.1 under local[32]). ``dense=True``
+      declares a per-ROW Python codec/generator kernel (PNG/BMFF/WAV
+      fabrication: ~ms of CPU per row off a few bytes of id) whose
+      work the input-byte proxy underestimates ~100×; those sites get
+      the full effective-parallelism fan.
+
+    Inputs big enough to hit the caps get every effective core; a
+    100 TB table's thousands of splits never enter (n_parts >= target
+    → no-op), so the policy is safe to leave on at scale.
     """
     # Under Spark Connect there is no sparkContext, no _jdf, and no
     # df.rdd (all raise) — no partition probe exists there, so return
@@ -174,7 +272,22 @@ def spread(df, min_partitions: int | None = None):
         sc = df.sparkSession.sparkContext
     except Exception:
         return df
-    target = min_partitions or sc.defaultParallelism
+    target = min_partitions or min(
+        sc.defaultParallelism, effective_parallelism()
+    )
+    if min_partitions is None and not dense:
+        # Catalyst's own size estimate (file bytes for the base-table
+        # scans spread() fronts) — no job, ~free. Unknown sizes
+        # default to Long.Max-ish and keep the parallelism cap.
+        try:
+            size = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            target = min(
+                target, -(-size // max(1, SPREAD_BYTES_PER_TASK)) or 1
+            )
+        except Exception:
+            pass
     # JVM-side internal-row RDD: same partition count as df.rdd but
     # without building the Python-serializer conversion plan (~2 ms vs
     # ~0.3 s per fresh DataFrame — this probe runs on every family

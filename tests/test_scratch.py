@@ -229,3 +229,52 @@ def test_session_token_stable_and_gc_safe(spark):
         assert tok_b not in seen  # never a dead session's token
         seen.add(tok_b)
         del b
+
+
+def test_spread_is_size_derived_and_parallelism_capped(spark, monkeypatch):
+    """r13: spread()'s fan-out is derived, not the vCPU count — a
+    small input gets ceil(bytes / SPREAD_BYTES_PER_TASK) tasks, capped
+    at min(defaultParallelism, measured effective parallelism), and
+    dense=True (per-row codec kernels whose work the input-byte proxy
+    underestimates ~100x) skips the byte floor but keeps the caps. An
+    input already split wider than the target is untouched (the 100 TB
+    no-op guarantee)."""
+    import aw3d30_parquet_spark.session as sess
+    from aw3d30_parquet_spark.session import register_views, spread
+
+    register_views(spark, "/root/testdata/sf0.1")
+    monkeypatch.setattr(sess, "_EFFECTIVE_CORES", 6)
+    dp = spark.sparkContext.defaultParallelism
+
+    def n_parts(df):
+        return df._jdf.queryExecution().toRdd().getNumPartitions()
+
+    docs = spark.table("documents")  # ~580 KB => byte floor ~10 tasks
+    assert n_parts(spread(docs)) == min(dp, 6, 10)
+    assert n_parts(spread(docs, dense=True)) == min(dp, 6)
+    # explicit min_partitions bypasses both derivations
+    assert n_parts(spread(docs, min_partitions=3)) == 3
+    # a tiny projected input still gets >= 1 task and never errors
+    ids = docs.select("doc_id")
+    assert 1 <= n_parts(spread(ids)) <= min(dp, 6)
+    # effective-cores cap: with a wide-open measurement the byte floor
+    # is what binds for the small input
+    monkeypatch.setattr(sess, "_EFFECTIVE_CORES", 1024)
+    assert n_parts(spread(docs)) == min(dp, 10)
+
+
+def test_effective_parallelism_probe_bounds(monkeypatch):
+    """The probe returns a sane bound: 1 <= eff <= nominal, honors the
+    SPARK_GRAFT_EFFECTIVE_CORES override, and memoizes."""
+    import os
+
+    import aw3d30_parquet_spark.session as sess
+
+    monkeypatch.setattr(sess, "_EFFECTIVE_CORES", None)
+    monkeypatch.setenv("SPARK_GRAFT_EFFECTIVE_CORES", "7")
+    assert sess.effective_parallelism() == 7
+    monkeypatch.setattr(sess, "_EFFECTIVE_CORES", None)
+    monkeypatch.delenv("SPARK_GRAFT_EFFECTIVE_CORES")
+    eff = sess.effective_parallelism()
+    assert 1 <= eff <= (os.cpu_count() or 1)
+    assert sess.effective_parallelism() == eff  # memoized
