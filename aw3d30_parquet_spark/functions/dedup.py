@@ -250,6 +250,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: the self-join reads the hashed-shingle stream on both
     # sides; without the persist the shingling+explode evaluates twice
     # (same double-evaluation d06/d07 pay — measured at the 10× probe)
+    # partitioned BY h at fill (r13, guide §2.4): the self-join's two
+    # sides read the SAME cache, so a hash(h) cache layout makes them
+    # co-partitioned and the join needs NO exchange on either side —
+    # the old layout shuffled the identical hashed-shingle stream
+    # twice (profiled at 32c: two 3.6 MB map stages per invocation;
+    # exchange reuse does not fire across AQE's concurrent leaf
+    # stages). One fill-time exchange keyed by h replaces both. Width
+    # rides _pair_agg_width so probe-scale corpora keep the measured
+    # 8×-cores shape; note AQE skew-split no longer applies to this
+    # join (no exchange to re-plan) — acceptable because hot-shingle
+    # corpora are d07's declared territory (prefix-bounded candidates)
+    # and the 10× probe re-measured flat (see OPTIMIZATION_r13.md).
     sh = _scratch_persist_eager(
         "d04",
         _docs(spark, sf_dir)
@@ -260,7 +272,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("shs").alias("n"),
             F.explode_outer("shs").alias("s"),
         )
-        .select("doc_id", "n", F.xxhash64("s").alias("h")),
+        .select("doc_id", "n", F.xxhash64("s").alias("h"))
+        .repartition(_pair_agg_width(spark, sf_dir), "h"),
     ).hint("shuffle_hash")
     a, b = sh.alias("a"), sh.alias("b")
     # the pair-intersection count is a NO-COMPRESSION aggregate on

@@ -120,6 +120,18 @@ def pagerank_supplier_customer(
         par = max(8, spark.sparkContext.defaultParallelism)
     except Exception:  # Spark Connect: no sparkContext
         par = 32
+    # NOTE (r13, measured and left): the edges cache has THREE
+    # concurrent first-wave readers — deg is compiled into consts,
+    # ranks0 AND edge_deg, so AQE's leaf query stages each hit the
+    # unfilled cache and re-run the lineitem⋈orders distinct subtree
+    # (profiled at 32c: three identical 15 MB map writes per
+    # invocation). An eager fill here A/B'd WALL-NEUTRAL (med 4.18
+    # eager vs 4.21 plain, 3 interleaved rounds) and would fire a
+    # construction-time job, conflicting with the two lazy-construction
+    # regression pins (test_l01_no_standalone_count_job,
+    # test_l01_loop_is_lazy_single_plan). Left plain: at 100 TB the
+    # edge set is a materialized table (DEPLOY row 2) and the race
+    # does not exist.
     edges = _scratch_persist(
         "l01_edges",
         _undirect(pairs).coalesce(par),
